@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], warm session, median of 3 runs per query,
+and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from easy_alterator_spark.queries import QUERIES, load_all
+from easy_alterator_spark.session import get_spark
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_all()
+    spark = get_spark("easy-alterator-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths outside the timed region
+    QUERIES["q01_scan_project"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Text-analysis Column expressions for the documents table.
+
+Everything here is a pure ``pyspark.sql.functions`` composition — no
+Python UDFs in the hot path — so it stays inside whole-stage codegen
+and scales linearly with executors. Regexes are kept to portable
+character classes so the DuckDB oracle evaluates them identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny deterministic stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (drops empty tokens)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_tokens(text: Column) -> Column:
+    """Deduplicated, sorted token set — the word-shingle set used by
+    Jaccard dedup. Sorting makes downstream min-hash/fingerprint
+    computations order-independent."""
+    return F.array_sort(F.array_distinct(tokens(text)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as ' '-joined strings (sorted distinct set)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # short docs (< n tokens): fall back to the whole doc as one shingle
+    return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(sh))).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of characters that are ASCII letters or space."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z ]", ""))
+    return F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: balanced length, alpha share, and a
+    mild stopword presence signal (real text has function words)."""
+    toks = token_count(text)
+    len_score = F.least(toks.cast("double") / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.3 * alpha_ratio(text) + 0.2 * F.least(stopword_ratio(text) * 5, F.lit(1.0)),
+        4,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: lowercase, collapse whitespace,
+    md5. Exact-dup detection at 100 TB = groupBy(fingerprint) — the
+    shuffle key is 32 bytes regardless of document size."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)

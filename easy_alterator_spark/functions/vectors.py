@@ -1,0 +1,35 @@
+"""Vector math as pure Column expressions (JVM-side, codegen-friendly).
+
+All of these run inside whole-stage codegen — no Python UDFs. Element
+types are cast to double *before* accumulation so results are
+bit-identical to a DuckDB oracle accumulating left-to-right in float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> -> array<double> (deterministic accumulation base)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe for zero vectors (returns NULL)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)

@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- **brute force**: score every (query, candidate) pair, keep top-k per
+  query with a window. Exact; O(|Q|·|C|) — right when |Q| is small or
+  as the verify stage.
+- **IVF (inverted file)**: k-means-lite bucketing. Centroids are
+  sampled deterministically, every vector is assigned to its nearest
+  centroid (one broadcast join — no shuffle of the big side), and a
+  query only scores vectors in its own bucket (nprobe=1). At 100 TB
+  the candidate set per query drops by ~|centroids|×, and the bucket
+  assignment doubles as a partitioning key for the vector store.
+
+All scoring is JVM-side Column math from functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    Output: (q_id, n_id, rank, score) with score rounded to 4.
+    """
+    score_fn = V.cosine if metric == "cosine" else V.dot
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    # queries are the small side -> broadcast them past the candidates
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", score_fn(F.col("qv"), F.col("nv")).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): nearest-centroid bucket per vector.
+
+    Centroids are a deterministic sample (hash-ordered first N) — a
+    k-means refinement loop can replace this without changing the
+    plan shape. Assignment = broadcast join + argmax over a window-free
+    max_by, so the big side never shuffles.
+    """
+    centroids = (
+        vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("c_id").cast("string")))
+        .limit(num_centroids)
+    )
+    v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
+    scored = v.join(F.broadcast(centroids)).select(
+        "v_id", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
+    )
+    assignments = scored.groupBy("v_id").agg(
+        F.max_by("c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("tb"))).alias("bucket")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's own IVF bucket."""
+    _, assign = assign_ivf_buckets(vectors, num_centroids, id_col, vec_col)
+    v = vectors.join(assign, vectors[id_col] == assign.v_id).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket")
+    )
+    q = v.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = v.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("q_id"))
+    ).select("q_id", F.col(id_col).alias("n_id"), V.cosine(F.col("qv"), F.col(vec_col)).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 4).alias("score"))
+    )

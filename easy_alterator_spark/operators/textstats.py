@@ -1,0 +1,75 @@
+"""Text-analysis operators over the documents table.
+
+Thin DataFrame wrappers around functions/text.py Column expressions:
+language-ID (marker-token heuristic), quality scoring, token stats,
+and min-hash document fingerprinting. All map-only until the final
+aggregation — linear scaling in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+
+# marker tokens per language for the heuristic language-ID; shared
+# verbatim with the DuckDB oracle SQL in queries/extensions.py.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "and"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "das"),
+}
+
+
+def _marker_count(toks: F.Column, markers: tuple[str, ...]) -> F.Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predict language from marker-token counts (deterministic
+    priority order en > es > de on ties, 'und' when no markers)."""
+    toks = T.tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col),
+        _marker_count(toks, LANG_MARKERS["en"]).alias("en_cnt"),
+        _marker_count(toks, LANG_MARKERS["es"]).alias("es_cnt"),
+        _marker_count(toks, LANG_MARKERS["de"]).alias("de_cnt"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_cnt") >= F.col("es_cnt"))
+            & (F.col("en_cnt") >= F.col("de_cnt"))
+            & (F.col("en_cnt") > 0),
+            "en",
+        )
+        .when((F.col("es_cnt") >= F.col("de_cnt")) & (F.col("es_cnt") > 0), "es")
+        .when(F.col("de_cnt") > 0, "de")
+        .otherwise("und")
+    )
+    return d.select(id_col, pred.alias("pred_lang"))
+
+
+def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc heuristic quality score in [0,1] (see functions/text.py)."""
+    return docs.select(F.col(id_col), T.quality_score(F.col(text_col)).alias("quality"))
+
+
+def token_stats_by(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Token-count stats per group: total / avg / max tokens."""
+    ntok = T.token_count(F.col(text_col))
+    return (
+        docs.select(F.col(group_col), ntok.alias("ntok"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+            F.max("ntok").alias("max_tokens"),
+        )
+    )
+
+
+def min_token_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """1-permutation MinHash fingerprint: min md5 over the distinct
+    token set. md5 (not xxhash64) so the DuckDB oracle reproduces it."""
+    fp = F.array_min(F.transform(T.distinct_tokens(F.col(text_col)), F.md5))
+    return docs.select(F.col(id_col), fp.alias("fp"))

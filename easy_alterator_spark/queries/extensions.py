@@ -1,0 +1,351 @@
+"""North-star extension queries: dedup, similarity search, text
+analysis, sessionization, JSON extraction, as-of join.
+
+Each entry pairs the Spark operator (operators/*) with a DuckDB oracle
+that recomputes the same values with portable list/regex SQL. Ops the
+oracle genuinely can't reproduce (xxhash64-based SimHash, approximate
+IVF search) register without an oracle — the driver then records a
+rows-only check.
+
+Pair-wise ops are bounded by id predicates: the O(n²) form is the
+*verify* stage; the scale path (MinHash bands, IVF buckets) is what
+runs unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textstats as X
+from ..sources import load_table
+from . import query
+
+# DuckDB fragment: lowercased whitespace tokens, empties dropped —
+# mirrors functions/text.py::tokens.
+_DTOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_DSET = f"list_distinct({_DTOKS})"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return D.jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    # LSH s-curve (16 bands × 4 rows) crosses ~0.5, so pairs at the
+    # 0.9 verify threshold are candidates with P(miss) ≈ 4e-8 — the
+    # brute-force oracle matches (verified in tests at sf0.01). At
+    # 100 TB only the band join shuffles; no all-pairs stage exists.
+    return D.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query("dedup_simhash")  # xxhash64-based — not reproducible in DuckDB; rows-only check
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return D.simhash_dedup_pairs(docs, max_hamming=6)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings WHERE vec_id <= 300),
+    p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 300)
+    return D.embedding_dedup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb AS qv FROM v WHERE vec_id < 5),
+    scored AS (SELECT q.q_id, c.vec_id AS n_id,
+                      list_dot_product(qv, c.emb)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(c.emb, c.emb))) AS score
+               FROM q JOIN v c ON c.vec_id <> q.q_id),
+    r AS (SELECT q_id, n_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, n_id) AS rnk
+          FROM scored)
+    SELECT q_id, n_id, rnk, ROUND(score, 4) AS score FROM r WHERE rnk <= 3
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
+
+
+@query("sim_ann_ivf")  # approximate — rows-only check
+def sim_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DTOKS} AS toks FROM documents),
+    c AS (SELECT lang,
+                 len(list_filter(toks, x -> list_contains(['the','is','and'], x))) AS en_cnt,
+                 len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS es_cnt,
+                 len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS de_cnt
+          FROM t)
+    SELECT lang,
+           CASE WHEN en_cnt >= es_cnt AND en_cnt >= de_cnt AND en_cnt > 0 THEN 'en'
+                WHEN es_cnt >= de_cnt AND es_cnt > 0 THEN 'es'
+                WHEN de_cnt > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang,
+           COUNT(*) AS n
+    FROM c GROUP BY lang, pred_lang
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.lang_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT source, text, {_DTOKS} AS toks FROM documents),
+    m AS (SELECT source,
+                 len(toks) AS ntok,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                           / length(text)
+                      ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(
+                             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                           / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM t),
+    s AS (SELECT source,
+                 ROUND(0.5 * least(ntok / 50.0, 1.0)
+                       + 0.3 * alpha_ratio
+                       + 0.2 * least(stop_ratio * 5, 1.0), 4) AS q
+          FROM m)
+    SELECT source, COUNT(*) AS docs, ROUND(AVG(q), 2) AS avg_quality
+    FROM s GROUP BY source
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.quality(docs.select(F.col("source").alias("doc_id"), "text"))
+        .withColumnRenamed("doc_id", "source")
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("quality"), 2).alias("avg_quality"))
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang, SUM(ntok) AS total_tokens, ROUND(AVG(ntok), 2) AS avg_tokens,
+           MAX(ntok) AS max_tokens
+    FROM (SELECT lang, len({_DTOKS}) AS ntok FROM documents)
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return X.token_stats_by(load_table(spark, sf_dir, "documents"), "lang")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT source, COUNT(*) AS docs, COUNT(DISTINCT fp) AS uniq_fp
+    FROM (SELECT source, list_min(list_transform({_DSET}, t -> md5(t))) AS fp
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.min_token_fingerprint(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(fp, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.countDistinct("fp").alias("uniq_fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization, JSON, as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH m AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m),
+    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 2) AS avg_events,
+           MAX(n_events) AS max_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    # Batch gap-based sessionization (30 min). One shuffle on user_id
+    # serves both windows and the session aggregation. The streaming
+    # twin (session_window + watermark) lives in streaming/events.py.
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per_sess = (
+        ev.withColumn("sess_id", sess)
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 2).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::INT % 10 AS k_mod,
+           COUNT(*) AS n, ROUND(AVG(value), 2) AS avg_value
+    FROM events GROUP BY k_mod
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value")
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    m AS (SELECT c.user_id, c.ts,
+                 (SELECT MAX(v.ts) FROM events v
+                  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+                        AND v.ts <= c.ts) AS view_ts
+          FROM c)
+    SELECT user_id, COUNT(*) AS n_clicks, COUNT(view_ts) AS n_matched,
+           ROUND(AVG(date_diff('second', view_ts, ts)), 2) AS avg_delay_s
+    FROM m GROUP BY user_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    # As-of join expressed as a single-pass window over the merged
+    # stream: sort (user, ts), carry the last seen 'view' timestamp
+    # forward, read it off each 'click' row. One shuffle on user_id —
+    # no per-row subquery, no range join explosion; this is the shape
+    # that survives 100 TB event logs.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    # views sort before clicks at equal ts so ts >= view_ts is honored
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.col("is_view").desc(), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tagged = ev.withColumn("is_view", is_view).withColumn(
+        "view_ts",
+        F.last(F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    clicks = tagged.filter(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias("delay_s"),
+        "view_ts",
+    )
+    return clicks.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.count("view_ts").alias("n_matched"),
+        F.round(F.avg("delay_s"), 2).alias("avg_delay_s"),
+    )

@@ -1,0 +1,389 @@
+"""Q01–Q21: the declared relational query inventory (SURVEY.md §2.10).
+
+Each query is written with the DataFrame API so Catalyst plans it
+(pushdown, pruning, join selection); the paired oracle string is
+portable SQL DuckDB runs on the same parquet. Conventions (SURVEY.md
+§2.10): every computed column aliased identically on both sides,
+floats ROUND(x, 2) (Q21: 4), timestamps projected via CAST(.. AS DATE).
+
+Scale notes are inline: each query states why its plan survives a
+100 TB input (broadcast direction, shuffle keys, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..sources import load_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q01 scan + project ---------------------------------------------------
+@query(
+    "q01_scan_project",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def q01(spark, sf_dir):
+    # Column pruning: ReadSchema carries only the two columns.
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# --- Q02 filter / predicate pushdown --------------------------------------
+@query(
+    "q02_filter",
+    oracle="""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+              ORDER BY o_orderkey""",
+)
+def q02(spark, sf_dir):
+    # Both predicates reach the parquet scan (PushedFilters).
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- Q03 inner equi-join (broadcast dim) -----------------------------------
+@query(
+    "q03_inner_join",
+    oracle="""SELECT n_name, r_name FROM nation JOIN region
+              ON n_regionkey = r_regionkey ORDER BY n_name, r_name""",
+)
+def q03(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # region is tiny at any SF -> broadcast, no shuffle of nation.
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_name", "r_name")
+
+
+# --- Q04 full outer join ----------------------------------------------------
+@query(
+    "q04_full_outer",
+    oracle="""SELECT c_custkey, c_name, o_orderkey
+              FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+              ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+)
+def q04(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    # Full outer can't broadcast -> sort-merge on the join key; both
+    # sides shuffle once on c_custkey/o_custkey, which is also the
+    # natural co-partitioning for downstream per-customer work.
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+# --- Q05 anti join ----------------------------------------------------------
+@query(
+    "q05_anti_join",
+    oracle="""SELECT c_custkey FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""",
+)
+def q05(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey"
+    )
+
+
+# --- Q06 semi join ----------------------------------------------------------
+@query(
+    "q06_semi_join",
+    oracle="""SELECT s_suppkey, s_name FROM supplier
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+              ORDER BY s_suppkey""",
+)
+def q06(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    # Filter pushes to the lineitem scan BEFORE the semi join, so the
+    # big side shrinks before any shuffle.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select("l_suppkey")
+    return supplier.join(li, supplier.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# --- Q07 theta-keyed join ---------------------------------------------------
+@query(
+    "q07_theta_join",
+    oracle="""SELECT p_partkey, s_suppkey FROM part JOIN supplier
+              ON p_partkey % 100 = s_suppkey % 100
+              WHERE p_size = 15 AND s_acctbal > 5000
+              ORDER BY p_partkey, s_suppkey""",
+)
+def q07(spark, sf_dir):
+    # Rewrite the theta condition as an equi-join on a derived key so
+    # Spark uses a hash join instead of nested-loop — the same trick
+    # the reference's rename-detection join J7 needs (SURVEY.md §2.3).
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", (F.col("p_partkey") % 100).alias("k"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select("s_suppkey", (F.col("s_suppkey") % 100).alias("k"))
+    )
+    return part.join(supp, "k", "inner").select("p_partkey", "s_suppkey")
+
+
+# --- Q08 multi-way join + agg ----------------------------------------------
+@query(
+    "q08_multijoin_agg",
+    oracle="""SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""",
+)
+def q08(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # orders⋈customer shuffles on custkey; nation broadcasts; the final
+    # groupBy does partial (map-side) aggregation before its shuffle.
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+
+# --- Q09 hash aggregate, multiple functions ---------------------------------
+@query(
+    "q09_hash_agg",
+    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     ROUND(SUM(l_quantity), 2) AS sq,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS disc_rev
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""",
+)
+def q09(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # TPC-H Q1 shape: few groups -> partial agg collapses ~everything
+    # map-side; the shuffle moves only (flag,status) pairs per task.
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sq"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("disc_rev"),
+    )
+
+
+# --- Q10 top-k ---------------------------------------------------------------
+@query(
+    "q10_topk",
+    oracle="""SELECT o_orderkey, ROUND(o_totalprice, 2) AS tp FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q10(spark, sf_dir):
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-10, only 10 rows/partition reach the driver.
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
+    )
+
+
+# --- Q11 distinct ------------------------------------------------------------
+@query(
+    "q11_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def q11(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --- Q12 EXCEPT --------------------------------------------------------------
+@query(
+    "q12_except",
+    oracle="""SELECT c_nationkey AS k FROM customer EXCEPT
+              SELECT s_nationkey AS k FROM supplier ORDER BY k""",
+)
+def q12(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.subtract(supp)  # EXCEPT (set semantics), same as SQL EXCEPT
+
+
+# --- Q13 INTERSECT -----------------------------------------------------------
+@query(
+    "q13_intersect",
+    oracle="""SELECT o_custkey AS k FROM orders INTERSECT
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+)
+def q13(spark, sf_dir):
+    ords = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return ords.intersect(cust)
+
+
+# --- Q14 window ranking -------------------------------------------------------
+@query(
+    "q14_window_rank",
+    oracle="""SELECT c_custkey, rnk FROM (
+                SELECT c_custkey,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                FROM customer) t
+              WHERE rnk <= 3 ORDER BY c_custkey""",
+)
+def q14(spark, sf_dir):
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    # One shuffle on c_nationkey; rank filter applies before projecting
+    # away the partition key. AQE handles nation-key skew if present.
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "rnk")
+    )
+
+
+# --- Q15 window lead ----------------------------------------------------------
+@query(
+    "q15_window_lead",
+    oracle="""SELECT o_orderkey, o_custkey,
+                     LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS next_ok
+              FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""",
+)
+def q15(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)  # pushed to scan before the window shuffle
+        .withColumn("next_ok", F.lead("o_orderkey").over(w))
+        .select("o_orderkey", "o_custkey", "next_ok")
+    )
+
+
+# --- Q16 string functions + regexp ---------------------------------------------
+@query(
+    "q16_string_fns",
+    oracle="""SELECT p_partkey, LOWER(TRIM(p_name)) AS nm,
+                     REGEXP_EXTRACT(p_type, '([a-z]+)$', 1) AS last_word
+              FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+)
+def q16(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.lower(F.trim(F.col("p_name"))).alias("nm"),
+            F.regexp_extract(F.col("p_type"), "([a-z]+)$", 1).alias("last_word"),
+        )
+    )
+
+
+# --- Q17 CASE classifier --------------------------------------------------------
+@query(
+    "q17_case_when",
+    oracle="""SELECT p_partkey,
+                     CASE WHEN p_size <= 10 THEN 'small'
+                          WHEN p_size <= 30 THEN 'medium'
+                          ELSE 'large' END AS size_class
+              FROM part ORDER BY p_partkey""",
+)
+def q17(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") <= 10, "small")
+        .when(F.col("p_size") <= 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+    )
+
+
+# --- Q18 date bucketing (tumbling-window analog) ---------------------------------
+@query(
+    "q18_date_bucket",
+    oracle="""SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, event_type,
+                     COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+              FROM events GROUP BY 1, 2 ORDER BY d, event_type""",
+)
+def q18(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # Batch analog of a tumbling 1-day window; the streaming façade in
+    # easy_alterator_spark.streaming reuses the same aggregation.
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+
+
+# --- Q19 dedup (X1) ----------------------------------------------------------------
+@query(
+    "q19_dedup_distinct",
+    oracle="""SELECT event_type, COUNT(*) AS n FROM (
+                SELECT DISTINCT user_id, event_type FROM events) t
+              GROUP BY event_type ORDER BY event_type""",
+)
+def q19(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    # dropDuplicates = shuffle on (user_id, event_type) with partial
+    # dedup map-side; the follow-up count reuses the same partitioning.
+    return ev.dropDuplicates(["user_id", "event_type"]).groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+# --- Q20 text analysis (X3) ----------------------------------------------------------
+@query(
+    "q20_text_stats",
+    oracle="""SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 2) AS avg_chars
+              FROM documents WHERE LENGTH(text) > 100
+              GROUP BY lang ORDER BY lang""",
+)
+def q20(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 100)
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+# --- Q21 similarity search (X2, adapted) -----------------------------------------------
+@query(
+    "q21_similarity_topk",
+    oracle="""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                     ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dot
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id <= 50 AND b.vec_id <= 50
+              ORDER BY dot DESC, vec_id_a, vec_id_b LIMIT 10""",
+)
+def q21(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 50)
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    # Brute-force pair scoring on a pre-filtered (small) candidate set;
+    # broadcast-NL join is the right plan at 50 rows. The scale path
+    # (LSH bucketing) lives in operators/similarity.py.
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    return (
+        pairs.select(
+            "vec_id_a", "vec_id_b", F.round(V.dot(F.col("ea"), F.col("eb")), 4).alias("dot")
+        )
+        .orderBy(F.col("dot").desc(), "vec_id_a", "vec_id_b")
+        .limit(10)
+    )

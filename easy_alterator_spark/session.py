@@ -1,0 +1,56 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+Local testing runs on ``local[N]`` against small scale factors; the same
+configuration is designed to hold on a 1000-executor cluster reading
+~100 TB: AQE handles runtime re-planning (partition coalescing, skew
+joins), broadcast thresholds let dimension tables stream past shuffle,
+and Arrow keeps any unavoidable Python boundary vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test default. On a real cluster this should scale with input
+# size: ~2-3x total executor cores, or simply rely on AQE coalescing
+# from an over-provisioned initial number (e.g. 2000 for 100 TB).
+_LOCAL_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "easy-alterator-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- shuffle & adaptive execution -----------------------------
+        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dimension tables (region/nation/supplier/...) broadcast freely
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # --- python boundary ------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism vs the DuckDB oracle -------------------------
+        # DuckDB treats parquet timestamps as naive; pin Spark to UTC so
+        # date_trunc/CAST(ts AS DATE) agree between engines.
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: oracle comparisons want permissive casts like Hive.
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type,
+        # so read as long and rebuild micros in sources/tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scan tuning ----------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

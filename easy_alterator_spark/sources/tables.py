@@ -1,0 +1,54 @@
+"""Parquet table sources for the synthetic star schema.
+
+The reference never reads data files — it only reads table *metadata*
+(SURVEY.md §2.1). The new engine reads actual Parquet via
+``spark.read.parquet`` so filters and projections push down to the scan
+(check ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins. At 100 TB the
+# fact tables (lineitem/orders/events/documents) grow; these stay small.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong); rebuild micros
+        # with integer division — float math would lose precision at
+        # 2^63-scale nanosecond epochs.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
