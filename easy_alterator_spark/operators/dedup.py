@@ -153,20 +153,52 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact word-set Jaccard.
 
-    This is the 100 TB dedup path: signature (map-only) -> band join
-    (uniform shuffle) -> verify join (only candidate pairs re-read
-    token sets).
+    This is the 100 TB dedup path: signature + banding are map-only;
+    the only wide operations are the band self-join and the final
+    pair dedup. Token sets ride along with the banded rows and the
+    exact-Jaccard verify runs *inside* the join stage (whole-stage
+    codegen), so non-duplicate candidates die before ever being
+    materialized or shuffled again.
     """
-    cands = minhash_lsh_candidates(docs, id_col, text_col, num_perm, bands)
-    toks = docs.select(
-        F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks")
+    rows_per_band = num_perm // bands
+    # Spread docs across all cores before the expensive per-row
+    # signature math and the band join — a single-file parquet source
+    # would otherwise pin the whole fused stage to one task.
+    sig = (
+        docs.select(F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks"))
+        .repartition("id")
+        .select("id", "toks", minhash_signature(F.col("toks"), num_perm).alias("sig"))
     )
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(F.array_union("ta", "tb"))
+    banded = sig.select(
+        "id",
+        "toks",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    jac = F.size(F.array_intersect("l.toks", "r.toks")).cast("double") / F.size(
+        F.array_union("l.toks", "r.toks")
+    )
     return (
-        cands.join(toks.select(F.col("id").alias("doc_id_a"), F.col("toks").alias("ta")), "doc_id_a")
-        .join(toks.select(F.col("id").alias("doc_id_b"), F.col("toks").alias("tb")), "doc_id_b")
-        .withColumn("jac", jac)
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_id_a"),
+            F.col("r.id").alias("doc_id_b"),
+            jac.alias("jac"),
+        )
         .filter(F.col("jac") >= threshold)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
     )
 
