@@ -79,24 +79,58 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(toks: F.Column, num_perm: int = 64) -> F.Column:
-    """num_perm-wide MinHash signature of a token-set column.
+def _signed64(x: int) -> int:
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - (1 << 64) if x >= 1 << 63 else x
 
-    Each permutation is xxhash64 with a distinct seed prefix; the min
-    is taken row-locally with array_min — zero shuffle, zero Python.
-    Empty token sets get a sentinel hash so they only match each other.
 
-    NB: the seed must be bound via a closure factory — a two-parameter
-    ``lambda t, i=i`` would make PySpark pass the *array index* as the
-    second lambda variable, silently collapsing all permutations.
+# Deterministic multiply-add permutation constants (splitmix64-style
+# odd multipliers). 64-bit wrap-around is intentional — the session
+# runs with ANSI off, giving Java long semantics.
+_PERM_A = [_signed64(0x9E3779B97F4A7C15 * (2 * i + 1)) for i in range(256)]
+_PERM_B = [_signed64(0xBF58476D1CE4E5B9 * i + 0x94D049BB133111EB) for i in range(256)]
+
+
+def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
+    """Signature from pre-hashed (long) tokens.
+
+    Every permutation is a multiply-add universal hash over the 64-bit
+    token hash. The whole signature is ONE nested higher-order
+    expression (transform over a permutation-index sequence, inner
+    transform over the token hashes) — constant expression-tree size
+    regardless of num_perm, so codegen stays small and compiles fast;
+    the naive form (num_perm separate array_min subtrees) costs seconds
+    of compilation alone. Empty token sets get a sentinel signature so
+    they only ever match each other.
     """
+    pa = F.array(*[F.lit(a) for a in _PERM_A[:num_perm]])
+    pb = F.array(*[F.lit(b) for b in _PERM_B[:num_perm]])
+    idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    sig = F.transform(
+        idx,
+        lambda i: F.array_min(
+            F.transform(htoks, lambda h: h * F.element_at(pa, i + 1) + F.element_at(pb, i + 1))
+        ),
+    )
+    sentinel = F.transform(idx, lambda i: F.lit(-(2**62)) - i)
+    return F.when(F.size(htoks) > 0, sig).otherwise(sentinel)
 
-    def perm(i: int):
-        return lambda t: F.xxhash64(F.concat_ws("\x1f", F.lit(str(i)), t))
 
-    sig = F.array(*[F.array_min(F.transform(toks, perm(i))) for i in range(num_perm)])
-    return F.when(F.size(toks) > 0, sig).otherwise(
-        F.array(*[F.lit(-(2**62) - i) for i in range(num_perm)])
+def minhash_signature(toks: F.Column, num_perm: int = 64) -> F.Column:
+    """num_perm-wide MinHash signature of a (string) token-set column.
+
+    Tokens are hashed ONCE (xxhash64); permutations are integer
+    multiply-adds over that value (see :func:`_minhash_from_hashes`).
+    All row-local — zero shuffle, zero Python.
+    """
+    return _minhash_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)), num_perm)
+
+
+def _band_hashes(sig: F.Column, bands: int, rows_per_band: int) -> F.Column:
+    """array of per-band bucket hashes — one nested HOF expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(sig, b * rows_per_band + 1, rows_per_band), b),
     )
 
 
@@ -114,25 +148,29 @@ def minhash_lsh_candidates(
     uniformly distributed keys, so no skew at any corpus size.
     """
     rows_per_band = num_perm // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(T.distinct_tokens(F.col(text_col)), num_perm).alias("sig"),
+    # Spread docs across cores before the per-row signature math — a
+    # single-file parquet source would otherwise pin the map stage to
+    # one task.
+    sig = (
+        docs.select(F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks"))
+        .repartition("id")
+        .select("id", minhash_signature(F.col("toks"), num_perm).alias("sig"))
     )
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
-        left.join(
+        # shuffle_hash forces both sides through an Exchange on the band
+        # keys; the subtrees are identical, so signatures are computed
+        # once and the second side is a ReusedExchange (a broadcast
+        # build would recompute them on the build side).
+        left.hint("shuffle_hash")
+        .join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
@@ -153,53 +191,80 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact word-set Jaccard.
 
-    This is the 100 TB dedup path: signature + banding are map-only;
-    the only wide operations are the band self-join and the final
-    pair dedup. Token sets ride along with the banded rows and the
-    exact-Jaccard verify runs *inside* the join stage (whole-stage
-    codegen), so non-duplicate candidates die before ever being
-    materialized or shuffled again.
+    This is the 100 TB dedup path, built so no stage is quadratic in
+    the *duplication factor*:
+
+    1. Collapse docs to their distinct hashed token SETS (a corpus
+       with heavy duplication has far fewer unique sets than docs; a
+       cluster of k same-set docs would otherwise put k²·bands/2 rows
+       through the band join).
+    2. MinHash+LSH band self-join over unique sets only; dedupe the
+       candidate id pairs BEFORE the verify (the distinct shuffles
+       16-byte pairs and cuts Jaccard work by up to bands×); verify
+       with exact Jaccard over the 64-bit hashed sets (long-array set
+       ops are ~10× cheaper than string ones; collision odds ≈ n²/2⁶⁴).
+    3. Expand same-set groups (jac = 1.0 by definition) and verified
+       cross-set pairs back to doc-id pairs — output-sized work only.
     """
-    rows_per_band = num_perm // bands
-    # Spread docs across all cores before the expensive per-row
-    # signature math and the band join — a single-file parquet source
-    # would otherwise pin the whole fused stage to one task.
-    sig = (
-        docs.select(F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks"))
-        .repartition("id")
-        .select("id", "toks", minhash_signature(F.col("toks"), num_perm).alias("sig"))
+    hs = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hset"),
     )
+    # group identical token sets; the group key IS the set
+    groups = hs.repartition("hset").groupBy("hset").agg(
+        F.array_sort(F.collect_list("id")).alias("members")
+    )
+    reps = groups.select(F.element_at("members", 1).alias("id"), "hset", "members")
+
+    # --- LSH over unique sets only --------------------------------
+    rows_per_band = num_perm // bands
+    sig = reps.select("id", _minhash_from_hashes(F.col("hset"), num_perm).alias("sig"))
     banded = sig.select(
         "id",
-        "toks",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     left, right = banded.alias("l"), banded.alias("r")
-    jac = F.size(F.array_intersect("l.toks", "r.toks")).cast("double") / F.size(
-        F.array_union("l.toks", "r.toks")
-    )
-    return (
-        left.join(
+    cands = (
+        # identical subtrees + shuffle_hash -> the second Exchange on
+        # the band keys is reused; signatures computed once.
+        left.hint("shuffle_hash")
+        .join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("doc_id_a"),
-            F.col("r.id").alias("doc_id_b"),
-            jac.alias("jac"),
-        )
+        .select(F.col("l.id").alias("rid_a"), F.col("r.id").alias("rid_b"))
+        .distinct()
+    )
+    ga = reps.select(F.col("id").alias("rid_a"), F.col("hset").alias("ha"), F.col("members").alias("ma"))
+    gb = reps.select(F.col("id").alias("rid_b"), F.col("hset").alias("hb"), F.col("members").alias("mb"))
+    jac = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
+        F.array_union("ha", "hb")
+    )
+    cross = (
+        cands.join(ga, "rid_a")
+        .join(gb, "rid_b")
+        .withColumn("jac", jac)
         .filter(F.col("jac") >= threshold)
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
+        .select(F.explode("ma").alias("ida"), "mb", "jac")
+        .select("ida", F.explode("mb").alias("idb"), "jac")
+    )
+    # --- same-set pairs: jac is exactly 1.0 ------------------------
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("ida"), "members")
+        .select("ida", F.explode("members").alias("idb"))
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("jac", F.lit(1.0))
+    )
+    pairs = cross.unionByName(within) if threshold <= 1.0 else cross
+    return pairs.select(
+        F.least("ida", "idb").alias("doc_id_a"),
+        F.greatest("ida", "idb").alias("doc_id_b"),
+        F.round("jac", 4).alias("jac"),
     )
 
 
