@@ -1,0 +1,211 @@
+"""DDL-corpus parser: regex-as-projection over CREATE TABLE text.
+
+The reference parses one file at a time with ``re.findall`` inside a
+Python loop (alterator.py:518). Here the whole corpus is one DataFrame
+— ``spark.read.text(wholetext=True)`` + ``input_file_name`` — and every
+extraction is a Column expression (``regexp_extract_all`` + ``transform``
++ ``posexplode``), so parsing 458 or 458k DDL files is the same plan
+with no driver loop. Column order — load-bearing for partition checks
+and Iceberg positioning — is carried as an explicit ``pos`` field
+(SURVEY.md §7 watch list: Spark rows are unordered).
+
+Directive comments (``-- renamed_from: x``, ``-- after: x``,
+``-- backfilled_from: x``, ``-- first``) and commented-out (deleted)
+columns follow the reference grammar (iceberg_schema_handler.py:65-68);
+empty regex groups are normalized to NULL at parse time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# one column definition, optionally commented out, optionally followed
+# by a directive comment
+COL_PATTERN = (
+    r"(--\s*[^\n`]*)?\s*`([\w-]+)`\s+(\w+(?:\(\d+,\s*\d+\)|\(\d+\))?),?"
+    r"(?:[ \t]*--[ \t]*(?:renamed_from:[ \t]*([^\s,]+)|after:[ \t]*([^\s,]+)"
+    r"|backfilled_from:[ \t]*([^\s,]+)|(first)))?"
+)
+TABLE_PATTERN = r"table\s+(?:if\s+not\s+exists\s+)?`(\w+)\.(\w+)`"
+HIVE_PART_PATTERN = r"partitioned\s+by\s*\(([\w`\s,]+)\)"
+ICE_PART_PATTERN = r"partitioned\s+by\s*\(\s*((?:(?:--[^\n]*)?\s*`[^`]+`\s*,?\s*)+)\)"
+ICE_PART_ENTRY = r"(--[^\n`]*)?\s*`([^`]+)`"
+TBLPROP_PATTERN = r"tblproperties\s*\(\s*((?:'[\w.-]+'\s*=\s*'[\w./:=,\- ]*'\s*,?\s*)+)\)"
+TBLPROP_ENTRY = r"'([\w.-]+)'\s*=\s*'([\w./:=,\- ]*)'"
+
+_SERDE_LIB = "org.apache.hadoop.hive.ql.io.parquet.serde.parquethiveserde"
+_SERDE_IN = "org.apache.hadoop.hive.ql.io.parquet.mapredparquetinputformat"
+_SERDE_OUT = "org.apache.hadoop.hive.ql.io.parquet.mapredparquetoutputformat"
+
+
+def _nullify(c: Column) -> Column:
+    """'' -> NULL (regex groups yield empty strings, not NULL)."""
+    return F.when(c != "", c)
+
+
+def read_ddl_corpus(
+    spark: SparkSession, paths: list[str] | str, aws_account_id: str = ""
+) -> DataFrame:
+    """(file_path, ddl) with the reference's read normalization:
+    lowercase, trim, {aws_account_id} interpolation."""
+    raw = spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("file_path"), F.col("value").alias("ddl")
+    )
+    return normalize_corpus(raw, aws_account_id)
+
+
+def corpus_from_rows(
+    spark: SparkSession, rows: list[tuple[str, str]], aws_account_id: str = ""
+) -> DataFrame:
+    """Corpus from in-memory (file_path, ddl_text) rows (tests/fixtures)."""
+    raw = spark.createDataFrame(rows, "file_path string, ddl string")
+    return normalize_corpus(raw, aws_account_id)
+
+
+def normalize_corpus(raw: DataFrame, aws_account_id: str = "") -> DataFrame:
+    # Python str.strip() removes ALL whitespace; Spark trim() only
+    # removes spaces — use a regex trim so `\n        CREATE ...` still
+    # registers as a create statement.
+    ddl = F.regexp_replace(F.lower(F.col("ddl")), r"^\s+|\s+$", "")
+    ddl = F.replace(ddl, F.lit("{aws_account_id}"), F.lit(aws_account_id))
+    return raw.select("file_path", ddl.alias("ddl"))
+
+
+# ---------------------------------------------------------------------------
+# per-corpus parse: everything in one select
+# ---------------------------------------------------------------------------
+
+
+def _extract_group(m: Column, pattern: str, group: int) -> Column:
+    return _nullify(F.regexp_extract(m, pattern, group))
+
+
+def _parse_columns(ddl: Column) -> Column:
+    """array<struct> of column descriptors in DDL order."""
+    matches = F.regexp_extract_all(ddl, F.lit(COL_PATTERN), F.lit(0))
+
+    def to_struct(m: Column) -> Column:
+        return F.struct(
+            F.lower(F.regexp_extract(m, COL_PATTERN, 2)).alias("name"),
+            F.regexp_extract(m, COL_PATTERN, 3).alias("type"),
+            F.regexp_extract(m, COL_PATTERN, 1).startswith("--").alias("commented"),
+            _extract_group(m, COL_PATTERN, 4).alias("renamed_from"),
+            _extract_group(m, COL_PATTERN, 5).alias("after"),
+            _extract_group(m, COL_PATTERN, 6).alias("backfilled_from"),
+            (F.regexp_extract(m, COL_PATTERN, 7) == "first").alias("first"),
+        )
+
+    structs = F.transform(matches, to_struct)
+    # attach 0-based position explicitly (two-arg transform: the second
+    # lambda variable IS the array index)
+    return F.transform(
+        structs,
+        lambda s, i: F.struct(
+            i.alias("pos"),
+            s["name"].alias("name"),
+            s["type"].alias("type"),
+            s["commented"].alias("commented"),
+            s["renamed_from"].alias("renamed_from"),
+            s["after"].alias("after"),
+            s["backfilled_from"].alias("backfilled_from"),
+            s["first"].alias("first"),
+        ),
+    )
+
+
+def _parse_hive_partitions(ddl: Column) -> Column:
+    """array<struct<pos,name,type>> from PARTITIONED BY (name type, ...)."""
+    clause = F.regexp_extract(ddl, HIVE_PART_PATTERN, 1)
+    entries = F.filter(
+        F.transform(
+            F.split(clause, ","),
+            lambda e: F.regexp_replace(F.trim(F.regexp_replace(e, "`", "")), r"\s+", " "),
+        ),
+        lambda e: e != "",
+    )
+    return F.transform(
+        entries,
+        lambda e, i: F.struct(
+            i.alias("pos"),
+            F.split(e, " ")[0].alias("name"),
+            F.element_at(F.split(e, " "), -1).alias("type"),
+        ),
+    )
+
+
+def _parse_iceberg_partitions(ddl: Column) -> Column:
+    """array<struct<field_id,name,commented>>; field ids from 1000 in
+    DDL order (Iceberg partition-field convention)."""
+    clause = F.regexp_extract(ddl, ICE_PART_PATTERN, 1)
+    matches = F.regexp_extract_all(clause, F.lit(ICE_PART_ENTRY), F.lit(0))
+    return F.transform(
+        matches,
+        lambda m, i: F.struct(
+            (i + 1000).alias("field_id"),
+            F.lower(F.regexp_extract(m, ICE_PART_ENTRY, 2)).alias("name"),
+            F.regexp_extract(m, ICE_PART_ENTRY, 1).startswith("--").alias("commented"),
+        ),
+    )
+
+
+def _parse_tblprops(ddl: Column) -> Column:
+    clause = F.regexp_extract(ddl, TBLPROP_PATTERN, 1)
+    pairs = F.regexp_extract_all(clause, F.lit(TBLPROP_ENTRY), F.lit(0))
+    return F.map_from_arrays(
+        F.transform(pairs, lambda p: F.regexp_extract(p, TBLPROP_ENTRY, 1)),
+        F.transform(pairs, lambda p: F.regexp_extract(p, TBLPROP_ENTRY, 2)),
+    )
+
+
+def _hql_is_parquet(ddl: Column) -> Column:
+    """STORED AS PARQUET, or STORED AS INPUTFORMAT + the full parquet
+    SerDe triple (rule_book.py:33-89 semantics)."""
+    stored_as = F.lower(F.regexp_extract(ddl, r"stored\s+as\s+(\w+)", 1))
+    serde = F.lower(F.regexp_extract(ddl, r"row\s+format\s+serde\s+'([\w\.]+)'", 1))
+    in_fmt = F.lower(F.regexp_extract(ddl, r"inputformat\s+'([\w\.]+)'", 1))
+    out_fmt = F.lower(F.regexp_extract(ddl, r"outputformat\s+'([\w\.]+)'", 1))
+    return (stored_as == "parquet") | (
+        (stored_as == "inputformat")
+        & (serde == _SERDE_LIB)
+        & (in_fmt == _SERDE_IN)
+        & (out_fmt == _SERDE_OUT)
+    )
+
+
+def parse_ddl_corpus(corpus: DataFrame) -> DataFrame:
+    """One row per DDL file with every extraction as a typed column.
+
+    Output columns: file_path, ddl, table_name (nullable), is_create,
+    is_external, hql_format ('iceberg'|'parquet'|'text'), columns,
+    hive_partitions, iceberg_partitions, tblprops.
+    """
+    ddl = F.col("ddl")
+    db = _nullify(F.regexp_extract(ddl, TABLE_PATTERN, 1))
+    tbl = _nullify(F.regexp_extract(ddl, TABLE_PATTERN, 2))
+    using = F.lower(F.regexp_extract(ddl, r"using\s+(\w+)", 1))
+    fmt = (
+        F.when(using == "iceberg", "iceberg")
+        .when(_hql_is_parquet(ddl), "parquet")
+        .otherwise("text")
+    )
+    return corpus.select(
+        "file_path",
+        "ddl",
+        F.when(db.isNotNull() & tbl.isNotNull(), F.concat_ws(".", db, tbl)).alias("table_name"),
+        ddl.startswith("create").alias("is_create"),
+        F.regexp_like(ddl, F.lit(r"create\s*external\s*table")).alias("is_external"),
+        fmt.alias("hql_format"),
+        _parse_columns(ddl).alias("columns"),
+        _parse_hive_partitions(ddl).alias("hive_partitions"),
+        _parse_iceberg_partitions(ddl).alias("iceberg_partitions"),
+        _parse_tblprops(ddl).alias("tblprops"),
+    )
+
+
+def explode_columns(parsed: DataFrame) -> DataFrame:
+    """(table_name, pos, name, type, commented, renamed_from, after,
+    backfilled_from, first) — one row per declared column."""
+    return parsed.select(
+        "table_name", F.explode("columns").alias("c")
+    ).select("table_name", "c.*")

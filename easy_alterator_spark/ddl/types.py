@@ -1,0 +1,193 @@
+"""Type vocabulary: normalization + compatibility rules.
+
+Re-expresses the reference rule book (cf. /root/reference/src/rules/
+rule_book.py:226-345) in two forms:
+
+- plain-Python helpers for driver-side use (rendering DDL, tests);
+- Spark ``Column`` expressions + a broadcastable allowlist DataFrame so
+  compatibility classification of millions of column pairs runs as one
+  join/filter, never a row-wise UDF (the reference's hot path was a
+  pandas ``df.apply`` — rule_book.py:178-191).
+
+Two vocabularies are kept deliberately separate (SURVEY.md §7 watch
+list): the *comparison* domain uses non-standard names (``long``,
+``timestamptz``); Spark DDL output never does.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+
+# old type -> allowed new types, per query engine. Mirrors the
+# reference's matrix (rule_book.py:307-328) including its quirks: the
+# bare-word DECIMAL/VARCHAR entries only ever match unparameterized
+# spellings; parameterized decimals go through the widening rule.
+COMPATIBILITY: dict[str, dict[str, tuple[str, ...]]] = {
+    "athena": {
+        "STRING": ("BYTE", "TINYINT", "SMALLINT", "INT", "BIGINT", "VARCHAR"),
+        "BYTE": ("TINYINT", "SMALLINT", "INT", "BIGINT"),
+        "TINYINT": ("SMALLINT", "INT", "BIGINT"),
+        "SMALLINT": ("INT", "BIGINT"),
+        "INT": ("BIGINT",),
+        "FLOAT": ("DOUBLE",),
+        "DECIMAL": ("DECIMAL",),
+        "VARCHAR": ("VARCHAR",),
+    },
+    "iceberg": {
+        "STRING": (),
+        "BYTE": (),
+        "TINYINT": ("SMALLINT", "INT", "BIGINT"),
+        "SMALLINT": ("INT", "BIGINT"),
+        "INT": ("BIGINT", "LONG"),
+        "FLOAT": ("DOUBLE",),
+        "DECIMAL": ("DECIMAL",),
+        "VARCHAR": ("VARCHAR",),
+    },
+}
+
+# DDL vocabulary -> Iceberg comparison vocabulary (Spark calls bigint
+# "long"; Iceberg DDL timestamp means timestamptz).
+DDL_TO_ICEBERG = {"bigint": "long"}
+# Iceberg metadata vocabulary -> Spark comparison vocabulary.
+ICEBERG_TO_SPARK = {"timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
+
+# Default Iceberg table properties excluded from removed-props detection
+# (cf. reference rule book ICEBERG_DEFAULT_PROP, rule_book.py:342-345).
+ICEBERG_DEFAULT_PROPS = (
+    "write.parquet.compression-codec",
+    "schema.name-mapping.default",
+)
+
+
+# ---------------------------------------------------------------------------
+# driver-side helpers
+# ---------------------------------------------------------------------------
+
+
+def canon_decimal(t: str) -> str:
+    """decimal(p,s) -> canonical 'decimal(p, s)' spacing."""
+    return re.sub(r"decimal\((\d+),\s*(\d+)\)", r"decimal(\1, \2)", t)
+
+
+def normalize_hive_type(t: str) -> str:
+    """Hive comparison normalization: only decimal spacing is canonical."""
+    return canon_decimal(t) if "decimal" in t.lower() else t
+
+
+def normalize_iceberg_ddl_type(t: str) -> str:
+    """DDL type -> Iceberg comparison vocabulary.
+
+    varchar(n) -> string; decimal canonical spacing; bare timestamp ->
+    timestamptz; bigint -> long.
+    """
+    low = t.lower()
+    if low.startswith("varchar"):
+        return re.sub(r"varchar\(\d+\)", "string", t, flags=re.IGNORECASE)
+    if low.startswith("decimal"):
+        return canon_decimal(t)
+    if low == "timestamp":
+        return "timestamptz"
+    return DDL_TO_ICEBERG.get(t, t)
+
+
+def iceberg_to_spark_type(t: str) -> str:
+    return ICEBERG_TO_SPARK.get(t, t)
+
+
+def decimal_compatible(old: str, new: str) -> bool:
+    """Widening rule: same scale, strictly larger precision.
+
+    Reference quirk preserved on purpose: if either side fails to parse
+    as decimal(p,s), the change is deemed *compatible* (rule_book.py:285
+    returns True on fall-through).
+    """
+    om, nm = _DECIMAL_RE.match(old), _DECIMAL_RE.match(new)
+    if om and nm:
+        op, os_ = int(om.group(1)), int(om.group(2))
+        np_, ns = int(nm.group(1)), int(nm.group(2))
+        return os_ == ns and np_ > op
+    return True
+
+
+def is_compatible(old: str, new: str, engine: str = "athena") -> bool:
+    """Driver-side compatibility check (matrix ∨ decimal widening)."""
+    matrix = COMPATIBILITY[engine]
+    if new.upper() in matrix.get(old.upper(), ()):
+        return True
+    return "decimal" in new.lower() and "decimal" in old.lower() and decimal_compatible(old, new)
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions (data-level, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+
+def canon_decimal_col(t: Column) -> Column:
+    return F.regexp_replace(t, r"decimal\((\d+),\s*(\d+)\)", r"decimal($1, $2)")
+
+
+def normalize_hive_type_col(t: Column) -> Column:
+    return canon_decimal_col(t)
+
+
+def normalize_iceberg_ddl_type_col(t: Column) -> Column:
+    low = F.lower(t)
+    out = F.when(low.startswith("varchar"), F.regexp_replace(t, r"(?i)varchar\(\d+\)", "string"))
+    out = out.when(low.startswith("decimal"), canon_decimal_col(t))
+    out = out.when(low == "timestamp", F.lit("timestamptz"))
+    for src, dst in DDL_TO_ICEBERG.items():
+        out = out.when(t == src, F.lit(dst))
+    return out.otherwise(t)
+
+
+def iceberg_to_spark_type_col(t: Column) -> Column:
+    expr = None
+    for src, dst in ICEBERG_TO_SPARK.items():
+        expr = F.when(t == src, F.lit(dst)) if expr is None else expr.when(t == src, F.lit(dst))
+    return expr.otherwise(t)
+
+
+def compat_pairs(spark: SparkSession) -> DataFrame:
+    """The compatibility matrix as a tiny broadcastable DataFrame
+    (engine, old_type, new_type) — join-side allowlist for bulk
+    classification (FIXTURES.md B5)."""
+    rows = [
+        (engine, old, new)
+        for engine, matrix in COMPATIBILITY.items()
+        for old, news in matrix.items()
+        for new in news
+    ]
+    return spark.createDataFrame(rows, "engine string, old_type string, new_type string")
+
+
+def decimal_compatible_col(old: Column, new: Column) -> Column:
+    """Column form of the widening rule, incl. the parse-failure-is-
+    compatible quirk."""
+    pat = r"^decimal\((\d+),\s*(\d+)\)"
+    op = F.regexp_extract(old, pat, 1)
+    os_ = F.regexp_extract(old, pat, 2)
+    np_ = F.regexp_extract(new, pat, 1)
+    ns = F.regexp_extract(new, pat, 2)
+    both_parse = (op != "") & (np_ != "")
+    widened = (os_.cast("int") == ns.cast("int")) & (np_.cast("int") > op.cast("int"))
+    return F.when(both_parse, widened).otherwise(F.lit(True))
+
+
+def is_compatible_col(old: Column, new: Column, engine: str = "athena") -> Column:
+    """Pure-Column compatibility classifier: CASE over the (small)
+    matrix ∨ decimal widening. No UDF, no join needed for the common
+    path — Catalyst constant-folds the literal matrix."""
+    matrix = COMPATIBILITY[engine]
+    in_matrix = F.lit(False)
+    for old_t, news in matrix.items():
+        if news:
+            in_matrix = in_matrix | (
+                (F.upper(old) == old_t) & F.upper(new).isin(*news)
+            )
+    both_decimal = F.lower(old).contains("decimal") & F.lower(new).contains("decimal")
+    return in_matrix | (both_decimal & decimal_compatible_col(old, new))
