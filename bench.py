@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from easy_alterator_spark.queries import QUERIES, load_all
+from easy_alterator_spark.queries import NO_BENCH, QUERIES, load_all
 from easy_alterator_spark.session import get_spark
 
 RUNS = 3
@@ -33,7 +33,7 @@ def main() -> None:
     QUERIES["q01_scan_project"](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in sorted(set(QUERIES) - NO_BENCH):
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -12,12 +12,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# queries excluded from bench.py timing: fixed-size fixture runs whose
+# latency is plan overhead, not data-scale work (their bulk/scaled
+# variants ARE benched)
+NO_BENCH: set[str] = set()
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle`` is equivalent DuckDB SQL (omit for
     ops the oracle can't express — the driver then does a rows-only
-    check)."""
+    check). ``bench=False`` keeps fixture-sized correctness queries out
+    of the timing suite."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -25,6 +32,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if not bench:
+            NO_BENCH.add(name)
         return fn
 
     return deco
@@ -32,7 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import extensions, relational  # noqa: F401
+    from . import extensions, relational, schema_tools  # noqa: F401
 
 
-__all__ = ["QUERIES", "ORACLES", "query", "load_all"]
+__all__ = ["QUERIES", "ORACLES", "NO_BENCH", "query", "load_all"]

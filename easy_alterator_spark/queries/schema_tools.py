@@ -1,0 +1,224 @@
+"""Driver-contract queries for the schema-diff engine and multimodal
+plumbing.
+
+These run on embedded deterministic fixtures (the diff engine's inputs
+are DDL text + catalog snapshots, not the relational test tables), so
+they register WITHOUT DuckDB oracles — the driver records a rows-only
+check and the golden-fixture tests in tests/test_schema_diff.py carry
+the value-level correctness burden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+
+_DDLS = [
+    (
+        "hql/raw_sales.hql",
+        """CREATE EXTERNAL TABLE `sdb.raw_sales`(
+            `id` int, `amount` double, `ile1` string,
+            `sovereign_guarantee_flag` string)
+        PARTITIONED BY (`day_rk` date) STORED AS PARQUET;""",
+    ),
+    (
+        "hql/widen.hql",
+        "CREATE EXTERNAL TABLE `sdb.widen`(`c1` bigint, `c2` double) STORED AS PARQUET;",
+    ),
+    (
+        "hql/quaterly.hql",
+        """CREATE EXTERNAL TABLE `sdb.quaterly`(`m` double) STORED AS PARQUET;""",
+    ),
+    (
+        "hql/ice.hql",
+        """CREATE TABLE `db.ice` (
+            `col1` string,
+            -- `col2` double,
+            `col5` bigint, -- renamed_from: col4
+            `new_col` timestamp,
+            `seq_col` string, -- after: col1
+        ) USING iceberg
+        TBLPROPERTIES('write.merge.mode'='merge-on-read');""",
+    ),
+    (
+        "hql/pos.hql",
+        """CREATE TABLE `db.pos` (
+            `a` string,
+            `c` string, -- after: a
+            `d` string, -- after: c
+            `b` string
+        ) USING iceberg;""",
+    ),
+]
+
+_CAT_COLS = [
+    ("sdb.raw_sales", "id", "int", 0, False, None),
+    ("sdb.raw_sales", "amount", "double", 1, False, None),
+    ("sdb.raw_sales", "rbs_trading_counterparty", "string", 2, False, None),
+    ("sdb.raw_sales", "day_rk", "date", 0, True, None),
+    ("sdb.widen", "c1", "int", 0, False, None),
+    ("sdb.widen", "c2", "float", 1, False, None),
+    ("sdb.quaterly", "m", "bigint", 0, False, None),
+    ("db.ice", "col1", "string", 0, False, 1),
+    ("db.ice", "col2", "double", 1, False, 2),
+    ("db.ice", "col4", "long", 2, False, 3),
+    ("db.pos", "a", "string", 0, False, 1),
+    ("db.pos", "b", "string", 1, False, 2),
+    ("db.pos", "c", "string", 2, False, 3),
+    ("db.pos", "d", "string", 3, False, 4),
+]
+
+_CAT_TABLES = [
+    ("sdb.raw_sales", "EXTERNAL_TABLE", "PARQUET", None, {}, "3"),
+    ("sdb.widen", "EXTERNAL_TABLE", "PARQUET", None, {}, "1"),
+    ("sdb.quaterly", "EXTERNAL_TABLE", "PARQUET", None, {}, "1"),
+    ("db.ice", "EXTERNAL_TABLE", "ICEBERG", "s3://b/m.json", {"owner": "me"}, "4"),
+    ("db.pos", "EXTERNAL_TABLE", "ICEBERG", "s3://b/p.json", {}, "1"),
+]
+
+
+def _fixtures(spark):
+    from ..ddl.parser import corpus_from_rows, parse_ddl_corpus
+
+    parsed = parse_ddl_corpus(corpus_from_rows(spark, _DDLS))
+    cat_cols = spark.createDataFrame(
+        _CAT_COLS,
+        "table_name string, name string, type string, position int, "
+        "is_partition boolean, field_id int",
+    )
+    cat_tables = spark.createDataFrame(
+        _CAT_TABLES,
+        "table_name string, table_type string, format string, "
+        "metadata_location string, properties map<string,string>, version_id string",
+    )
+    return parsed, cat_cols, cat_tables
+
+
+@query("ddl_hive_diff", bench=False)  # fixture-driven; rows-only check
+def ddl_hive_diff(spark, sf_dir):
+    """Corpus-wide Hive routing + schema diff -> flat outcome rows."""
+    from ..diff import hive_diff
+
+    parsed, cat_cols, cat_tables = _fixtures(spark)
+    out = hive_diff(parsed, cat_cols, cat_tables)
+    return out.select(
+        "file_path",
+        "table_name",
+        "outcome",
+        "reason",
+        F.to_json("add").alias("add_json"),
+        F.to_json("delete").alias("delete_json"),
+        F.to_json("incompatible").alias("incompatible_json"),
+    ).orderBy("file_path")
+
+
+@query("ddl_iceberg_diff", bench=False)  # fixture-driven; rows-only check
+def ddl_iceberg_diff(spark, sf_dir):
+    """Iceberg rename/drop/new/position diff -> one flat row per table."""
+    from ..diff import hive_diff, iceberg_diff
+
+    parsed, cat_cols, cat_tables = _fixtures(spark)
+    routed = hive_diff(parsed, cat_cols, cat_tables).filter("outcome = 'iceberg'")
+    ice = iceberg_diff(
+        parsed.join(routed.select("table_name"), "table_name", "left_semi"),
+        cat_cols,
+        cat_tables,
+    )
+    return ice.select(
+        "table_name",
+        "requires_migration",
+        F.to_json("new_cols").alias("new_json"),
+        F.to_json("dropped").alias("dropped_json"),
+        F.to_json("renamed").alias("renamed_json"),
+        F.to_json("position_changes").alias("moves_json"),
+        F.to_json("props_new").alias("props_json"),
+    ).orderBy("table_name")
+
+
+def _bulk_fixture(spark, n_tables: int = 500):
+    """Deterministic n-table corpus + catalog with mixed drift: every
+    5th table adds a column, every 7th retypes (incompatible), every
+    11th widens (compatible), every 13th drops; the rest are identical.
+    This is the schema-diff THROUGHPUT surface (BASELINE.md: >=458
+    tables/run) — one Spark plan, no per-table loop, no catalog calls
+    from executors."""
+    ddls, cat_cols, cat_tables = [], [], []
+    for i in range(n_tables):
+        t = f"bulk.t{i:04d}"
+        cols = [("id", "int"), ("amount", "double"), (f"c{i % 3}", "string")]
+        ddl_cols = list(cols)
+        if i % 5 == 0:
+            ddl_cols.append((f"new_{i}", "string"))
+        if i % 7 == 0:
+            ddl_cols[1] = ("amount", "string")  # incompatible
+        if i % 11 == 0:
+            ddl_cols[0] = ("id", "bigint")  # compatible widening
+        if i % 13 == 0:
+            ddl_cols = ddl_cols[:-1]  # dropped column
+        body = ", ".join(f"`{c}` {ty}" for c, ty in ddl_cols)
+        ddls.append(
+            (f"hql/bulk_{i:04d}.hql",
+             f"CREATE EXTERNAL TABLE `{t}` ({body}) STORED AS PARQUET;")
+        )
+        for pos, (c, ty) in enumerate(cols):
+            cat_cols.append((t, c, ty, pos, False, None))
+        cat_tables.append((t, "EXTERNAL_TABLE", "PARQUET", None, {}, "1"))
+    from ..ddl.parser import corpus_from_rows, parse_ddl_corpus
+
+    parsed = parse_ddl_corpus(corpus_from_rows(spark, ddls))
+    cc = spark.createDataFrame(
+        cat_cols,
+        "table_name string, name string, type string, position int, "
+        "is_partition boolean, field_id int",
+    ).repartition(8, "table_name")
+    ct = spark.createDataFrame(
+        cat_tables,
+        "table_name string, table_type string, format string, "
+        "metadata_location string, properties map<string,string>, version_id string",
+    )
+    return parsed, cc, ct
+
+
+@query("ddl_diff_bulk")  # throughput surface; rows-only check
+def ddl_diff_bulk(spark, sf_dir):
+    """Diff 500 tables in one corpus-wide plan; outcome histogram.
+
+    The reference analyzes 458 tables with >=458 sequential catalog
+    round-trips (README.md:107, alterator.py:518); here the same run
+    is one distributed plan over the whole corpus.
+    """
+    from ..diff import hive_diff
+
+    parsed, cat_cols, cat_tables = _bulk_fixture(spark, 500)
+    out = hive_diff(parsed, cat_cols, cat_tables)
+    return (
+        out.groupBy("outcome", "reason")
+        .agg(F.count("*").alias("n"))
+        .orderBy("outcome", "reason")
+    )
+
+
+@query("multimodal_image_features", bench=False)  # mapInPandas plumbing; rows-only
+def multimodal_image_features(spark, sf_dir):
+    """Arrow-batched decode over binary media columns (decode stubbed,
+    Spark-side schema/partitioning/batch shape real)."""
+    from ..operators.multimodal import decode_images, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return decode_images(media).select(
+        "media_id", "width", "height", F.round(F.element_at("features", 1), 4).alias("f0")
+    ).orderBy("media_id")
+
+
+@query("multimodal_frame_sample", bench=False)  # mapInPandas plumbing; rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return (
+        sample_frames(media, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx"))
+        .orderBy("media_id")
+    )

@@ -1,0 +1,201 @@
+"""Structured Streaming façade over the events table (SURVEY.md §2.9).
+
+The reference has zero streaming constructs; these are the Spark
+built-ins the extended engine gets, declared V4 scope. Every operator
+here is the streaming twin of a batch query in queries/extensions.py,
+so tests can assert stream-vs-batch equality by running the stream
+with ``trigger(availableNow=True)`` over the same parquet input.
+
+Scale notes (100 TB posture):
+- watermarks bound state: tumbling/sliding window state is evicted
+  once the watermark passes the window end; without one, state grows
+  unboundedly at production event rates.
+- ``dropDuplicatesWithinWatermark`` keeps only the watermark-window's
+  worth of dedup keys, unlike ``dropDuplicates`` whose state never
+  shrinks on a stream.
+- the custom stateful op uses ``applyInPandasWithState`` — state is
+  partitioned by key across executors and timed out by the watermark,
+  never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet physical schema: TIMESTAMP(NANOS) arrives as long
+# under spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under availableNow; a directory of files streams
+    incrementally on a real deployment)."""
+    # the file source wants a directory; select the single events file
+    # out of the shared sf dir with a glob
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type — the
+    streaming twin of q18_date_bucket."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window distinct-ish activity: events per user per
+    overlapping window (approx_count_distinct stays mergeable in
+    streaming state, unlike exact distinct)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("event_type").alias("approx_types"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "approx_types")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming twin of
+    events_sessionize, whose batch form derives sessions with a lag()
+    window + cumulative sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Late-data-safe exact dedup on (user_id, event_type): state holds
+    only keys younger than the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def _running_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        ts_max = pdf["ts"].max()
+        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    state.update((n, float(total)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total via applyInPandasWithState (arbitrary state, Arrow-batched)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
+) -> None:
+    """Drain the stream into an in-memory table with availableNow (test
+    helper; production sinks are kafka/delta/parquet writeStream)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()

@@ -1,0 +1,121 @@
+"""Streaming-vs-batch differential tests: each streaming operator run
+with trigger(availableNow) over the events parquet must agree with its
+batch twin on the same data."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    from easy_alterator_spark.sources import load_table
+
+    return load_table(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark):
+    from easy_alterator_spark.streaming.events import read_events_stream
+
+    return read_events_stream(spark, SF)
+
+
+def drain(stream, name, mode="append"):
+    from easy_alterator_spark.streaming.events import run_to_memory
+
+    run_to_memory(stream, name, output_mode=mode)
+
+
+class TestWindows:
+    def test_tumbling_matches_batch(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.streaming.events import tumbling_counts
+
+        drain(tumbling_counts(stream_events), "t_tumble", mode="complete")
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sv"])
+            for r in spark.table("t_tumble").collect()
+        }
+        want = {
+            (r["d"], r["event_type"]): (r["n"], r["sv"])
+            for r in batch_events.groupBy(
+                F.date_trunc("day", "ts").alias("d"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .collect()
+        }
+        assert got == want
+
+    def test_sliding_window_counts(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.streaming.events import sliding_user_activity
+
+        drain(sliding_user_activity(stream_events), "t_slide", mode="complete")
+        total = spark.table("t_slide").agg(F.sum("n_events")).collect()[0][0]
+        # 2-day window sliding by 1 day: every event lands in exactly 2 windows
+        assert total == 2 * batch_events.count()
+
+    def test_session_matches_batch_sessionize(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.streaming.events import session_counts
+
+        drain(session_counts(stream_events), "t_sess", mode="complete")
+        got = spark.table("t_sess")
+        # batch twin: lag-gap sessionization
+        w = F.lag("ts").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "user_id"
+            ).orderBy("ts")
+        )
+        b = (
+            batch_events.withColumn("prev", w)
+            .withColumn(
+                "new_sess",
+                (
+                    F.col("prev").isNull()
+                    | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+                ).cast("int"),
+            )
+            .withColumn(
+                "sess_id",
+                F.sum("new_sess").over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy("ts")
+                    .rowsBetween(-(1 << 31) + 1, 0)
+                ),
+            )
+        )
+        assert got.count() == b.select("user_id", "sess_id").distinct().count()
+        assert got.agg(F.sum("n_events")).collect()[0][0] == batch_events.count()
+
+    def test_dedup_within_watermark(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.streaming.events import dedup_within_watermark
+
+        drain(dedup_within_watermark(stream_events), "t_dedup")
+        # one batch, all data within watermark: equals batch distinct
+        assert (
+            spark.table("t_dedup").count()
+            == batch_events.dropDuplicates(["user_id", "event_type"]).count()
+        )
+
+    def test_running_totals_stateful(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.streaming.events import running_user_totals
+
+        drain(running_user_totals(stream_events), "t_state", mode="update")
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("t_state").collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in batch_events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
