@@ -1,0 +1,155 @@
+"""CLI entry point — argument surface mirrors the reference
+(easy_alterator.py:20-105): -p/--path, -c/--config, -cp/--key_for_path,
+-fs/-fp file filters, --validate, --force, --sync with -src/-tgt/-pcheck.
+
+Pipeline: discover DDL files (driver) -> read + parse the whole corpus
+(one Spark plan) -> snapshot the catalog for the referenced tables ->
+corpus-wide diff -> report; apply rendered ALTERs unless --validate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="easy-alterator-spark")
+    p.add_argument("-p", "--path", nargs="*", help="DDL file/dir paths")
+    p.add_argument("-c", "--config", type=str, help="DDL config yaml")
+    p.add_argument("-cp", "--key_for_path", type=str, default="path")
+    p.add_argument("-fs", "--file_suffix", type=str, default="hql", choices=["hql", "txt"])
+    p.add_argument("-fp", "--file_prefix", type=str, default=None)
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--sync", action="store_true")
+    p.add_argument("-src", "--source_table", type=str)
+    p.add_argument("-tgt", "--target_table", type=str)
+    p.add_argument("-pcheck", "--partition_check", type=int, default=1, choices=[0, 1])
+    return p
+
+
+def run_alterator(
+    spark: SparkSession,
+    paths: list[str],
+    prefix: str | None = None,
+    suffix: str = "hql",
+    table_names: list[str] | None = None,
+    validate: bool = True,
+    force: bool = False,
+    apply: bool | None = None,
+) -> dict:
+    """Programmatic entry: diff DDL files against the live catalog and
+    (unless validate) apply the resulting ALTERs."""
+    from pyspark.sql import functions as F
+
+    from .ddl.parser import parse_ddl_corpus, read_ddl_corpus
+    from .ddl.render import hive_alter_statements, iceberg_alter_statements
+    from .diff import build_report, hive_diff, iceberg_diff
+    from .diff.catalog import apply_statements, snapshot_catalog
+    from .files import filter_ddl_files
+
+    files = filter_ddl_files(paths, prefix, suffix, table_names)
+    if not files:
+        raise FileNotFoundError(f"no DDL files matched under {paths}")
+    parsed = parse_ddl_corpus(read_ddl_corpus(spark, files)).cache()
+    tables = [
+        r["table_name"]
+        for r in parsed.select("table_name").distinct().collect()
+        if r["table_name"]
+    ]
+    cat_cols, cat_tables = snapshot_catalog(spark, tables)
+    outcomes = hive_diff(parsed, cat_cols, cat_tables, force=force).cache()
+    ice_tables = [
+        r["table_name"]
+        for r in outcomes.filter("outcome = 'iceberg'").select("table_name").collect()
+    ]
+    ice = None
+    if ice_tables:
+        ice = iceberg_diff(
+            parsed.filter(parsed.table_name.isin(ice_tables)), cat_cols, cat_tables
+        )
+    report = build_report(outcomes, ice, validate=validate, force=force)
+
+    if apply if apply is not None else not validate:
+        cat_schema = {
+            t: [
+                {"Name": r["name"], "Type": r["type"]}
+                for r in cat_cols.filter(
+                    (F.col("table_name") == t) & ~F.col("is_partition")
+                )
+                .orderBy("position")
+                .collect()
+            ]
+            for t in tables
+        }
+        stmts: list[str] = []
+        for e in report["success_tables"]:
+            stmts += hive_alter_statements(
+                e["table_name"],
+                e["details"]["add"],
+                e["details"]["delete"],
+                catalog_schema=cat_schema.get(e["table_name"]),
+            )
+        for e in report["iceberg_tables"]:
+            if "sequenceMismatch" in e:
+                continue
+            stmts += iceberg_alter_statements(
+                {**e, "table_name": e["table_name"].split(".", 1)[-1]}
+            )
+        apply_statements(spark, stmts)
+        report["applied_statements"] = stmts
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .diff.sync import sync_tables
+    from .files import read_config
+    from .session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("easy-alterator-spark-cli")
+    if args.sync:
+        if not (args.source_table and args.target_table):
+            print("--sync requires -src and -tgt", file=sys.stderr)
+            return 2
+        report = sync_tables(
+            spark,
+            args.source_table,
+            args.target_table,
+            part_check=bool(args.partition_check),
+            validate=args.validate,
+            force=args.force,
+        )
+        print(json.dumps(report, indent=2, default=str))
+        return 0
+
+    paths = list(args.path or [])
+    table_names = None
+    if args.config:
+        cfg = read_config(args.config) or {}
+        cfg_path = cfg.get(args.key_for_path)
+        if cfg_path:
+            paths.append(cfg_path)
+        table_names = cfg.get("tables")
+    if not paths:
+        print("provide -p/--path or -c/--config", file=sys.stderr)
+        return 2
+    report = run_alterator(
+        spark,
+        paths,
+        prefix=args.file_prefix,
+        suffix=args.file_suffix,
+        table_names=table_names,
+        validate=args.validate,
+        force=args.force,
+    )
+    print(json.dumps(report, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
