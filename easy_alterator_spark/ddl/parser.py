@@ -117,10 +117,13 @@ def _parse_columns(ddl: Column) -> Column:
 def _parse_hive_partitions(ddl: Column) -> Column:
     """array<struct<pos,name,type>> from PARTITIONED BY (name type, ...)."""
     clause = F.regexp_extract(ddl, HIVE_PART_PATTERN, 1)
+    # collapse whitespace BEFORE trim: trim() only strips spaces, so a
+    # multi-line clause entry ("\n  `col` date") must be collapsed
+    # first or it keeps a leading blank and splits wrong
     entries = F.filter(
         F.transform(
             F.split(clause, ","),
-            lambda e: F.regexp_replace(F.trim(F.regexp_replace(e, "`", "")), r"\s+", " "),
+            lambda e: F.trim(F.regexp_replace(F.regexp_replace(e, "`", ""), r"\s+", " ")),
         ),
         lambda e: e != "",
     )
