@@ -33,3 +33,15 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL-safe for zero vectors (returns NULL)."""
     denom = norm(a) * norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def unit(a: Column) -> Column:
+    """Unit-normalize (NULL for zero vectors).
+
+    Pairwise scoring should normalize each side ONCE before the join —
+    cosine(a, b) inside an n² pair join recomputes both norms per pair
+    (3 aggregate passes); dot(unit(a), unit(b)) with the normalization
+    pushed below the join is one pass per pair and O(n) norm work.
+    """
+    n = norm(a)
+    return F.when(n != 0, F.transform(as_double(a), lambda x: x / n))

@@ -278,19 +278,19 @@ def simhash_bits(toks: F.Column, nbits: int = 64) -> F.Column:
 
     Bit i is 1 iff more token hashes have bit i set than unset. Kept
     as an int array (not packed into a bigint) to dodge sign issues
-    and keep hamming distance a zip_with sum.
+    and keep hamming distance a zip_with sum. Like the MinHash
+    signature, the whole thing is ONE nested higher-order expression
+    (outer transform over bit positions, inner filter over token
+    hashes) — constant codegen size regardless of nbits.
     """
     htoks = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(htoks)
-
-    def bit_set(i: int):
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-    return F.array(
-        *[
-            (F.size(F.filter(htoks, bit_set(i))) * 2 > n).cast("int")
-            for i in range(nbits)
-        ]
+    idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    return F.transform(
+        idx,
+        lambda i: (
+            F.size(F.filter(htoks, lambda h: F.bit_get(h, i) == 1)) * 2 > n
+        ).cast("int"),
     )
 
 
@@ -361,9 +361,10 @@ def embedding_dedup_pairs(
     operators/similarity.py (random-hyperplane LSH) instead of the
     full cross join.
     """
-    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    # unit-normalize below the join: per-pair cost is one dot product
+    a = emb.select(F.col(id_col).alias("vec_id_a"), V.unit(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), V.unit(F.col(vec_col)).alias("vb"))
+    cos = V.dot(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("cos", cos)
