@@ -393,3 +393,40 @@ class TestStats:
                 "num_format_changed_tables",
             )
         )
+
+
+class TestForceMode:
+    def test_force_applies_incompatible_as_add_delete(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import build_report, hive_diff
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/f.hql",
+                "CREATE EXTERNAL TABLE `fdb.t`(`m` double, `k` int) STORED AS PARQUET;",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [("fdb.t", "m", "bigint", 0, False, None), ("fdb.t", "k", "int", 1, False, None)],
+            "table_name string, name string, type string, position int, "
+            "is_partition boolean, field_id int",
+        )
+        cat_tables = spark.createDataFrame(
+            [("fdb.t", "EXTERNAL_TABLE", "PARQUET", None, {}, "9")],
+            "table_name string, table_type string, format string, "
+            "metadata_location string, properties map<string,string>, version_id string",
+        )
+        # without force: skipped as incompatible
+        plain = build_report(hive_diff(parsed, cat_cols, cat_tables))
+        assert plain["skipped_tables"][0]["reason"] == "IncompatibleDataTypeError"
+        # with force: success, the bigint->double change applied as
+        # delete+add (alterator.py:644-659)
+        forced = build_report(
+            hive_diff(parsed, cat_cols, cat_tables, force=True), force=True
+        )
+        e = forced["success_tables"][0]
+        assert e["details"]["add"] == [{"Name": "m", "Type": "double"}]
+        assert e["details"]["delete"] == [{"Name": "m", "Type": "bigint"}]
+        assert forced["ResponseMetadata"]["force"] is True
