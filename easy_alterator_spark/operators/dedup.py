@@ -371,3 +371,86 @@ def embedding_dedup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def _hyperplane_bits(uvec: F.Column, nbits: int, dim: int) -> F.Column:
+    """Sign bits of `nbits` deterministic pseudo-random hyperplane
+    projections — one nested HOF expression. Hyperplane j's component
+    for dimension d derives from a splitmix-style integer mix of
+    (j, d), mapped into [-1, 1); no stored matrix, no randomness, no
+    Python."""
+    def component(j: F.Column, d: F.Column) -> F.Column:
+        mixed = F.xxhash64(j * F.lit(1_000_003) + d)
+        return (mixed % F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)
+
+    idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    return F.transform(
+        idx,
+        lambda j: (
+            F.aggregate(
+                F.zip_with(
+                    uvec,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, d: x * component(j, d),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+
+
+def embedding_lsh_dedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Cosine near-dup at scale: random-hyperplane LSH candidates,
+    exact-cosine verify.
+
+    P(two vectors agree on one sign bit) = 1 - angle/pi, so near-dup
+    pairs (angle -> 0) collide in many of the `bands` bit-slices while
+    the n² bulk never meets. Signature + banding are map-only; the
+    band self-join shuffles uniform keys; the verify joins pull unit
+    vectors for candidate pairs only. Exact-form twin:
+    :func:`embedding_dedup_pairs` (the DuckDB-oracle surface).
+    """
+    width = nbits // bands
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    uv = emb.select(F.col(id_col).alias("id"), V.unit(F.col(vec_col)).alias("uv"))
+    sig = uv.repartition("id").select(
+        "id", "uv", _hyperplane_bits(F.col("uv"), nbits, dim).alias("bits")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("bits", b * width + 1, width), b),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.hint("shuffle_hash")
+        .join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("vec_id_a"), F.col("r.id").alias("vec_id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(uv.select(F.col("id").alias("vec_id_a"), F.col("uv").alias("va")), "vec_id_a")
+        .join(uv.select(F.col("id").alias("vec_id_b"), F.col("uv").alias("vb")), "vec_id_b")
+        .withColumn("cos", V.dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cos"))
+    )

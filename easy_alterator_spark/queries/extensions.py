@@ -85,6 +85,28 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
+@query(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+    """,
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    # Scale path for embedding near-dup: random-hyperplane LSH
+    # candidates + exact-cosine verify, over the FULL table (no id
+    # bound — the brute-force twin needs one, this doesn't). At 0.95
+    # the hyperplane s-curve miss probability is ~1e-11, so the
+    # brute-force oracle matches exactly. Non-empty-output behavior is
+    # unit-tested on constructed clustered vectors (test_operators).
+    return D.embedding_lsh_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.95
+    )
+
+
 @query("dedup_simhash")  # xxhash64-based — not reproducible in DuckDB; rows-only check
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)

@@ -1,0 +1,73 @@
+"""Value-level unit tests for operators whose registered queries can't
+exercise them end-to-end on the synthetic data (e.g. the embeddings
+table has no true near-dups, so the LSH dedup query legitimately
+returns empty — here we construct clusters and check recall)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    # 10 clusters x 6 vectors: base direction + small deterministic
+    # perturbation -> within-cluster cosine > 0.99, across < 0.6
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(6):
+            vec = [x + rng.gauss(0, 0.02) for x in base]
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_lsh_matches_bruteforce(spark, clustered_vectors):
+    from easy_alterator_spark.operators.dedup import (
+        embedding_dedup_pairs,
+        embedding_lsh_dedup_pairs,
+    )
+
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos"]
+        for r in embedding_dedup_pairs(clustered_vectors, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos"]
+        for r in embedding_lsh_dedup_pairs(clustered_vectors, threshold=0.95).collect()
+    }
+    assert brute, "fixture must produce near-dup pairs"
+    # every cluster contributes 15 pairs
+    assert len(brute) == 10 * 15
+    assert lsh == brute
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+    from easy_alterator_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") <= 150
+    )
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    assert lsh == exact
