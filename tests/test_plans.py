@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: pushdown, pruning, join strategy,
+and shuffle counts are part of the contract at 100 TB — lock them."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+class TestPushdownAndPruning:
+    def test_filter_reaches_scan(self, spark, queries):
+        from easy_alterator_spark.plans.audit import assert_filter_pushed
+
+        df = queries["q02_filter"](spark, SF)
+        assert_filter_pushed(df, "EqualTo(o_orderstatus,F)")
+        assert_filter_pushed(df, "GreaterThan(o_totalprice")
+
+    def test_projection_prunes_scan(self, spark, queries):
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        df = queries["q08_multijoin_agg"](spark, SF)
+        # orders contributes only the join key and the aggregated column
+        assert_reads_only(df, "o_custkey", {"o_custkey", "o_totalprice"})
+        assert_reads_only(df, "n_nationkey", {"n_nationkey", "n_name"})
+
+    def test_predicate_pushdown_on_similarity_bound(self, spark, queries):
+        from easy_alterator_spark.plans.audit import assert_filter_pushed
+
+        df = queries["q21_similarity_topk"](spark, SF)
+        assert_filter_pushed(df, "LessThanOrEqual(vec_id,50)")
+
+
+class TestJoinStrategy:
+    def test_dimension_joins_broadcast(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        jc = join_counts(formatted_plan(queries["q08_multijoin_agg"](spark, SF)))
+        assert jc["BroadcastHashJoin"] >= 2
+        assert jc["SortMergeJoin"] == 0
+
+    def test_minhash_band_join_reuses_exchange(self, spark, queries):
+        from easy_alterator_spark.operators.dedup import minhash_lsh_candidates
+        from easy_alterator_spark.plans.audit import executed_plan
+        from easy_alterator_spark.sources import load_table
+
+        # exchange reuse is an AQE runtime decision — inspect the
+        # executed plan, not the static explain
+        plan = executed_plan(
+            minhash_lsh_candidates(load_table(spark, SF, "documents"))
+        )
+        # the self-join's second side must reuse the banded exchange,
+        # not recompute the signatures
+        assert "ReusedExchange" in plan
+        assert "ShuffledHashJoin" in plan
+
+    def test_no_cartesian_in_oracle_suite(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        # bounded pairwise ops are allowed nested-loop joins; the core
+        # relational inventory must never degrade to a cartesian product
+        for name in ("q03_inner_join", "q04_full_outer", "q05_anti_join",
+                     "q06_semi_join", "q08_multijoin_agg", "q09_hash_agg"):
+            jc = join_counts(formatted_plan(queries[name](spark, SF)))
+            assert jc["CartesianProduct"] == 0, name
+
+
+class TestShuffleBudget:
+    def test_sessionize_single_shuffle_for_windows(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["events_sessionize"](spark, SF))
+        # one shuffle on user_id feeds both window functions and the
+        # session aggregation; the final per-user agg rides the same
+        # partitioning (no extra exchange)
+        assert exchange_count(plan) <= 2, plan
+
+    def test_hash_agg_partial_final(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["q09_hash_agg"](spark, SF))
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        assert exchange_count(plan) <= 2
