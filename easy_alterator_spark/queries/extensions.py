@@ -371,3 +371,66 @@ def events_asof_join(spark, sf_dir):
         F.count("view_ts").alias("n_matched"),
         F.round(F.avg("delay_s"), 2).alias("avg_delay_s"),
     )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sq
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    # multi-level aggregates in ONE pass (GROUPING SETS expansion is a
+    # single shuffle, not one job per level)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sq",
+        )
+    )
+
+
+@query(
+    "events_range_join",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      time_bucket(INTERVAL '6 hours', ts) AS w_start,
+                      time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end
+               FROM events WHERE event_type = 'signup'),
+    j AS (SELECT DISTINCT s.user_id, s.w_start, e.event_id
+          FROM s JOIN events e
+            ON e.user_id = s.user_id
+           AND e.ts >= s.w_start AND e.ts < s.w_end
+           AND e.event_type <> 'signup')
+    SELECT user_id, COUNT(*) AS n_follow FROM j GROUP BY user_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    # interval/range join: equi-key on user_id carries the join (hash,
+    # not nested-loop); the range predicate filters inside the join.
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).select(
+        "user_id",
+        (F.timestamp_seconds((F.unix_timestamp("h") / 21600).cast("long") * 21600)).alias("w_start"),
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 6 HOURS"))
+    e = ev.filter(F.col("event_type") != "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    j = (
+        s.join(e, "user_id")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("user_id", "w_start", "event_id")
+        .distinct()
+    )
+    return j.groupBy("user_id").agg(F.count("*").alias("n_follow"))
