@@ -223,14 +223,26 @@ def minhash_dedup_pairs(
 
     # --- LSH over unique sets only --------------------------------
     rows_per_band = num_perm // bands
-    sig = reps.select("id", _minhash_from_hashes(F.col("hset"), num_perm).alias("sig"))
+    sig = reps.select(
+        "id", F.size("hset").alias("sz"), _minhash_from_hashes(F.col("hset"), num_perm).alias("sig")
+    )
     banded = sig.select(
         "id",
+        "sz",
         F.posexplode(_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
     )
     left, right = banded.alias("l"), banded.alias("r")
+    # exact size prune INSIDE the band join: jac(A,B) <= min/max of the
+    # set sizes, so pairs whose size ratio can't reach the threshold
+    # die before the candidate distinct — integer compare, no recall
+    # loss. On a template-heavy corpus this kills most sub-threshold
+    # band collisions.
+    size_ok = (
+        F.least(F.col("l.sz"), F.col("r.sz")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+    )
     cands = (
         # identical subtrees + shuffle_hash -> the second Exchange on
         # the band keys is reused; signatures computed once.
@@ -239,7 +251,8 @@ def minhash_dedup_pairs(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.id") < F.col("r.id"))
+            & size_ok,
         )
         .select(F.col("l.id").alias("rid_a"), F.col("r.id").alias("rid_b"))
         .distinct()
