@@ -134,7 +134,15 @@ def iceberg_diff(
     position_changes, first_col, part_new, part_dropped, part_replaced,
     props_new, props_removed, props_updated)
     """
-    routed = parsed.select("table_name", "columns", "iceberg_partitions", "tblprops")
+    # the iceberg diff is keyed by table; if two corpus files name the
+    # same table, keep the lexically-last file deterministically (the
+    # hive path is file-keyed and reports both)
+    w = Window.partitionBy("table_name").orderBy(F.col("file_path").desc())
+    routed = (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("table_name", "columns", "iceberg_partitions", "tblprops")
+    )
     migration = cat_tables.select(
         "table_name", (F.col("format") != "ICEBERG").alias("requires_migration")
     )

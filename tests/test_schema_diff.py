@@ -430,3 +430,32 @@ class TestForceMode:
         assert e["details"]["add"] == [{"Name": "m", "Type": "double"}]
         assert e["details"]["delete"] == [{"Name": "m", "Type": "bigint"}]
         assert forced["ResponseMetadata"]["force"] is True
+
+
+class TestDuplicateFiles:
+    def test_two_iceberg_files_same_table_pick_last(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import iceberg_diff
+
+        corpus = corpus_from_rows(
+            spark,
+            [
+                ("hql/a_old.hql", "CREATE TABLE `ddb.t` (`x` string, `stale` int) USING iceberg;"),
+                ("hql/b_new.hql", "CREATE TABLE `ddb.t` (`x` string, `fresh` int) USING iceberg;"),
+            ],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [("ddb.t", "x", "string", 0, False, 1)],
+            "table_name string, name string, type string, position int, "
+            "is_partition boolean, field_id int",
+        )
+        cat_tables = spark.createDataFrame(
+            [("ddb.t", "EXTERNAL_TABLE", "ICEBERG", "s3://m", {}, "1")],
+            "table_name string, table_type string, format string, "
+            "metadata_location string, properties map<string,string>, version_id string",
+        )
+        rows = iceberg_diff(parsed, cat_cols, cat_tables).collect()
+        assert len(rows) == 1
+        # lexically-last file wins; no cross-file contamination
+        assert [c["name"] for c in rows[0]["new_cols"]] == ["fresh"]
