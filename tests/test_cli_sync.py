@@ -96,3 +96,57 @@ class TestCli:
         )
         report = run_alterator(spark, [str(ddl)], validate=True)
         assert json.loads(json.dumps(report))["new_tables"] == [f"{db}.not_there"]
+
+
+class TestMainEntry:
+    def test_main_validate_prints_report(self, spark, db, tmp_path, capsys):
+        import json
+
+        from easy_alterator_spark.cli import main
+
+        spark.sql(f"CREATE TABLE {db}.main_t (id INT) USING parquet")
+        (tmp_path / "main_t.hql").write_text(
+            f"CREATE EXTERNAL TABLE `{db}.main_t`(`id` int, `zz` string) STORED AS PARQUET;"
+        )
+        rc = main(["-p", str(tmp_path), "--validate"])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["ResponseMetadata"]["validation"] is True
+        assert report["success_tables"][0]["table_name"] == f"{db}.main_t"
+
+    def test_main_sync(self, spark, db, capsys):
+        import json
+
+        from easy_alterator_spark.cli import main
+
+        spark.sql(f"CREATE TABLE {db}.ms_src (id INT, extra2 STRING) USING parquet")
+        spark.sql(f"CREATE TABLE {db}.ms_tgt (id INT) USING parquet")
+        rc = main(
+            ["--sync", "-src", f"{db}.ms_src", "-tgt", f"{db}.ms_tgt", "--validate"]
+        )
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["details"]["add"] == [{"Name": "extra2", "Type": "string"}]
+
+    def test_main_config_yaml(self, spark, db, tmp_path, capsys):
+        import json
+
+        from easy_alterator_spark.cli import main
+
+        spark.sql(f"CREATE TABLE {db}.cfg_t (id INT) USING parquet")
+        (tmp_path / "cfg_t.hql").write_text(
+            f"CREATE EXTERNAL TABLE `{db}.cfg_t`(`id` int) STORED AS PARQUET;"
+        )
+        (tmp_path / "other.hql").write_text(
+            "CREATE EXTERNAL TABLE `nodb.other`(`x` int) STORED AS PARQUET;"
+        )
+        cfg = tmp_path / "conf.yaml"
+        # allowlist entries name FILES as {table}.{suffix} (reference
+        # file_utils.py:101-118 convention)
+        cfg.write_text(f"path: {tmp_path}\ntables:\n  - cfg_t\n")
+        rc = main(["-c", str(cfg), "--validate"])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        # allowlist keeps only the named table's file
+        assert report["identical_tables"] == [f"{db}.cfg_t"]
+        assert report["ResponseMetadata"]["stats"]["num_tables_analyzed"] == 1
