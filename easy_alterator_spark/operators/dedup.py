@@ -84,37 +84,58 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _signed64(x: int) -> int:
-    x &= 0xFFFFFFFFFFFFFFFF
-    return x - (1 << 64) if x >= 1 << 63 else x
-
-
-# Deterministic multiply-add permutation constants (splitmix64-style
-# odd multipliers). 64-bit wrap-around is intentional — the session
-# runs with ANSI off, giving Java long semantics.
-_PERM_A = [_signed64(0x9E3779B97F4A7C15 * (2 * i + 1)) for i in range(256)]
-_PERM_B = [_signed64(0xBF58476D1CE4E5B9 * i + 0x94D049BB133111EB) for i in range(256)]
+# Carter-Wegman multilinear permutations mod the Mersenne prime
+# 2^31-1, with operand bounds chosen so the arithmetic can NEVER
+# overflow a signed 64-bit long:
+#   lo, hi  are 31-bit halves of the token hash   (< 2^31)
+#   a, b    are multipliers in [1, p)             (< 2^31)
+#   c       is an additive constant in [0, p)     (< 2^31)
+#   lo*a + hi*b + c < 2^62 + 2^62 (fits; then pmod p mixes)
+# so the same expression is correct under BOTH ANSI and legacy
+# arithmetic — no dependence on wrap-around long semantics (a driver
+# session with spark.sql.ansi.enabled=true would throw on wrap-around).
+# The mod-p reduction is REQUIRED for hashing quality: without it the
+# product is monotone in (lo, hi) and every "permutation" would pick
+# the same argmin token.
+_MERSENNE31 = (1 << 31) - 1
+_PERM_A = [((0x9E3779B97F4A7C15 * (2 * i + 1)) % (_MERSENNE31 - 1)) + 1 for i in range(256)]
+_PERM_B = [((0xBF58476D1CE4E5B9 * (i + 1) + 0x94D049BB133111EB) % (_MERSENNE31 - 1)) + 1 for i in range(256)]
+_PERM_C = [(0xD6E8FEB86659FD93 * (i + 1)) % _MERSENNE31 for i in range(256)]
 
 
 def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
     """Signature from pre-hashed (long) tokens.
 
-    Every permutation is a multiply-add universal hash over the 64-bit
-    token hash. The whole signature is ONE nested higher-order
+    Every permutation is an overflow-free multiply-add universal hash
+    over the two 31-bit halves of the 64-bit token hash (see constant
+    derivation above). The whole signature is ONE nested higher-order
     expression (transform over a permutation-index sequence, inner
-    transform over the token hashes) — constant expression-tree size
-    regardless of num_perm, so codegen stays small and compiles fast;
-    the naive form (num_perm separate array_min subtrees) costs seconds
-    of compilation alone. Empty token sets get a sentinel signature so
-    they only ever match each other.
+    zip_with over the pre-split token-hash halves) — constant
+    expression-tree size regardless of num_perm, so codegen stays small
+    and compiles fast; the naive form (num_perm separate array_min
+    subtrees) costs seconds of compilation alone. Empty token sets get
+    a sentinel signature so they only ever match each other.
     """
     pa = F.array(*[F.lit(a) for a in _PERM_A[:num_perm]])
     pb = F.array(*[F.lit(b) for b in _PERM_B[:num_perm]])
+    pc = F.array(*[F.lit(c) for c in _PERM_C[:num_perm]])
+    # split each 64-bit hash once; every permutation reuses the halves
+    lo = F.transform(htoks, lambda h: h.bitwiseAND(F.lit(0x7FFFFFFF)))
+    hi = F.transform(htoks, lambda h: F.shiftrightunsigned(h, 33))
     idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
     sig = F.transform(
         idx,
         lambda i: F.array_min(
-            F.transform(htoks, lambda h: h * F.element_at(pa, i + 1) + F.element_at(pb, i + 1))
+            F.zip_with(
+                lo,
+                hi,
+                lambda x, y: F.pmod(
+                    x * F.element_at(pa, i + 1)
+                    + y * F.element_at(pb, i + 1)
+                    + F.element_at(pc, i + 1),
+                    F.lit(_MERSENNE31),
+                ),
+            )
         ),
     )
     sentinel = F.transform(idx, lambda i: F.lit(-(2**62)) - i)
@@ -259,13 +280,18 @@ def minhash_dedup_pairs(
     )
     ga = reps.select(F.col("id").alias("rid_a"), F.col("hset").alias("ha"), F.col("members").alias("ma"))
     gb = reps.select(F.col("id").alias("rid_b"), F.col("hset").alias("hb"), F.col("members").alias("mb"))
-    jac = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
-        F.array_union("ha", "hb")
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (the sets are distinct arrays), so
+    # ONE array_intersect pass per candidate instead of intersect+union
+    # — the verify stage is the dominant cost and this halves it.
     cross = (
         cands.join(ga, "rid_a")
         .join(gb, "rid_b")
-        .withColumn("jac", jac)
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("ha") + F.size("hb") - F.col("inter")),
+        )
         .filter(F.col("jac") >= threshold)
         .select(F.explode("ma").alias("ida"), "mb", "jac")
         .select("ida", F.explode("mb").alias("idb"), "jac")

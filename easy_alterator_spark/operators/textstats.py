@@ -56,12 +56,15 @@ def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 def token_stats_by(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
     """Token-count stats per group: total / avg / max tokens."""
-    ntok = T.token_count(F.col(text_col))
+    # long, not int: DuckDB len() is BIGINT and its SUM(int) widens to
+    # HUGEINT — pinning both sides to 64-bit keeps the differential
+    # gate's value-hash type-stable (oracle side pins SUM(..)::BIGINT).
+    ntok = T.token_count(F.col(text_col)).cast("long")
     return (
         docs.select(F.col(group_col), ntok.alias("ntok"))
         .groupBy(group_col)
         .agg(
-            F.sum("ntok").alias("total_tokens"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
             F.round(F.avg("ntok"), 2).alias("avg_tokens"),
             F.max("ntok").alias("max_tokens"),
         )

@@ -4,9 +4,12 @@ oracle SQL string for the differential correctness gate."""
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ensure_confs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -29,7 +32,16 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        # Defensive conf fix-up: registered queries must be correct on
+        # ANY session (the driver passes its own vanilla one), not just
+        # the tuned session from session.get_spark().
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         if not bench:

@@ -237,8 +237,9 @@ def text_quality(spark, sf_dir):
 @query(
     "text_token_stats",
     oracle=f"""
-    SELECT lang, SUM(ntok) AS total_tokens, ROUND(AVG(ntok), 2) AS avg_tokens,
-           MAX(ntok) AS max_tokens
+    SELECT lang, SUM(ntok)::BIGINT AS total_tokens,
+           ROUND(AVG(ntok), 2) AS avg_tokens,
+           MAX(ntok)::BIGINT AS max_tokens
     FROM (SELECT lang, len({_DTOKS}) AS ntok FROM documents)
     GROUP BY lang
     """,

@@ -19,6 +19,34 @@ from pyspark.sql import SparkSession
 _LOCAL_SHUFFLE_PARTITIONS = "32"
 
 
+# Confs the engine NEEDS regardless of who built the SparkSession.
+# All three are runtime-settable, so a caller-supplied vanilla session
+# (e.g. the correctness driver's) can be fixed up in place:
+#  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark
+#    otherwise refuses to read (PARQUET_TYPE_ILLEGAL).
+#  - ansi off: permissive Hive-style casts, matching the oracle.
+#  - UTC: DuckDB treats parquet timestamps as naive; pin Spark so
+#    date_trunc / CAST(ts AS DATE) agree between engines.
+REQUIRED_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply :data:`REQUIRED_RUNTIME_CONFS` to any session.
+
+    Called defensively at query entry (queries/__init__.py) and table
+    load (sources/tables.py) so correctness does not depend on the
+    session having been built by :func:`get_spark`.
+    """
+    for key, want in REQUIRED_RUNTIME_CONFS.items():
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
+    return spark
+
+
 def get_spark(app_name: str = "easy-alterator-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 

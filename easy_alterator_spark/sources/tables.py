@@ -33,6 +33,12 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Defensive: the caller may hand us a vanilla session (the
+    # correctness driver does); the nanos parquet read and oracle
+    # parity need these confs regardless of who built the session.
+    from ..session import ensure_confs
+
+    ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong); rebuild micros
