@@ -37,7 +37,11 @@ def main() -> None:
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            # Arrow-batched materialization: same "all results reach the
+            # client" semantics as collect(), without row-at-a-time py4j
+            # serialization distorting large-output queries (the minhash
+            # pair list is ~1M rows at sf0.1).
+            QUERIES[name](spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 3)
 
