@@ -322,20 +322,43 @@ def simhash_bits(toks: F.Column, nbits: int = 64) -> F.Column:
 
     Bit i is 1 iff more token hashes have bit i set than unset. Kept
     as an int array (not packed into a bigint) to dodge sign issues
-    and keep hamming distance a zip_with sum. Like the MinHash
-    signature, the whole thing is ONE nested higher-order expression
-    (outer transform over bit positions, inner filter over token
-    hashes) — constant codegen size regardless of nbits.
+    and keep hamming distance a zip_with sum.
+
+    Token bits come from the first nbits/4 hex digits of md5(token) —
+    md5 (not xxhash64) so an external engine (the DuckDB differential
+    oracle) can reproduce the exact signature: bit i of a token is bit
+    (3 - i%4) of hex digit i//4. All row-local, one nested
+    higher-order expression — constant codegen size regardless of
+    nbits.
     """
-    htoks = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(htoks)
-    idx = F.sequence(F.lit(0), F.lit(nbits - 1))
-    return F.transform(
-        idx,
-        lambda i: (
-            F.size(F.filter(htoks, lambda h: F.bit_get(h, i) == 1)) * 2 > n
-        ).cast("int"),
+    if nbits % 4 != 0 or not 0 < nbits <= 128:
+        raise ValueError("nbits must be a multiple of 4 in (0, 128]")
+    n = F.size(toks)
+    # per token: md5 hex (computed ONCE — outer transform) -> nbits/4
+    # digit values -> nbits 0/1 entries
+    tokbits = F.transform(
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda m: F.flatten(
+            F.transform(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(nbits // 4)),
+                    lambda p: F.conv(F.substring(m, p, F.lit(1)), 16, 10).cast("int"),
+                ),
+                lambda v: F.array(
+                    F.shiftright(v, 3).bitwiseAND(F.lit(1)),
+                    F.shiftright(v, 2).bitwiseAND(F.lit(1)),
+                    F.shiftright(v, 1).bitwiseAND(F.lit(1)),
+                    v.bitwiseAND(F.lit(1)),
+                ),
+            )
+        ),
     )
+    counts = F.aggregate(
+        tokbits,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return F.transform(counts, lambda c: (c * 2 > n).cast("int"))
 
 
 def hamming(a: F.Column, b: F.Column) -> F.Column:

@@ -59,7 +59,8 @@ def assign_ivf_buckets(
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments): nearest-centroid bucket per vector.
 
-    Centroids are a deterministic sample (hash-ordered first N) — a
+    Centroids are a deterministic sample (md5-ordered first N — md5 so
+    the DuckDB differential oracle can reproduce the exact sample) — a
     k-means refinement loop can replace this without changing the
     plan shape. Assignment = broadcast join + argmax over a window-free
     max_by, so the big side never shuffles.
@@ -70,7 +71,7 @@ def assign_ivf_buckets(
     # (measured: pre-normalizing regresses ivf_topk ~2.5x).
     centroids = (
         vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("c_id").cast("string")))
+        .orderBy(F.md5(F.col("c_id").cast("string")))
         .limit(num_centroids)
     )
     v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))

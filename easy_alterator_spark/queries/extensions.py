@@ -107,7 +107,35 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # xxhash64-based — not reproducible in DuckDB; rows-only check
+@query(
+    "dedup_simhash",
+    # Exact oracle: with 8 bands over 64 bits, any pair at hamming <= 7
+    # shares at least one identical band (pigeonhole), so the banded
+    # candidate stage loses nothing at max_hamming=6 and the oracle can
+    # be a plain all-pairs hamming filter. Signatures are reproduced
+    # bit-for-bit: token bit i = bit (3 - i%4) of hex digit i//4 of
+    # md5(token), majority-voted per document (ties -> 0, matching
+    # Spark's strict `2c > n`).
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS toks FROM documents WHERE doc_id <= 300),
+    tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM d),
+    tb AS (SELECT doc_id, i,
+                  ((strpos('0123456789abcdef', substr(m, (i // 4) + 1, 1)) - 1)
+                    >> (3 - (i % 4))) & 1 AS b
+           FROM tok CROSS JOIN range(64) r(i)),
+    cnt AS (SELECT doc_id, i, SUM(b) AS c, COUNT(*) AS n FROM tb GROUP BY doc_id, i),
+    sigtok AS (SELECT doc_id,
+                      list(CASE WHEN c * 2 > n THEN 1 ELSE 0 END ORDER BY i) AS bits
+               FROM cnt GROUP BY doc_id),
+    sig AS (SELECT d.doc_id,
+                   coalesce(s.bits, list_transform(range(64), x -> 0)) AS bits
+            FROM d LEFT JOIN sigtok s USING (doc_id)),
+    pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     len(list_filter(range(64), i -> a.bits[i + 1] <> b.bits[i + 1]))::INT AS hd
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b, hd FROM pairs WHERE hd <= 6
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
     return D.simhash_dedup_pairs(docs, max_hamming=6)
@@ -159,10 +187,47 @@ def sim_topk_bruteforce(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
-@query("sim_ann_ivf")  # approximate — rows-only check
+@query(
+    "sim_ann_ivf",
+    # IVF is approximate vs brute force but fully DETERMINISTIC, so it
+    # still admits an exact oracle: centroids are the first 8 vectors
+    # by md5(vec_id) (reproducible ordering), assignment is argmax
+    # cosine with (sim DESC, c_id ASC) tie-break — mirroring Spark's
+    # max_by(c_id, struct(sim, -c_id)) — and each query searches only
+    # its own bucket (nprobe=1).
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, emb AS cv FROM v
+              ORDER BY md5(vec_id::VARCHAR) LIMIT 8),
+    sc AS (SELECT v.vec_id AS v_id, c.c_id,
+                  list_dot_product(v.emb, c.cv)
+                    / (sqrt(list_dot_product(v.emb, v.emb))
+                       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM v CROSS JOIN cents c),
+    asn AS (SELECT v_id, c_id AS bucket FROM (
+              SELECT v_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY v_id
+                                        ORDER BY sim DESC, c_id) AS rn
+              FROM sc) WHERE rn = 1),
+    q AS (SELECT v.vec_id AS q_id, v.emb AS qv, a.bucket AS qb
+          FROM v JOIN asn a ON v.vec_id = a.v_id WHERE v.vec_id IN (0, 1, 2, 3, 4)),
+    s2 AS (SELECT q.q_id, v.vec_id AS n_id,
+                  list_dot_product(q.qv, v.emb)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(v.emb, v.emb))) AS score
+           FROM v JOIN asn a ON v.vec_id = a.v_id
+           JOIN q ON a.bucket = q.qb AND v.vec_id <> q.q_id),
+    r AS (SELECT q_id, n_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, n_id) AS rnk
+          FROM s2)
+    SELECT q_id, n_id, rnk, ROUND(score, 4) AS score FROM r WHERE rnk <= 3
+    """,
+)
 def sim_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8)
+    out = S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8)
+    return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
 # ---------------------------------------------------------------------------
