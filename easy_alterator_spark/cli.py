@@ -75,33 +75,78 @@ def run_alterator(
     report = build_report(outcomes, ice, validate=validate, force=force)
 
     if apply if apply is not None else not validate:
-        cat_schema = {
-            t: [
+        # ONE collect for all tables' catalog schemas (not a collect per
+        # table — at a 500-table corpus that's 500 catalog round-trips
+        # re-materializing the snapshot plan 500 times).
+        cat_schema: dict[str, list[dict[str, str]]] = {}
+        for r in (
+            cat_cols.filter(~F.col("is_partition"))
+            .orderBy("table_name", "position")
+            .collect()
+        ):
+            cat_schema.setdefault(r["table_name"], []).append(
                 {"Name": r["name"], "Type": r["type"]}
-                for r in cat_cols.filter(
-                    (F.col("table_name") == t) & ~F.col("is_partition")
-                )
-                .orderBy("position")
-                .collect()
-            ]
-            for t in tables
+            )
+        # live-iceberg tables whose snapshot has no real field ids
+        # (no metadata.json available): partition DDL would be built on
+        # NULL join keys — refuse it rather than emit spurious
+        # ADD/DROP PARTITION FIELD.
+        null_fid = {
+            r["table_name"]
+            for r in cat_cols.filter(
+                F.col("is_partition") & F.col("field_id").isNull()
+            )
+            .select("table_name")
+            .distinct()
+            .collect()
         }
-        stmts: list[str] = []
+
+        per_table: list[tuple[str, list[str]]] = []
+        apply_errors: dict[str, str] = {}
         for e in report["success_tables"]:
-            stmts += hive_alter_statements(
-                e["table_name"],
-                e["details"]["add"],
-                e["details"]["delete"],
-                catalog_schema=cat_schema.get(e["table_name"]),
+            per_table.append(
+                (
+                    e["table_name"],
+                    hive_alter_statements(
+                        e["table_name"],
+                        e["details"]["add"],
+                        e["details"]["delete"],
+                        catalog_schema=cat_schema.get(e["table_name"]),
+                    ),
+                )
             )
         for e in report["iceberg_tables"]:
             if "sequenceMismatch" in e:
                 continue
-            stmts += iceberg_alter_statements(
-                {**e, "table_name": e["table_name"].split(".", 1)[-1]}
-            )
-        apply_statements(spark, stmts)
-        report["applied_statements"] = stmts
+            if e.get("migration") == "True":
+                # the catalog table is still Hive — Iceberg-only DDL
+                # (partition fields, column moves, renames) would fail
+                # on it. Reference treats migration tables as
+                # report-only (alterator.py migration path).
+                continue
+            entry = {**e, "table_name": e["table_name"].split(".", 1)[-1]}
+            if e["table_name"] in null_fid and e.get("partition_columns"):
+                apply_errors[e["table_name"]] = (
+                    "partition DDL skipped: catalog snapshot has no "
+                    "iceberg field ids (no metadata_location)"
+                )
+                entry = {k: v for k, v in entry.items() if k != "partition_columns"}
+            per_table.append((e["table_name"], iceberg_alter_statements(entry)))
+
+        # per-table application with error collection — one failing
+        # table must not abort the remaining tables mid-run (earlier
+        # tables are already altered; DDL has no transaction to roll
+        # back into).
+        applied: list[str] = []
+        for name, stmts in per_table:
+            try:
+                apply_statements(spark, stmts)
+                applied += stmts
+            except Exception as exc:  # noqa: BLE001 — collected per table
+                apply_errors[name] = str(exc)
+        report["applied_statements"] = applied
+        if apply_errors:
+            report["apply_errors"] = apply_errors
     return report
 
 

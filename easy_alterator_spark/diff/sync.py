@@ -52,16 +52,21 @@ def sync_tables(
         for t in (src, tgt)
     }
 
-    if part_check:
-        sp = [c for c in cols[src] if c["is_partition"]]
-        tp = [c for c in cols[tgt] if c["is_partition"]]
-        if len(sp) != len(tp) or any(
-            (a["Name"], a["Type"]) != (b["Name"], b["Type"]) for a, b in zip(sp, tp)
-        ):
-            raise SyncError("Partition column check failed.")
+    sp = [c for c in cols[src] if c["is_partition"]]
+    tp = [c for c in cols[tgt] if c["is_partition"]]
+    part_drift = len(sp) != len(tp) or any(
+        (a["Name"], a["Type"]) != (b["Name"], b["Type"]) for a, b in zip(sp, tp)
+    )
+    if part_check and part_drift:
+        raise SyncError("Partition column check failed.")
 
-    src_map = {c["Name"]: c["Type"] for c in cols[src]}
-    tgt_map = {c["Name"]: c["Type"] for c in cols[tgt]}
+    # diff DATA columns only: ALTER TABLE ADD/REPLACE COLUMNS cannot
+    # change Hive partition keys, so with part_check off a partition
+    # mismatch is REPORTED (partition_drift) but never rendered as
+    # data-column DDL (it would silently create same-named data
+    # columns instead of repartitioning).
+    src_map = {c["Name"]: c["Type"] for c in cols[src] if not c["is_partition"]}
+    tgt_map = {c["Name"]: c["Type"] for c in cols[tgt] if not c["is_partition"]}
     new_cols = [
         {"Name": n, "Type": t} for n, t in src_map.items() if n not in tgt_map
     ]
@@ -103,4 +108,5 @@ def sync_tables(
         "validate": validate,
         "statements": statements,
         "details": {"add": new_cols, "delete": removed_cols},
+        "partition_drift": part_drift,
     }

@@ -46,12 +46,16 @@ class TestSync:
         spark.sql(f"CREATE TABLE {db}.tgt_p (v STRING) USING parquet")
         with pytest.raises(SyncError, match="Partition"):
             sync_tables(spark, f"{db}.src_p", f"{db}.tgt_p")
-        # pcheck disabled: no raise (the ALTER may still be impossible
-        # on v1 tables, so validate-only here)
+        # pcheck disabled: no raise, drift is REPORTED but partition
+        # keys never render as data-column DDL (ADD/REPLACE COLUMNS
+        # cannot change Hive partition keys)
         report = sync_tables(
             spark, f"{db}.src_p", f"{db}.tgt_p", part_check=False, validate=True
         )
-        assert {a["Name"] for a in report["details"]["add"]} == {"day_rk"}
+        assert report["partition_drift"] is True
+        assert report["details"]["add"] == []
+        assert report["details"]["delete"] == []
+        assert report["statements"] == []
 
 
 class TestCli:
