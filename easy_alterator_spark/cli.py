@@ -52,7 +52,7 @@ def run_alterator(
     from .diff.catalog import apply_statements, snapshot_catalog
     from .files import filter_ddl_files
 
-    files = filter_ddl_files(paths, prefix, suffix, table_names)
+    files = filter_ddl_files(paths, prefix, suffix, table_names, spark=spark)
     if not files:
         raise FileNotFoundError(f"no DDL files matched under {paths}")
     parsed = parse_ddl_corpus(read_ddl_corpus(spark, files)).cache()

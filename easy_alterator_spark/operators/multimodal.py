@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side contract is real and tested — schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing — while the actual media
-decode is stubbed (the image/audio libraries are not in this
-container). Swap ``_decode_image_stub`` for a PIL/ffmpeg call and the
-plan is unchanged.
+``mapInPandas`` pipelines, partition sizing. Image decode is feature
+gated: with PIL importable it is REAL (true dimensions + luminance
+histogram); without it (this container) a deterministic stub keeps the
+same output contract. Video frame sampling stays stubbed (no ffmpeg
+here); its real implementation is keyframe extraction inside the same
+mapInPandas shape.
 
 Scale notes: media blobs dominate row size, so the decode stage uses
 ``mapInPandas`` (streaming Arrow batches, bounded memory) rather than
@@ -53,10 +55,8 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def _decode_image_stub(content: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: dims/features derived from the bytes.
 
-    Replace with ``PIL.Image.open(io.BytesIO(content))`` + a feature
-    extractor in a container that ships the libs. Raising
-    NotImplementedError here would also be acceptable per the spec;
-    a deterministic fake keeps the pipeline testable end-to-end.
+    Fallback when PIL is absent (this container); keeps the pipeline
+    testable end-to-end with a stable output contract.
     """
     if content is None or len(content) == 0:
         return 0, 0, []
@@ -67,17 +67,53 @@ def _decode_image_stub(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def decode_images(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def _decode_image_pil(content: bytes) -> tuple[int, int, list[float]]:
+    """Real decode via PIL: true dimensions + an 8-bin grayscale
+    histogram (normalized) as the feature vector. Import is deferred to
+    the executor; caller gates on availability."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — executor-side optional dep
+
+    if content is None or len(content) == 0:
+        return 0, 0, []
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.load()
+    except Exception:
+        return 0, 0, []
+    hist = img.convert("L").histogram()  # 256 bins
+    total = float(sum(hist)) or 1.0
+    feats = [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
+    return img.width, img.height, feats
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_images(media: DataFrame, batch_hint: int = 256, use_pil: bool | None = None) -> DataFrame:
     """image rows -> (media_id, width, height, features) via mapInPandas.
 
     Arrow streams batches into Python; each batch is decoded in bulk.
     Non-image rows are filtered *before* the Python boundary so only
-    relevant bytes cross it.
+    relevant bytes cross it. With PIL on the workers (``use_pil=None``
+    auto-detects on the driver) the decode is real — true dimensions +
+    an 8-bin luminance histogram; otherwise the deterministic stub
+    keeps the contract intact.
     """
+    if use_pil is None:
+        use_pil = _pil_available()
+    decode_one = _decode_image_pil if use_pil else _decode_image_stub
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_image_stub(c) for c in pdf["content"]]
+            decoded = [decode_one(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -51,11 +51,55 @@ def brute_force_topk(
     )
 
 
+def refine_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of an initial centroid set.
+
+    Per iteration: broadcast-assign every vector to its nearest
+    centroid, then recompute each centroid as the element-wise mean of
+    its bucket. The mean is computed via posexplode ->
+    groupBy(bucket, pos) — partial aggregation runs map-side, so the
+    shuffle carries only |centroids| × dim rows regardless of input
+    size; the big side never shuffles whole vectors. Buckets that end
+    up empty drop out (the centroid count can shrink).
+
+    Returns a (c_id, cv) DataFrame shaped like the input centroids —
+    drop-in for :func:`assign_ivf_buckets`'s sampled seed.
+    """
+    v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
+    for _ in range(iters):
+        scored = v.join(F.broadcast(centroids)).select(
+            "v_id", "vv", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
+        )
+        assigned = scored.groupBy("v_id").agg(
+            F.max_by("c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("tb"))).alias(
+                "bucket"
+            ),
+            F.any_value("vv").alias("vv"),
+        )
+        by_pos = assigned.select(
+            "bucket", F.posexplode(V.as_double(F.col("vv"))).alias("pos", "val")
+        )
+        means = by_pos.groupBy("bucket", "pos").agg(F.avg("val").alias("m"))
+        centroids = means.groupBy("bucket").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        ).select(F.col("bucket").alias("c_id"), "cv")
+    return centroids
+
+
 def assign_ivf_buckets(
     vectors: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments): nearest-centroid bucket per vector.
 
@@ -74,6 +118,10 @@ def assign_ivf_buckets(
         .orderBy(F.md5(F.col("c_id").cast("string")))
         .limit(num_centroids)
     )
+    if refine_iters > 0:
+        centroids = refine_centroids(
+            vectors, centroids, iters=refine_iters, vec_col=vec_col, id_col=id_col
+        )
     v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
     scored = v.join(F.broadcast(centroids)).select(
         "v_id", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
@@ -91,9 +139,18 @@ def ivf_topk(
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own IVF bucket."""
-    _, assign = assign_ivf_buckets(vectors, num_centroids, id_col, vec_col)
+    """Approximate top-k: search only the query's own IVF bucket.
+
+    ``refine_iters`` Lloyd iterations tighten the hash-sampled
+    centroids toward true cluster centers (measured recall improvement
+    in tests/test_operators.py); the registered sim_ann_ivf query keeps
+    0 so its DuckDB oracle stays expressible.
+    """
+    _, assign = assign_ivf_buckets(
+        vectors, num_centroids, id_col, vec_col, refine_iters=refine_iters
+    )
     v = vectors.join(assign, vectors[id_col] == assign.v_id).select(
         F.col(id_col), F.col(vec_col), F.col("bucket")
     )

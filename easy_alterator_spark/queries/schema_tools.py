@@ -201,12 +201,15 @@ def ddl_diff_bulk(spark, sf_dir):
 
 @query("multimodal_image_features", bench=False)  # mapInPandas plumbing; rows-only
 def multimodal_image_features(spark, sf_dir):
-    """Arrow-batched decode over binary media columns (decode stubbed,
-    Spark-side schema/partitioning/batch shape real)."""
+    """Arrow-batched decode over binary media columns (Spark-side
+    schema/partitioning/batch shape real; use_pil=False pins the
+    deterministic stub — the synthetic bytes aren't valid images, so
+    the result stays container-independent; real decode is unit-tested
+    behind the PIL gate in tests/test_multimodal_gate.py)."""
     from ..operators.multimodal import decode_images, synthesize_media
 
     media = synthesize_media(spark, n=120)
-    return decode_images(media).select(
+    return decode_images(media, use_pil=False).select(
         "media_id", "width", "height", F.round(F.element_at("features", 1), 4).alias("f0")
     ).orderBy("media_id")
 

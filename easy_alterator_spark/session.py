@@ -47,10 +47,39 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "easy-alterator-spark", master: str | None = None) -> SparkSession:
+# The catalog swap that points the SAME engine at AWS Glue instead of
+# the local session catalog (SURVEY: reference does this via boto3;
+# here it's session config only — no code change in the diff/apply
+# paths). Two standard wirings, both public Spark/Iceberg surface:
+#  - Hive-compatible metastore: the Glue Data Catalog client factory
+#    (AWS's aws-glue-data-catalog-client-for-apache-hive-metastore).
+#  - Iceberg GlueCatalog: iceberg-spark-runtime + iceberg-aws jars.
+# Jars are NOT bundled here; attach them on the cluster (EMR/Glue
+# interactive sessions ship them preinstalled).
+GLUE_CONFS: dict[str, str] = {
+    # Hive-metastore-compatible route (covers the PARQUET/Hive path)
+    "spark.hadoop.hive.metastore.client.factory.class": (
+        "com.amazonaws.glue.catalog.metastore.AWSGlueDataCatalogHiveClientFactory"
+    ),
+    # Iceberg GlueCatalog route (covers the ICEBERG path); the catalog
+    # name matches diff/iceberg.py's default `glue_catalog`
+    "spark.sql.catalog.glue_catalog": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.glue_catalog.catalog-impl": "org.apache.iceberg.aws.glue.GlueCatalog",
+    "spark.sql.catalog.glue_catalog.io-impl": "org.apache.iceberg.aws.s3.S3FileIO",
+}
+
+
+def get_spark(
+    app_name: str = "easy-alterator-spark",
+    master: str | None = None,
+    glue: bool = False,
+) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    ``glue=True`` layers :data:`GLUE_CONFS` on top so catalog reads and
+    DDL application target the AWS Glue Data Catalog; everything else
+    (diff plans, rendering, reports) is identical.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
@@ -81,4 +110,7 @@ def get_spark(app_name: str = "easy-alterator-spark", master: str | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if glue:
+        for k, v in GLUE_CONFS.items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,123 @@
+"""Feature-gated multimodal decode + Hadoop-FS discovery + Glue
+profile: components whose full behavior needs libs/services this
+container lacks — each tests the real wiring and skips (or falls back)
+cleanly where the dependency is absent."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _pil_present() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestDecodeGate:
+    def test_stub_path_always_works(self, spark):
+        from easy_alterator_spark.operators.multimodal import (
+            decode_images,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=30)
+        rows = decode_images(media, use_pil=False).collect()
+        assert len(rows) == 10  # every third synthetic row is an image
+        assert all(r["width"] >= 64 and len(r["features"]) == 8 for r in rows)
+
+    def test_autodetect_matches_environment(self, spark):
+        from easy_alterator_spark.operators import multimodal as mm
+
+        assert mm._pil_available() == _pil_present()
+        # auto mode must run whatever the environment is
+        out = mm.decode_images(mm.synthesize_media(spark, n=9))
+        assert out.count() == 3
+
+    @pytest.mark.skipif(not _pil_present(), reason="PIL not installed")
+    def test_real_decode_with_pil(self, spark):
+        """With PIL present, a real PNG decodes to its true dimensions
+        and a normalized 8-bin luminance histogram."""
+        import io
+
+        from PIL import Image
+
+        from easy_alterator_spark.operators.multimodal import decode_images
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", "image/png", buf.getvalue(), len(buf.getvalue()))],
+            "media_id long, kind string, mime string, content binary, n_bytes long",
+        )
+        r = decode_images(media, use_pil=True).collect()[0]
+        assert (r["width"], r["height"]) == (20, 10)
+        assert abs(sum(r["features"]) - 1.0) < 1e-6
+
+    def test_pil_decoder_rejects_garbage_bytes(self):
+        # unit-level: the PIL path must not throw on non-image bytes
+        if not _pil_present():
+            pytest.skip("PIL not installed")
+        from easy_alterator_spark.operators.multimodal import _decode_image_pil
+
+        assert _decode_image_pil(b"not an image") == (0, 0, [])
+
+
+class TestHadoopFsDiscovery:
+    def test_file_scheme_directory_expansion(self, spark, tmp_path):
+        """file:// exercises the exact Hadoop FS code path s3:// takes."""
+        from easy_alterator_spark.files import filter_ddl_files
+
+        (tmp_path / "a_t1.hql").write_text("x")
+        (tmp_path / "a_t2.hql").write_text("x")
+        (tmp_path / "b_t3.hql").write_text("x")
+        (tmp_path / "a_t4.txt").write_text("x")
+        got = filter_ddl_files(
+            [f"file://{tmp_path}"], prefix="a_", suffix="hql", spark=spark
+        )
+        assert [g.rsplit("/", 1)[-1] for g in got] == ["a_t1.hql", "a_t2.hql"]
+        assert all(g.startswith("file:") for g in got)
+
+    def test_scheme_file_passthrough_and_allowlist(self, spark, tmp_path):
+        from easy_alterator_spark.files import filter_ddl_files
+
+        (tmp_path / "t1.hql").write_text("x")
+        (tmp_path / "t2.hql").write_text("x")
+        got = filter_ddl_files(
+            [f"file://{tmp_path}"], suffix="hql", table_names=["t2"], spark=spark
+        )
+        assert [g.rsplit("/", 1)[-1] for g in got] == ["t2.hql"]
+        # explicit file path passes through untouched
+        one = filter_ddl_files([f"file://{tmp_path}/t1.hql"], spark=spark)
+        assert one == [f"file://{tmp_path}/t1.hql"]
+
+    def test_scheme_requires_spark(self):
+        from easy_alterator_spark.files import filter_ddl_files
+
+        with pytest.raises(ValueError, match="scheme"):
+            filter_ddl_files(["s3://bucket/ddl/"])
+
+
+class TestGlueProfile:
+    def test_glue_confs_shape(self):
+        from easy_alterator_spark.session import GLUE_CONFS
+
+        assert GLUE_CONFS["spark.sql.catalog.glue_catalog.catalog-impl"].endswith(
+            "GlueCatalog"
+        )
+        assert "hive.metastore.client.factory.class" in " ".join(GLUE_CONFS)
+
+    @pytest.mark.skipif(
+        "EA_GLUE_TEST" not in __import__("os").environ,
+        reason="needs AWS credentials + Glue jars (set EA_GLUE_TEST=1)",
+    )
+    def test_glue_catalog_roundtrip(self):  # pragma: no cover - needs AWS
+        from easy_alterator_spark.diff.catalog import snapshot_catalog
+        from easy_alterator_spark.session import get_spark
+
+        spark = get_spark("ea-glue-it", glue=True)
+        cols, tabs = snapshot_catalog(spark, ["glue_catalog.default.some_table"])
+        assert tabs.count() >= 0
