@@ -41,21 +41,29 @@ def run_alterator(
     validate: bool = True,
     force: bool = False,
     apply: bool | None = None,
+    aws_account_id: str | None = None,
 ) -> dict:
     """Programmatic entry: diff DDL files against the live catalog and
-    (unless validate) apply the resulting ALTERs."""
+    (unless validate) apply the resulting ALTERs. ``aws_account_id``
+    fills the ``{aws_account_id}`` DDL placeholder; None resolves it
+    via env / STS / EC2 instance metadata (aws.py)."""
     from pyspark.sql import functions as F
 
+    from .aws import resolve_aws_account_id
     from .ddl.parser import parse_ddl_corpus, read_ddl_corpus
     from .ddl.render import hive_alter_statements, iceberg_alter_statements
     from .diff import build_report, hive_diff, iceberg_diff
-    from .diff.catalog import apply_statements, snapshot_catalog
+    from .diff.catalog import apply_statements, snapshot_catalog, table_version
     from .files import filter_ddl_files
 
     files = filter_ddl_files(paths, prefix, suffix, table_names, spark=spark)
     if not files:
         raise FileNotFoundError(f"no DDL files matched under {paths}")
-    parsed = parse_ddl_corpus(read_ddl_corpus(spark, files)).cache()
+    if aws_account_id is None:
+        aws_account_id = resolve_aws_account_id()
+    parsed = parse_ddl_corpus(
+        read_ddl_corpus(spark, files, aws_account_id=aws_account_id)
+    ).cache()
     tables = [
         r["table_name"]
         for r in parsed.select("table_name").distinct().collect()
@@ -73,6 +81,14 @@ def run_alterator(
             parsed.filter(parsed.table_name.isin(ice_tables)), cat_cols, cat_tables
         )
     report = build_report(outcomes, ice, validate=validate, force=force)
+    # S6 version bracket: record each to-be-altered table's catalog
+    # version BEFORE apply (reference brackets Glue update_table with
+    # two get_table_versions calls, alterator.py:434-440). Validate
+    # mode reports previous == current.
+    for e in report["success_tables"]:
+        v = table_version(spark, e["table_name"])
+        e["previous_version"] = v
+        e["current_version"] = v
 
     if apply if apply is not None else not validate:
         # ONE collect for all tables' catalog schemas (not a collect per
@@ -147,6 +163,10 @@ def run_alterator(
         report["applied_statements"] = applied
         if apply_errors:
             report["apply_errors"] = apply_errors
+        # close the S6 bracket: re-fetch versions for altered tables
+        for e in report["success_tables"]:
+            if e["table_name"] not in apply_errors:
+                e["current_version"] = table_version(spark, e["table_name"])
     return report
 
 

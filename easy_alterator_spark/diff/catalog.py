@@ -170,6 +170,35 @@ def snapshot_catalog(
     return cols_df, spark.createDataFrame(tbl_rows, _TABLES_SCHEMA)
 
 
+def table_version(spark: SparkSession, table: str) -> str | None:
+    """A catalog version id for the S6 version bracket.
+
+    The reference brackets Glue ``update_table`` with two
+    ``get_table_versions`` calls (alterator.py:434-440). Spark's
+    session catalog has no native versioning, so the bracket uses the
+    strongest signal each catalog offers:
+
+    - Iceberg: the ``metadata_location`` property — a NEW metadata file
+      per commit, so it IS the table version.
+    - otherwise: a digest of the schema + table properties, which
+      changes exactly when an ALTER lands. (On a Glue-backed session,
+      swap in the Glue version id.)
+    """
+    import hashlib
+
+    if not spark.catalog.tableExists(table):
+        return None
+    _, props = _table_format(spark, table)
+    if props.get("metadata_location"):
+        return props["metadata_location"]
+    schema_sig = ",".join(
+        f"{c.name}:{c.dataType}:{int(c.isPartition)}"
+        for c in spark.catalog.listColumns(table)
+    )
+    sig = f"{schema_sig}|{sorted(props.items())}"
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def apply_statements(spark: SparkSession, statements: list[str]) -> list[str]:
     """Execute rendered ALTERs sequentially on the driver; returns the
     statements that ran (for the run report / audit trail)."""

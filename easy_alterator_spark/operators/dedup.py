@@ -496,6 +496,7 @@ def embedding_lsh_dedup_pairs(
     vec_col: str = "embedding",
     nbits: int = 128,
     bands: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup at scale: random-hyperplane LSH candidates,
     exact-cosine verify.
@@ -512,8 +513,11 @@ def embedding_lsh_dedup_pairs(
     :func:`embedding_dedup_pairs` (the DuckDB-oracle surface).
     """
     width = nbits // bands
-    dim_row = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    if dim is None:
+        # dimension sniff costs one tiny driver job; pass `dim` on a
+        # 100 TB input to keep the plan job-free until the real run
+        dim_row = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
     uv = emb.select(F.col(id_col).alias("id"), V.unit(F.col(vec_col)).alias("uv"))
     bits_udf = _hyperplane_bits_udf(nbits, dim)
     sig = uv.repartition("id").select("id", "uv", bits_udf(F.col("uv")).alias("bits"))

@@ -103,7 +103,7 @@ def dedup_embedding_lsh(spark, sf_dir):
     # brute-force oracle matches exactly. Non-empty-output behavior is
     # unit-tested on constructed clustered vectors (test_operators).
     return D.embedding_lsh_dedup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.95
+        load_table(spark, sf_dir, "embeddings"), threshold=0.95, dim=64
     )
 
 

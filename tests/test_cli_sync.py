@@ -90,6 +90,21 @@ class TestCli:
         report = run_alterator(spark, [str(ddl)], validate=False)
         assert report["applied_statements"]
         assert [c.name for c in spark.catalog.listColumns(f"{db}.cli_a")] == ["id", "n1"]
+        # S6 version bracket: the ALTER moved the catalog version
+        e = report["success_tables"][0]
+        assert e["previous_version"] and e["current_version"]
+        assert e["previous_version"] != e["current_version"]
+
+    def test_validate_versions_are_stable(self, spark, db, tmp_path):
+        from easy_alterator_spark.cli import run_alterator
+
+        spark.sql(f"CREATE TABLE {db}.cli_v (id INT) USING parquet")
+        (tmp_path / "cli_v.hql").write_text(
+            f"CREATE EXTERNAL TABLE `{db}.cli_v`(`id` int, `n9` string) STORED AS PARQUET;"
+        )
+        report = run_alterator(spark, [str(tmp_path / "cli_v.hql")], validate=True)
+        e = report["success_tables"][0]
+        assert e["previous_version"] == e["current_version"] is not None
 
     def test_report_is_json_serializable(self, spark, db, tmp_path):
         from easy_alterator_spark.cli import run_alterator
@@ -100,6 +115,36 @@ class TestCli:
         )
         report = run_alterator(spark, [str(ddl)], validate=True)
         assert json.loads(json.dumps(report))["new_tables"] == [f"{db}.not_there"]
+
+
+class TestAwsAccountId:
+    def test_env_wins(self, monkeypatch):
+        from easy_alterator_spark.aws import resolve_aws_account_id
+
+        monkeypatch.setenv("AWS_ACCOUNT_ID", "111122223333")
+        assert resolve_aws_account_id() == "111122223333"
+
+    def test_falls_back_to_default_off_aws(self, monkeypatch):
+        from easy_alterator_spark import aws
+
+        monkeypatch.delenv("AWS_ACCOUNT_ID", raising=False)
+        monkeypatch.setattr(aws, "_from_sts", lambda: None)
+        monkeypatch.setattr(aws, "_from_imds", lambda: None)
+        aws._resolve_cached.cache_clear()
+        assert aws.resolve_aws_account_id(default="") == ""
+        aws._resolve_cached.cache_clear()
+
+    def test_placeholder_resolved_in_corpus(self, spark, monkeypatch):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows
+
+        ddl = (
+            "CREATE EXTERNAL TABLE `db.t`(`id` int) STORED AS PARQUET "
+            "LOCATION 's3://bkt-{aws_account_id}/x';"
+        )
+        corpus = corpus_from_rows(spark, [("m/t.hql", ddl)], aws_account_id="999")
+        text = corpus.collect()[0]["ddl"]
+        assert "s3://bkt-999/x" in text
+        assert "{aws_account_id}" not in text
 
 
 class TestMainEntry:
