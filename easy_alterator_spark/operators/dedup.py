@@ -313,6 +313,65 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over pair edges)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) assignment over an undirected pair graph —
+    the step a dedup pipeline needs AFTER pair generation: near-dup
+    PAIRS say who matches whom; the CLUSTER says which rows are one
+    logical document (keep min-id, drop the rest).
+
+    Min-label propagation: every node starts as its own label; each
+    round takes the min over neighbors; fixpoint = connected
+    components with component id = min member id. Rounds needed =
+    graph diameter — near-dup graphs are clique-ish (diameter 2-4),
+    so this loops 3-5 times in practice, each round one
+    shuffle-on-node-id join + a map-side-combined min. The driver loop
+    is over ROUNDS, never over data. Lineage is truncated per round
+    with localCheckpoint (at cluster scale point checkpointing at a
+    reliable dir instead); convergence is witnessed by sum(label) —
+    labels only ever decrease, so an unchanged sum IS the fixpoint,
+    one cheap agg instead of a change-count join. For graphs with
+    giant-diameter chains swap in large-star/small-star (same
+    operator surface, O(log n) rounds).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["d"] == labels["id"]).select(
+            edges["s"].alias("id"), "comp"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("comp").alias("t")).collect()[0]["t"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -66,6 +66,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_assign",
+    # exact oracle: DuckDB computes the same components as reachability
+    # closure (recursive CTE), component id = min reachable doc_id
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION SELECT b, a FROM p),
+    reach(id, comp) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, r.comp FROM e JOIN reach r ON e.dd = r.id
+    )
+    SELECT id::BIGINT AS doc_id, MIN(comp)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Near-dup CLUSTERS: word-set Jaccard pairs -> connected
+    components; cluster id = min doc_id in the component. The
+    keep-one-per-cluster dedup is then `filter(doc_id = cluster_id)`."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    comps = D.connected_components(D.jaccard_pairs(docs, threshold=0.8))
+    return comps.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents)

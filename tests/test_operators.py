@@ -100,6 +100,24 @@ def test_ivf_kmeans_refinement_improves_centroids(spark, clustered_vectors):
     assert r1 >= 0.9
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter 4 — forces several propagation rounds)
+    plus a separate pair and check the min-id labeling."""
+    from easy_alterator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (50, 51)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10),
+        (50, 50), (51, 50),
+    }
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     from pyspark.sql import functions as F
 
