@@ -66,6 +66,21 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# PII patterns kept to portable regex constructs (character classes,
+# bounded repetition, \b) so Spark's Java regex and the oracle's RE2
+# match identically.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/phone numbers with typed placeholders — the
+    pre-training scrub step. Pure regexp_replace chain: row-local,
+    codegen'd, pushdown-friendly."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
     md5. Exact-dup detection at 100 TB = groupBy(fingerprint) — the

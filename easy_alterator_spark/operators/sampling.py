@@ -1,0 +1,96 @@
+"""Training-data selection operators: deterministic sampling and
+token-budget sequence packing.
+
+Both are staples of an LLM data pipeline that plain SQL engines make
+awkward:
+
+- **hash sampling** replaces rng-based `TABLESAMPLE` with a
+  content-derived rule (md5 of the id), so a split is (a) reproducible
+  across engines/runs/partitionings — the DuckDB oracle computes the
+  SAME split — and (b) stable under re-runs over a growing corpus: a
+  document's split membership never changes when other rows appear.
+  Per-stratum rates (e.g. downsample English, keep all low-resource
+  languages) are a literal rate map resolved per row.
+- **sequence packing** assigns documents to fixed token-budget packs
+  (the "concat-and-chunk" batching step before tokenization): a
+  running token total over a deterministic document order, divided by
+  the budget. One window over the order key — no driver loop, no UDF.
+
+All pure Column expressions; the only shuffle is the window's
+partition-by-stratum sort in pack_sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import text as T
+
+# md5 hex chars are uniform: 4 leading hex digits give 16-bit
+# resolution; rate r keeps rows whose bucket < r * 2^16.
+_BUCKETS = 1 << 16
+
+
+def hash_bucket(id_col: F.Column) -> F.Column:
+    """Uniform [0, 2^16) bucket from md5(id) — reproducible anywhere
+    md5 exists (Spark, DuckDB, Python)."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def sample_hash(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    stratum_rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic sample: keep rows with hash_bucket < rate·2^16.
+
+    With ``stratum_col``/``stratum_rates``, each stratum gets its own
+    rate (fall back to ``rate``) — stratified sampling without a
+    shuffle: the rate map is a literal when/otherwise chain, the
+    filter is row-local, and Catalyst pushes it into the scan.
+    """
+    bucket = hash_bucket(F.col(id_col))
+    if stratum_col and stratum_rates:
+        r: F.Column = F.lit(rate)
+        for k, v in sorted(stratum_rates.items()):
+            r = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(r)
+        return df.filter(bucket < (r * _BUCKETS).cast("int"))
+    return df.filter(bucket < int(rate * _BUCKETS))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, pack_id): greedy in-order packing into
+    ``budget``-token packs.
+
+    Documents are taken in ``id_col`` order (deterministic); a doc
+    goes in pack ``floor((cumulative_tokens - n_tokens) / budget)`` —
+    i.e. packs are cut where the RUNNING total crosses a budget
+    multiple. Oversized single documents occupy their own pack(s).
+    With ``partition_col`` (e.g. lang) packing is per-partition and
+    the window sort distributes; without it the window is global —
+    fine for ordering-sensitive packing, but at 100 TB prefer a
+    partition column so no single-reducer sort exists.
+    """
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ntok = T.token_count(F.col(text_col)).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        *( [F.col(partition_col)] if partition_col else [] ),
+        ntok.alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return out.select(
+        id_col,
+        *( [partition_col] if partition_col else [] ),
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
+    )

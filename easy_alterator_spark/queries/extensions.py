@@ -533,3 +533,101 @@ def events_range_join(spark, sf_dir):
         .distinct()
     )
     return j.groupBy("user_id").agg(F.count("*").alias("n_follow"))
+
+
+# ---------------------------------------------------------------------------
+# training-data selection: deterministic sampling, packing, PII redaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_sample_split",
+    # DuckDB reproduces the exact split: the md5-bucket rule is
+    # engine-independent (hex-cast the same 4 leading digits).
+    oracle="""
+    WITH b AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS bucket
+               FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS kept
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN CAST(0.10 * 65536 AS INT)
+                        ELSE CAST(0.50 * 65536 AS INT) END
+    GROUP BY lang
+    """,
+)
+def doc_sample_split(spark, sf_dir):
+    """Stratified DETERMINISTIC sample: downsample English to 10%,
+    keep 50% of everything else — the reproducible-train-split
+    primitive (membership is content-derived, so it never changes as
+    the corpus grows, and any engine can recompute it)."""
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.sample_hash(docs, rate=0.50, stratum_col="lang", stratum_rates={"en": 0.10})
+    return kept.groupBy("lang").agg(F.count("*").cast("long").alias("kept"))
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, len({_DTOKS})::BIGINT AS n_tokens
+               FROM documents WHERE doc_id < 300),
+    c AS (SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, lang, n_tokens,
+           ((cum - n_tokens) // 512)::BIGINT AS pack_id
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (concat-and-chunk batching): docs
+    in id order fill 512-token packs per language; pack boundaries are
+    where the running token total crosses a budget multiple. One
+    window — no driver loop, no UDF."""
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return SP.pack_sequences(docs, budget=512, partition_col="lang")
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH r AS (SELECT source,
+                      len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+                      len(regexp_extract_all(text,
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                      length(regexp_replace(
+                        regexp_replace(text,
+                          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                          '<EMAIL>', 'g'),
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS redacted_len
+               FROM documents)
+    SELECT source, SUM(n_email)::BIGINT AS emails,
+           SUM(n_phone)::BIGINT AS phones,
+           SUM(redacted_len)::BIGINT AS total_len
+    FROM r GROUP BY source
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub accounting per source: email/phone hits + redacted
+    text length (the synthetic corpus is PII-free, so counts are 0 and
+    length equals the original — the REGEXES are value-tested on
+    constructed rows in tests/test_operators.py)."""
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(r"\b\d{3}[-.]\d{3}[-.]\d{4}\b")).alias("n_phone"),
+        F.length(redact_pii(F.col("text"))).alias("redacted_len"),
+    )
+    return red.groupBy("source").agg(
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("redacted_len").cast("long").alias("total_len"),
+    )

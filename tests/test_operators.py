@@ -118,6 +118,75 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_redact_pii_values(spark):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
+            (2, "no pii here, just text with numbers 12345"),
+            (3, "two mails: a@b.io c_d%e@f-g.com and 111.222.3333"),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> or call <PHONE> now"
+    assert got[2] == "no pii here, just text with numbers 12345"
+    assert got[3] == "two mails: <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_sample_hash_deterministic_and_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.operators.sampling import sample_hash
+    from easy_alterator_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r["doc_id"] for r in sample_hash(docs, rate=0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_hash(docs, rate=0.3).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()  # deterministic, proper subset
+    # membership is stable under corpus growth: a smaller corpus keeps
+    # exactly the surviving subset
+    half = sample_hash(docs.filter(F.col("doc_id") < 100), rate=0.3)
+    assert {r["doc_id"] for r in half.select("doc_id").collect()} == {
+        i for i in a if i < 100
+    }
+    # stratified: en rate 0 wipes en only
+    strat = sample_hash(docs, rate=0.3, stratum_col="lang", stratum_rates={"en": 0.0})
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert "en" not in langs and langs
+
+
+def test_pack_sequences_budget_respected(spark):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.operators.sampling import pack_sequences
+    from easy_alterator_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 200
+    )
+    packed = pack_sequences(docs, budget=256, partition_col="lang")
+    # a pack only exceeds the budget via its LAST doc (greedy in-order
+    # semantics): total minus final doc must be under budget
+    by_pack = (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max_by("n_tokens", "doc_id").alias("last_tok"),
+        )
+        .collect()
+    )
+    assert by_pack
+    assert all(r["tot"] - r["last_tok"] < 256 for r in by_pack)
+    # pack ids are dense from 0 per stratum
+    for lang in {r["lang"] for r in by_pack}:
+        ids = sorted(r["pack_id"] for r in by_pack if r["lang"] == lang)
+        assert ids == list(range(len(ids)))
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     from pyspark.sql import functions as F
 
