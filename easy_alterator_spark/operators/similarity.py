@@ -140,25 +140,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own IVF bucket.
+    """Approximate top-k: search the query's ``nprobe`` nearest IVF
+    buckets.
 
-    ``refine_iters`` Lloyd iterations tighten the hash-sampled
+    nprobe is the recall lever at fixed centroid count: each query
+    ranks the (broadcast) centroids and scans the union of its top-n
+    buckets — candidate volume grows ~linearly in nprobe while the big
+    side still never shuffles (each candidate lives in exactly one
+    bucket, so no dedup stage is needed). nprobe=1 degenerates to
+    bucket == own assignment (identical tie-break: sim DESC, c_id
+    ASC). ``refine_iters`` Lloyd iterations tighten the hash-sampled
     centroids toward true cluster centers (measured recall improvement
-    in tests/test_operators.py); the registered sim_ann_ivf query keeps
-    0 so its DuckDB oracle stays expressible.
+    in tests/test_operators.py); the registered sim_ann_ivf queries
+    keep 0 so their DuckDB oracles stay expressible.
     """
-    _, assign = assign_ivf_buckets(
+    cents, assign = assign_ivf_buckets(
         vectors, num_centroids, id_col, vec_col, refine_iters=refine_iters
     )
     v = vectors.join(assign, vectors[id_col] == assign.v_id).select(
         F.col(id_col), F.col(vec_col), F.col("bucket")
     )
-    q = v.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), F.col("bucket").alias("qb")
+    q = vectors.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", V.cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        .withColumn("crn", F.row_number().over(qw))
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").alias("qb"))
     )
     scored = v.join(
-        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("q_id"))
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("q_id")),
     ).select("q_id", F.col(id_col).alias("n_id"), V.cosine(F.col("qv"), F.col(vec_col)).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (

@@ -263,6 +263,51 @@ def sim_ann_ivf(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
+@query(
+    "sim_ann_ivf_probe2",
+    # nprobe=2: each query scans its TWO nearest buckets. Same
+    # deterministic construction as sim_ann_ivf, so the oracle ranks
+    # centroids per query (sim DESC, c_id ASC) and searches the union.
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, emb AS cv FROM v
+              ORDER BY md5(vec_id::VARCHAR) LIMIT 8),
+    sc AS (SELECT v.vec_id AS v_id, c.c_id,
+                  list_dot_product(v.emb, c.cv)
+                    / (sqrt(list_dot_product(v.emb, v.emb))
+                       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM v CROSS JOIN cents c),
+    asn AS (SELECT v_id, c_id AS bucket FROM (
+              SELECT v_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY v_id
+                                        ORDER BY sim DESC, c_id) AS rn
+              FROM sc) WHERE rn = 1),
+    qp AS (SELECT v_id AS q_id, c_id AS qb FROM (
+              SELECT v_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY v_id
+                                        ORDER BY sim DESC, c_id) AS rn
+              FROM sc WHERE v_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+    s2 AS (SELECT qp.q_id, v.vec_id AS n_id,
+                  list_dot_product(q.emb, v.emb)
+                    / (sqrt(list_dot_product(q.emb, q.emb))
+                       * sqrt(list_dot_product(v.emb, v.emb))) AS score
+           FROM v JOIN asn a ON v.vec_id = a.v_id
+           JOIN qp ON a.bucket = qp.qb
+           JOIN v q ON q.vec_id = qp.q_id
+           WHERE v.vec_id <> qp.q_id),
+    r AS (SELECT q_id, n_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, n_id) AS rnk
+          FROM s2)
+    SELECT q_id, n_id, rnk, ROUND(score, 4) AS score FROM r WHERE rnk <= 3
+    """,
+)
+def sim_ann_ivf_probe2(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2)
+    return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -100,6 +100,38 @@ def test_ivf_kmeans_refinement_improves_centroids(spark, clustered_vectors):
     assert r1 >= 0.9
 
 
+def test_ivf_nprobe_recall_monotone(spark, clustered_vectors):
+    """Scanning more buckets can only add candidates — recall@k must be
+    non-decreasing in nprobe, and multi-probe must stay exact-correct
+    (it can't fabricate neighbors: verify against brute force)."""
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    qids = [0, 12, 24, 36, 48]
+    brute = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(
+            clustered_vectors.filter(F.col("vec_id").isin(qids)),
+            clustered_vectors,
+            k=3,
+        ).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in ivf_topk(
+                clustered_vectors, qids, k=3, num_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r1, r2, r_all = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0  # probing every bucket IS brute force
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (diameter 4 — forces several propagation rounds)
     plus a separate pair and check the min-id labeling."""
