@@ -73,6 +73,48 @@ class TestJoinStrategy:
             assert jc["CartesianProduct"] == 0, name
 
 
+class TestTrainingDataOps:
+    def test_sample_filter_pushes_into_scan(self, spark, queries):
+        """The md5-bucket sample must be a scan-level filter — a sample
+        that reads 100 TB then filters wasted the whole point."""
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["doc_sample_split"](spark, SF))
+        # row-local predicate sitting directly on the scan: no join, and
+        # the ONLY shuffle is the final per-lang agg (formatted plans
+        # show each Exchange twice: tree + detail)
+        assert "Join" not in plan
+        assert exchange_count(plan) <= 2, plan
+        assert "Filter (2)" in plan and "Scan parquet" in plan
+
+    def test_pack_sequences_single_window_shuffle(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["doc_pack_sequences"](spark, SF))
+        # one shuffle on the stratum key feeds the running-sum window
+        assert exchange_count(plan) <= 2, plan
+        assert "Window" in plan
+
+    def test_ivf_probe_big_side_never_shuffles(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["sim_ann_ivf_probe2"](spark, SF))
+        jc = join_counts(plan)
+        # centroids + probe sets broadcast; the vector table must never
+        # be the shuffled side of a sort-merge join
+        assert jc["BroadcastHashJoin"] >= 2
+        assert jc["SortMergeJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+
+    def test_pii_redact_no_shuffle_before_agg(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["text_pii_redact"](spark, SF))
+        # regex scrub is map-side; the only exchange is the final agg
+        assert exchange_count(plan) <= 2, plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 class TestShuffleBudget:
     def test_sessionize_single_shuffle_for_windows(self, spark, queries):
         from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
