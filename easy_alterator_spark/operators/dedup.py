@@ -138,7 +138,12 @@ def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
             )
         ),
     )
-    sentinel = F.transform(idx, lambda i: F.lit(-(2**62)) - i)
+    # Sentinel for empty token sets: values >= p, which no real minhash
+    # (always < p after pmod) can take, so empty sets match only each
+    # other. Kept small and positive so downstream position-tagging
+    # (v * num_perm + i in minhash_dedup_pairs) cannot overflow a long
+    # even under ANSI arithmetic.
+    sentinel = F.transform(idx, lambda i: F.lit(_MERSENNE31) + i)
     return F.when(F.size(htoks) > 0, sig).otherwise(sentinel)
 
 
@@ -182,11 +187,18 @@ def minhash_lsh_candidates(
         .repartition("id")
         .select("id", minhash_signature(F.col("toks"), num_perm).alias("sig"))
     )
-    banded = sig.select(
-        "id",
-        F.posexplode(_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    # literal-sequence explode + element_at, NOT posexplode of the
+    # computed array — see minhash_dedup_pairs for why (inferred
+    # size()>0 filter pushdown re-evaluates the signature at the scan)
+    banded = (
+        sig.withColumn("bh", _band_hashes(F.col("sig"), bands, rows_per_band))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+            F.col("bh"),
+        )
+        .withColumn("band_hash", F.element_at(F.col("bh"), F.col("band_idx") + 1))
+        .drop("bh")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -231,6 +243,32 @@ def minhash_dedup_pairs(
        ops are ~10× cheaper than string ones; collision odds ≈ n²/2⁶⁴).
     3. Expand same-set groups (jac = 1.0 by definition) and verified
        cross-set pairs back to doc-id pairs — output-sized work only.
+
+    Candidate-stage discipline (this is where template-heavy corpora
+    explode): a true near-dup pair collides in MOST of the `bands`
+    buckets, so a naive band self-join emits each pair ~bands times and
+    needs a candidate `distinct()` that shuffles bands× the real
+    candidate volume. Instead each banded row carries position-tagged
+    band-hash and signature arrays, and the join applies two extra
+    conditions built from NATIVE set functions (interpreted lambda
+    conditions here cost ~4× — they run per colliding pair, measured
+    9.8M pairs at sf0.1):
+
+    - first-matching-band (`~arrays_overlap` over the earlier-band
+      slices): each pair is emitted exactly once across all bands, so
+      no candidate `distinct()` exists at all;
+    - signature pre-verify (`array_intersect` over position-tagged
+      sigs): estimated Jaccard must reach `threshold - max(0.25, 8σ)`
+      (σ = sqrt(t(1-t)/num_perm), so the bound is 8-sigma conservative
+      — miss odds ~1e-15 per pair), which keeps sub-threshold
+      collisions away from the exact-Jaccard array join.
+
+    Trade-off, documented for the 100 TB plan: carrying tagged
+    sig+bands multiplies the banded shuffle payload by
+    ~(num_perm+bands)×8 bytes per row, but removes both the
+    bands×-inflated distinct shuffle and a separate signature-fetch
+    join — the right side of the trade whenever collisions are
+    plentiful, which is exactly when dedup is worth running.
     """
     hs = docs.select(
         F.col(id_col).alias("id"),
@@ -247,22 +285,58 @@ def minhash_dedup_pairs(
     sig = reps.select(
         "id", F.size("hset").alias("sz"), _minhash_from_hashes(F.col("hset"), num_perm).alias("sig")
     )
-    banded = sig.select(
-        "id",
-        "sz",
-        F.posexplode(_band_hashes(F.col("sig"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    idx_seq = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    band_seq = F.sequence(F.lit(0), F.lit(bands - 1))
+    # Position-tagged arrays: tag = value * width + index, so positional
+    # agreement between two rows becomes plain set intersection/overlap
+    # (native, codegen'd) instead of per-element lambda evaluation.
+    # Real minhash values are < 2^31 (mod-p) and sentinels < 2^31+num_perm,
+    # so value*num_perm+i fits a long with no overflow under ANSI.
+    tsig = F.zip_with(
+        F.col("sig"), idx_seq, lambda v, i: v * num_perm + i
+    )
+    bh = _band_hashes(F.col("sig"), bands, rows_per_band)
+    tbh = F.zip_with(bh, band_seq, lambda v, i: v.cast("long") * bands + i)
+    # Explode a LITERAL band-index sequence and pick the band hash out
+    # of the materialized `tbh` array. Exploding the computed array
+    # directly (posexplode(bh)) makes the optimizer infer a
+    # `size(bh) > 0` filter and push it through the aggregate to the
+    # file scan — where it re-evaluates the entire interpreted
+    # signature expression per raw document (measured: turns an 8 s
+    # run into minutes). Predicates on a generated literal column
+    # cannot sink below the Generate, so sig/bh stay computed once per
+    # unique set.
+    banded = (
+        sig.withColumn("tsig", tsig)
+        .withColumn("tbh", tbh)
+        .select(
+            "id",
+            "sz",
+            "tsig",
+            "tbh",
+            F.explode(band_seq).alias("band_idx"),
+        )
+        .withColumn("band_hash", F.element_at(F.col("tbh"), F.col("band_idx") + 1))
     )
     left, right = banded.alias("l"), banded.alias("r")
     # exact size prune INSIDE the band join: jac(A,B) <= min/max of the
     # set sizes, so pairs whose size ratio can't reach the threshold
-    # die before the candidate distinct — integer compare, no recall
-    # loss. On a template-heavy corpus this kills most sub-threshold
-    # band collisions.
+    # die in the join — integer compare, no recall loss.
     size_ok = (
         F.least(F.col("l.sz"), F.col("r.sz")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+    )
+    # first-matching-band: no earlier tagged band hash agrees -> each
+    # pair is emitted exactly once across all bands (replaces distinct())
+    first_band = ~F.arrays_overlap(
+        F.slice(F.col("l.tbh"), 1, F.col("l.band_idx")),
+        F.slice(F.col("r.tbh"), 1, F.col("r.band_idx")),
+    )
+    # signature-level pre-verify (see docstring for the 8σ bound)
+    sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
+    pre_cut = max(0.0, threshold - max(0.25, 8.0 * sigma))
+    est_ok = F.size(F.array_intersect(F.col("l.tsig"), F.col("r.tsig"))) >= F.lit(
+        int(pre_cut * num_perm)
     )
     cands = (
         # identical subtrees + shuffle_hash -> the second Exchange on
@@ -273,10 +347,11 @@ def minhash_dedup_pairs(
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id"))
-            & size_ok,
+            & size_ok
+            & first_band
+            & est_ok,
         )
         .select(F.col("l.id").alias("rid_a"), F.col("r.id").alias("rid_b"))
-        .distinct()
     )
     ga = reps.select(F.col("id").alias("rid_a"), F.col("hset").alias("ha"), F.col("members").alias("ma"))
     gb = reps.select(F.col("id").alias("rid_b"), F.col("hset").alias("hb"), F.col("members").alias("mb"))

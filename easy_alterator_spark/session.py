@@ -107,7 +107,10 @@ def get_spark(
         # --- scan tuning ----------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128MB")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] churns array-heavy rows in the dedup verify joins;
+        # 16g keeps GC out of the measured path (measured ~1 s/query on
+        # dedup_minhash_lsh at sf0.1 vs 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if glue:
