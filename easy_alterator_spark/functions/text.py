@@ -42,6 +42,59 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def all_shingles(text: Column, n: int) -> Column:
+    """ALL ' '-joined word n-grams (duplicates kept, order kept) —
+    the multiset :func:`word_shingles` deduplicates. Docs shorter
+    than n tokens yield an empty array."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(text: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same document: 1 - distinct/total. The Gopher-style
+    repetition signal (Rae et al. 2021 table A1) — high values mean
+    boilerplate/looping text. Row-local (no shuffle): the whole
+    expression runs inside the scan projection."""
+    sh = all_shingles(text, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text: Column, n: int) -> Column:
+    """Share of n-gram occurrences taken by the single most frequent
+    n-gram of the document (Gopher's top-ngram-fraction filter).
+    Computed row-locally with a sort + longest-run fold — no
+    per-document groupBy, no shuffle."""
+    sh = F.array_sort(all_shingles(text, n))
+    # longest run of equal adjacent values in the sorted array:
+    # aggregate state (prev, run, best)
+    best = F.aggregate(
+        sh,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(
+        F.size(sh) > 0, F.round(best.cast("double") / F.size(sh), 4)
+    ).otherwise(F.lit(0.0))
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(text)
     stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

@@ -71,6 +71,60 @@ def token_stats_by(docs: DataFrame, group_col: str, text_col: str = "text") -> D
     )
 
 
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate bigram /
+    trigram fraction and the top-bigram share. Everything is row-local
+    Column math (functions/text.py) — a 100 TB corpus runs this as a
+    pure map with zero shuffle."""
+    return docs.select(
+        F.col(id_col),
+        T.dup_ngram_fraction(F.col(text_col), 2).alias("dup_bigram_frac"),
+        T.dup_ngram_fraction(F.col(text_col), 3).alias("dup_trigram_frac"),
+        T.top_ngram_fraction(F.col(text_col), 2).alias("top_bigram_frac"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by occurrence count
+    (deterministic tie-break on the token string).
+
+    Plan shape for 100 TB: explode -> partial hash agg (map-side
+    combine collapses each partition to its distinct tokens before the
+    shuffle — the exchange carries at most |vocab| rows per partition,
+    not token occurrences) -> final agg -> TakeOrderedAndProject
+    (top-k never materializes a global sort).
+    """
+    tok = docs.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+
+
+def corpus_stats_by(
+    docs: DataFrame,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus profile: doc count, distinct sources, and
+    exact p50/p90 of document length.
+
+    `percentile` (exact, interpolated) keeps the DuckDB
+    `quantile_cont` oracle bit-equal; the 100 TB variant swaps in
+    `approx_percentile` / `approx_count_distinct` at the same plan
+    shape — single partial+final aggregate, one shuffle on the group
+    key."""
+    return docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(source_col).cast("long").alias("n_sources"),
+        F.round(F.percentile(F.col(len_col), F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(F.percentile(F.col(len_col), F.lit(0.9)), 2).alias("p90_chars"),
+    )
+
+
 def min_token_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """1-permutation MinHash fingerprint: min md5 over the distinct
     token set. md5 (not xxhash64) so the DuckDB oracle reproduces it."""

@@ -638,6 +638,108 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "decontaminate_ngram",
+    # n=4 at this corpus size so the differential gate sees a
+    # non-trivial hit set (49 docs at sf0.01); the operator default is
+    # n=8 — real decontamination runs use 8-13-gram collision.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_DTOKS} AS t FROM documents),
+    g AS (SELECT doc_id, source, array_to_string(t[i:i+3], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-2, 1))) AS u(i)
+          WHERE len(t) >= 4),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id, COUNT(DISTINCT g.gram)::BIGINT AS shared_ngrams
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: training docs (source <> src0)
+    sharing any word 4-gram with the benchmark corpus (source = src0).
+    Benchmark gram set is broadcast; the training side never
+    shuffles (operators/decontaminate.py)."""
+    from ..operators import decontaminate as DC
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return DC.contaminated_docs(train, bench, n=4)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents
+                  WHERE doc_id < 300),
+    l AS (SELECT doc_id,
+            CASE WHEN len(t) >= 2
+                 THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                 ELSE [] END AS g2,
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                 ELSE [] END AS g3
+          FROM toks),
+    tb AS (SELECT doc_id, ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 4) AS topf
+           FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+                 FROM (SELECT doc_id, unnest(g2) AS gram FROM l) GROUP BY 1, 2)
+           GROUP BY doc_id)
+    SELECT l.doc_id,
+      CASE WHEN len(g2) > 0
+           THEN ROUND(1 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+           ELSE 0.0 END AS dup_bigram_frac,
+      CASE WHEN len(g3) > 0
+           THEN ROUND(1 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+           ELSE 0.0 END AS dup_trigram_frac,
+      COALESCE(tb.topf, 0.0) AS top_bigram_frac
+    FROM l LEFT JOIN tb USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate bigram/trigram
+    fraction + top-bigram share per doc. Pure row-local Column math —
+    zero shuffle at any corpus size (the oracle needs a per-doc
+    groupBy for the mode; Spark computes it with a sorted-run fold
+    inside the row)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return X.repetition_metrics(docs)
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DTOKS}) AS token FROM documents)
+    SELECT token, COUNT(*)::BIGINT AS cnt
+    FROM tok GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary building: top-50 tokens by occurrence.
+    explode -> partial-agged groupBy -> TakeOrderedAndProject (no
+    global sort materializes)."""
+    return X.vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "corpus_stats",
+    oracle="""
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT source)::BIGINT AS n_sources,
+           ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """Per-language corpus profile: counts, distinct sources, exact
+    p50/p90 doc length (swap percentile -> approx_percentile and
+    count_distinct -> approx_count_distinct for the 100 TB run; plan
+    shape unchanged)."""
+    return X.corpus_stats_by(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_pii_redact",
     oracle="""
     WITH r AS (SELECT source,

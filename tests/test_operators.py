@@ -240,3 +240,53 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
         for r in minhash_dedup_pairs(docs, threshold=0.9).collect()
     }
     assert lsh == exact
+
+
+def test_repetition_metrics_constructed(spark):
+    from easy_alterator_spark.operators.textstats import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> 5 total,
+            # 2 distinct -> dup = 0.6; top bigram "a b" 3/5 = 0.6
+            (1, "a b a b a b"),
+            (2, "w x y z"),          # all bigrams unique -> 0.0
+            (3, "solo"),             # < 2 tokens -> no bigrams -> 0.0
+            (4, ""),                 # empty -> 0.0
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert got[1]["dup_bigram_frac"] == 0.6
+    assert got[1]["top_bigram_frac"] == 0.6
+    # trigrams of doc1: [aba, bab, aba, bab] -> 4 total 2 distinct -> 0.5
+    assert got[1]["dup_trigram_frac"] == 0.5
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.3333  # 3 bigrams, max count 1
+    assert got[3]["dup_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_decontaminate_constructed(spark):
+    from easy_alterator_spark.operators.decontaminate import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),    # shares 4-gram
+            (2, "alpha beta x gamma delta"),      # no full 4-gram shared
+            (3, "unrelated words entirely here"),
+            (4, "tiny"),                          # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    hits = {r["doc_id"]: r["shared_ngrams"] for r in
+            contaminated_docs(train, bench, n=4).collect()}
+    assert hits == {1: 1}
+    clean = {r["doc_id"] for r in decontaminate(train, bench, n=4).collect()}
+    assert clean == {2, 3, 4}
