@@ -638,6 +638,100 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents)
+    SELECT b.doc_id AS batch_doc_id, c.doc_id AS corpus_doc_id,
+           ROUND(len(list_intersect(b.toks, c.toks))::DOUBLE
+                 / len(list_distinct(list_concat(b.toks, c.toks))), 4) AS jac
+    FROM d b JOIN d c ON b.doc_id >= 400 AND c.doc_id < 400
+    WHERE len(list_intersect(b.toks, c.toks))::DOUBLE
+          / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup: which docs of an incoming batch
+    (doc_id >= 400) near-duplicate the existing corpus (doc_id < 400)?
+    The corpus side is the reusable LSH index; the batch probes it
+    with a band equi-join — per-batch cost independent of corpus size
+    (operators/dedup.incremental_near_dup_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.incremental_near_dup_pairs(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        threshold=0.9,
+    )
+
+
+@query(
+    "layout_zorder",
+    # integer shifts only — DuckDB's // with a DOUBLE divisor (2**i)
+    # does true division, which silently corrupts the bit extraction
+    oracle="""
+    WITH z AS (
+      SELECT o_orderkey,
+        list_sum([ (((o_custkey % 256) >> i) & 1) * (1::BIGINT << (2*i))
+                 + (((o_orderkey % 256) >> i) & 1) * (1::BIGINT << (2*i+1))
+                   FOR i IN range(0, 8)])::BIGINT AS zval
+      FROM orders)
+    SELECT o_orderkey, zval FROM z ORDER BY zval, o_orderkey LIMIT 200
+    """,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over two join/filter columns —
+    write files in this order and scans filtering EITHER column prune
+    most files (sources/layout.py; pair with compact_parquet to
+    materialize). The query returns the first 200 keys of the layout
+    for the differential gate."""
+    from ..sources.layout import z_order_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = orders.select(
+        "o_orderkey",
+        z_order_key(F.col("o_custkey") % 256, F.col("o_orderkey") % 256, bits=8).alias(
+            "zval"
+        ),
+    )
+    return z.orderBy("zval", "o_orderkey").limit(200)
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT lang, (n_chars // 100)::BIGINT AS bucket, COUNT(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Document-length histogram per language (fixed-width buckets) —
+    the profile a data curator reads before setting length filters.
+    Single partial-agged groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE grouping-sets aggregation (all 4 grouping combinations in
+    one pass — Spark expands to a single Expand + hash agg, one
+    shuffle; complements the ROLLUP coverage in agg_rollup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+
+
+@query(
     "decontaminate_ngram",
     # n=4 at this corpus size so the differential gate sees a
     # non-trivial hit set (49 docs at sf0.01); the operator default is

@@ -290,3 +290,64 @@ def test_decontaminate_constructed(spark):
     assert hits == {1: 1}
     clean = {r["doc_id"] for r in decontaminate(train, bench, n=4).collect()}
     assert clean == {2, 3, 4}
+
+
+def test_incremental_near_dup_constructed(spark):
+    from easy_alterator_spark.operators.dedup import incremental_near_dup_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus document with other words"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (11, "fresh new batch content that matches nothing at all"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["batch_doc_id"], r["corpus_doc_id"], r["jac"])
+        for r in incremental_near_dup_pairs(batch, corpus, threshold=0.9).collect()
+    }
+    assert got == {(10, 1, 1.0)}
+
+
+def test_z_order_key_properties(spark):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.sources.layout import z_order_key
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("int").alias("y")
+    )
+    rows = df.select(
+        "x", "y", z_order_key(F.col("x"), F.col("y"), bits=4).alias("z")
+    ).collect()
+    zmap = {(r["x"], r["y"]): r["z"] for r in rows}
+    # bijection over the 16x16 grid, exactly covering [0, 256)
+    assert sorted(zmap.values()) == list(range(256))
+    # interleave identities
+    assert zmap[(0, 0)] == 0
+    assert zmap[(1, 0)] == 1
+    assert zmap[(0, 1)] == 2
+    assert zmap[(15, 15)] == 255
+    # locality: a unit step in x or y moves z by at most the max
+    # within a 2x2 quad -> points close in (x,y) share z prefixes;
+    # spot-check the standard morton curve order for the first quad
+    assert [zmap[(x, y)] for y in (0, 1) for x in (0, 1)] == [0, 1, 2, 3]
+
+
+def test_z_order_key_rejects_bad_bits(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.sources.layout import z_order_key
+
+    with pytest.raises(ValueError):
+        z_order_key(F.lit(1), F.lit(1), bits=0)
+    with pytest.raises(ValueError):
+        z_order_key(F.lit(1), F.lit(1), bits=27)
