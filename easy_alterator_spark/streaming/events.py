@@ -185,6 +185,34 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def enrich_with_customers(
+    events: DataFrame,
+    customers: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 day",
+) -> DataFrame:
+    """Stream-static join + windowed agg: enrich the event stream with
+    the customer dimension (market segment) and count per segment per
+    day — the classic streaming-enrichment shape.
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (picking up dimension updates); with the default broadcast
+    threshold a small dimension joins map-side, so the stream never
+    shuffles before its window aggregate. Stream-static joins need no
+    watermark on the static side and the state store holds only the
+    window aggregate."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sv")
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
 ) -> None:

@@ -119,3 +119,33 @@ class TestWindows:
             .collect()
         }
         assert got == want
+
+
+class TestStreamStaticJoin:
+    def test_enrich_matches_batch(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.events import enrich_with_customers
+
+        customers = load_table(spark, SF, "customer")
+        drain(
+            enrich_with_customers(stream_events, customers),
+            "t_enrich",
+            mode="complete",
+        )
+        got = {
+            (r["window_start"], r["segment"]): (r["n"], r["sv"])
+            for r in spark.table("t_enrich").collect()
+        }
+        dim = customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        want = {
+            (r["d"], r["segment"]): (r["n"], r["sv"])
+            for r in batch_events.join(dim, "user_id")
+            .groupBy(F.date_trunc("day", "ts").alias("d"), "segment")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .collect()
+        }
+        assert got == want
+        assert got, "enrichment join must match some users"
