@@ -213,6 +213,50 @@ def enrich_with_customers(
     )
 
 
+def view_click_stream_join(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every click paired with the same
+    user's views from the preceding `max_gap` — the attribution shape
+    (streaming twin of the batch as-of join `events_asof_join`, which
+    keeps only the latest view; the stream emits every qualifying
+    view, since "latest before X" is not monotone under late data).
+
+    State-boundedness is the whole game in stream-stream joins: both
+    sides carry a watermark AND the join condition brackets event time
+    from both ends (view <= click AND view >= click - max_gap), so
+    each side's state store evicts rows older than
+    watermark + max_gap. An unbracketed condition would grow state
+    forever."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "click_ts", "view_ts"
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
 ) -> None:

@@ -149,3 +149,38 @@ class TestStreamStaticJoin:
         }
         assert got == want
         assert got, "enrichment join must match some users"
+
+
+class TestStreamStreamJoin:
+    def test_view_click_interval_join_matches_batch(
+        self, spark, batch_events, stream_events
+    ):
+        from easy_alterator_spark.streaming.events import view_click_stream_join
+
+        drain(view_click_stream_join(stream_events), "t_vc", mode="append")
+        got = {
+            (r["user_id"], r["click_id"], r["view_ts"])
+            for r in spark.table("t_vc").collect()
+        }
+        views = batch_events.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+        clicks = batch_events.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        want = {
+            (r["c_user"], r["click_id"], r["view_ts"])
+            for r in views.join(
+                clicks,
+                (F.col("v_user") == F.col("c_user"))
+                & (F.col("view_ts") <= F.col("click_ts"))
+                & (
+                    F.col("view_ts")
+                    >= F.col("click_ts") - F.expr("INTERVAL 1 hour")
+                ),
+            ).collect()
+        }
+        assert got == want
+        assert got, "interval join must produce matches on this data"
