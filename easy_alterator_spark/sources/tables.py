@@ -40,13 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); rebuild micros
-        # with integer division — float math would lose precision at
-        # 2^63-scale nanosecond epochs.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong); rebuild
+            # micros with integer division — float math would lose
+            # precision at 2^63-scale nanosecond epochs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive parquet timestamps (isAdjustedToUTC=false) arrive
+            # as TIMESTAMP_NTZ, which Spark refuses to cast to
+            # numeric types. The session is pinned to UTC
+            # (ensure_confs), so NTZ -> TIMESTAMP keeps the same
+            # wall-clock AND the same epoch the DuckDB oracle sees,
+            # while restoring cast("long") epoch math downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

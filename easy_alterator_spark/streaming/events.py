@@ -38,12 +38,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events.parquet physical schema: TIMESTAMP(NANOS) arrives as long
-# under spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+# events.parquet physical schema: naive TIMESTAMP(MICROS). Declaring
+# TimestampType here (instead of letting inference pick TIMESTAMP_NTZ)
+# pins epoch semantics under the UTC session — see sources/tables.py.
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
+        StructField("ts", TimestampType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -64,7 +65,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
