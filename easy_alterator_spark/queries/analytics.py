@@ -1,0 +1,191 @@
+"""Analytics extension queries: TF-IDF, exact quantiles, pivot,
+range-frame rolling windows, latest-wins compaction, grouping sets.
+
+Each is a staple the reference lacks but any warehouse-grade engine
+needs (SURVEY.md §2.5/§2.6 'absent' rows); every entry here carries an
+exact DuckDB oracle. Spark-side plans are pure built-in Column
+expressions — no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import tfidf as TI
+from ..sources import load_table
+from . import query
+
+# DuckDB token fragment shared with extensions.py (functions/text.py::tokens)
+_DTOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DTOKS}) AS term FROM documents WHERE doc_id <= 200
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id <= 200),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n_docs / df.df), 4) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, rank, score FROM (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3 AND doc_id <= 20
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document; corpus statistics (df, N) over
+    the doc_id <= 200 slice, output bounded to doc_id <= 20."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return TI.top_terms(docs, k=3).filter(F.col("doc_id") <= 20)
+
+
+@query(
+    "stats_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stats_quantiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (matches DuckDB
+    quantile_cont). Exact percentile sorts within each group — right
+    for a bounded group count; at 100 TB swap in approx_percentile
+    (t-digest, mergeable, single pass) when ±0.1% error is fine."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return orders.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 2).alias(name)
+            for name, p in qs.items()
+        ]
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY d
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """Day × event-type count matrix. Pivot values are pinned (not
+    inferred), so the plan is ONE aggregation — no extra distinct scan
+    to discover columns, and the output schema is stable at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty cells; the oracle's FILTER count yields 0
+    return piv.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "events_rolling_7d",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS roll_sum
+    FROM events WHERE user_id < 20
+    """,
+)
+def events_rolling_7d(spark, sf_dir):
+    """7-day rolling sum of value per user — a RANGE-frame window over
+    epoch seconds (time-based, not row-based: all peer rows at the
+    same timestamp aggregate identically). One shuffle on user_id;
+    state per partition is the frame, never the whole history."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("roll_sum"),
+    )
+
+
+@query(
+    "events_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def events_latest_by_key(spark, sf_dir):
+    """Latest-wins compaction (SCD-1 / CDC upsert resolution): keep
+    each key's most recent row. max_by over a composite (ts, event_id)
+    order key is a single hash aggregation — partial max runs
+    map-side, so the shuffle carries one candidate row per (key ×
+    map partition) instead of sorting every version of every key the
+    way the row_number() formulation does."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("r")
+    )
+    return latest.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.round(F.col("r.value"), 2).alias("value"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+           COUNT(*) AS n, SUM(n_chars)::BIGINT AS chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (not the cube/rollup lattice): per-lang,
+    per-source, and grand totals in ONE Expand + one shuffle — three
+    aggregation levels without three scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n",
+            "chars",
+        )
+    )

@@ -184,3 +184,59 @@ class TestRound2Ops:
         plan = formatted_plan(queries["agg_cube"](spark, SF))
         assert "Expand" in plan
         assert exchange_count(plan) <= 2, plan
+
+
+class TestAnalyticsOps:
+    def test_tfidf_no_cartesian_and_partial_aggs(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["tfidf_top_terms"](spark, SF))
+        jc = join_counts(plan)
+        # corpus-size N is a 1-row broadcast (BNLJ is fine for it);
+        # a CartesianProduct would mean the tf x df join degenerated
+        assert jc["CartesianProduct"] == 0
+        assert plan.count("HashAggregate") >= 4  # tf and df, partial+final
+
+    def test_quantiles_single_group_shuffle(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["stats_quantiles"](spark, SF))
+        assert "Join" not in plan
+        assert exchange_count(plan) <= 2, plan
+
+    def test_pivot_is_one_aggregation_one_scan(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["pivot_event_counts"](spark, SF))
+        # pinned pivot values: no second scan to infer distinct columns
+        assert plan.count("InMemoryFileIndex") == 1, plan
+        assert exchange_count(plan) <= 4, plan  # <=2 nodes (each listed twice)
+
+    def test_rolling_window_filter_pushed(self, spark, queries):
+        from easy_alterator_spark.plans.audit import (
+            assert_filter_pushed,
+            exchange_count,
+            formatted_plan,
+        )
+
+        df = queries["events_rolling_7d"](spark, SF)
+        assert_filter_pushed(df, "LessThan(user_id,20)")
+        # one shuffle on user_id feeds the range-frame window (each
+        # node appears twice in formatted output: tree + details)
+        assert exchange_count(formatted_plan(df)) <= 2
+
+    def test_latest_by_key_is_agg_not_sort(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["events_latest_by_key"](spark, SF))
+        # max_by compaction: no per-key sort, no window; partial+final agg
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+        assert exchange_count(plan) <= 2, plan  # 1 node, listed twice
+
+    def test_grouping_sets_single_expand(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["agg_grouping_sets"](spark, SF))
+        assert "Expand" in plan
+        assert exchange_count(plan) <= 2, plan
