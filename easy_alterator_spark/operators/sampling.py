@@ -94,3 +94,38 @@ def pack_sequences(
         "n_tokens",
         ((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, n_tok, first_tok, last_tok): split each document
+    into fixed token-budget chunks — the context-window chunking step
+    before tokenization/embedding.
+
+    Row-local: the token array is sliced inside one projection (explode
+    of a generated chunk-index sequence), so the operator is a pure map
+    + explode with output proportional to total tokens / chunk size.
+    No shuffle, no UDF; empty documents yield no chunks.
+    """
+    toks = T.tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / chunk_tokens).cast("int")
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).filter(F.size("toks") > 0)
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tok"),
+        F.element_at(piece, 1).alias("first_tok"),
+        F.element_at(piece, -1).alias("last_tok"),
+    )

@@ -189,3 +189,53 @@ def agg_grouping_sets(spark, sf_dir):
             "chars",
         )
     )
+
+
+@query(
+    "doc_chunk_split",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id
+          FROM d WHERE len(toks) > 0)
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n_tok,
+           toks[chunk_id * 64 + 1] AS first_tok,
+           toks[LEAST(len(toks), chunk_id * 64 + 64)] AS last_tok
+    FROM c
+    """,
+)
+def doc_chunk_split(spark, sf_dir):
+    """Context-window chunking: 64-token chunks per document (map +
+    explode, no shuffle — see operators/sampling.py)."""
+    from ..operators import sampling as SA
+
+    return SA.chunk_documents(load_table(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id AS k, CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+               ROUND(SUM(value), 2) AS sv
+        FROM events WHERE user_id < 10 GROUP BY k, d),
+    spine AS (
+        SELECT k, unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+        FROM daily GROUP BY k),
+    j AS (SELECT s.k, s.d, daily.sv FROM spine s LEFT JOIN daily USING (k, d))
+    SELECT k AS user_id, d, sv,
+           last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           sv IS NULL AS is_gap
+    FROM j
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Regular-grid resample + forward fill per user (gap days flagged;
+    see operators/timeseries.py for the scale notes)."""
+    from ..operators.timeseries import gap_fill_daily
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return gap_fill_daily(ev)

@@ -240,3 +240,21 @@ class TestAnalyticsOps:
         plan = formatted_plan(queries["agg_grouping_sets"](spark, SF))
         assert "Expand" in plan
         assert exchange_count(plan) <= 2, plan
+
+    def test_chunk_split_no_shuffle(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["doc_chunk_split"](spark, SF))
+        assert "Join" not in plan
+        assert exchange_count(plan) == 0, plan  # map + explode only
+
+    def test_gap_fill_spine_never_driver_side(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_gap_fill"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        # the generated date spine joins observations on (key, day) —
+        # any join strategy but a cartesian is fine; Generate (the
+        # sequence explode) must run executor-side
+        assert "Generate" in plan
