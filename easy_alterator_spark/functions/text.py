@@ -140,3 +140,18 @@ def fingerprint(text: Column) -> Column:
     shuffle key is 32 bytes regardless of document size."""
     canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(canon)
+
+
+# GPT-2-style pre-tokenizer shape (Radford et al. 2019), restricted to
+# lookahead-free portable constructs so Spark's Java regex and the
+# oracle's RE2 agree: contraction suffixes, space-prefixed word/number
+# runs (numbers chunked <=3 digits as modern BPE vocabularies do), and
+# punctuation runs.
+BPE_SPLIT_RE = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-tokenizer token count — the unit that LLM token budgets are
+    measured in (whitespace words under-count by the punctuation and
+    contraction splits). One regexp_count, row-local, codegen'd."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))

@@ -239,3 +239,36 @@ def events_gap_fill(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     return gap_fill_daily(ev)
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(text,
+               '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]{{1,3}}| ?[^a-zA-Z0-9\\s]+')))::BIGINT
+               AS bpe_tokens,
+           SUM(len({_DTOKS}))::BIGINT AS ws_tokens,
+           ROUND(AVG(len(regexp_extract_all(text,
+               '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]{{1,3}}| ?[^a-zA-Z0-9\\s]+'))), 2)
+               AS avg_bpe
+    FROM documents GROUP BY lang
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """Token-budget accounting per lang: BPE-ish pre-tokenizer count
+    (functions/text.py::bpe_token_count) next to the whitespace count —
+    the number training-data budgets are actually denominated in."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        T.bpe_token_count(F.col("text")).cast("long").alias("bpe"),
+        T.token_count(F.col("text")).cast("long").alias("ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.round(F.avg("bpe"), 2).alias("avg_bpe"),
+    )
