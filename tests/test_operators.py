@@ -351,3 +351,57 @@ def test_z_order_key_rejects_bad_bits(spark):
         z_order_key(F.lit(1), F.lit(1), bits=0)
     with pytest.raises(ValueError):
         z_order_key(F.lit(1), F.lit(1), bits=27)
+
+
+def test_chunk_documents_reassembles(spark):
+    """Chunks tile the token stream: sizes are `chunk` except the last
+    (n mod chunk), firsts/lasts line up with the original tokens, and
+    empty docs vanish."""
+    from easy_alterator_spark.operators.sampling import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i:03d}" for i in range(10))),   # 2 chunks of 4+
+        (2, " ".join(f"u{i:03d}" for i in range(4))),    # exactly 1 chunk
+        (3, "solo"),                                     # short
+        (4, "   "),                                      # empty after tokenize
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, chunk_tokens=4).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert [out[(1, i)]["n_tok"] for i in range(3)] == [4, 4, 2]
+    assert out[(1, 0)]["first_tok"] == "t000" and out[(1, 0)]["last_tok"] == "t003"
+    assert out[(1, 2)]["first_tok"] == "t008" and out[(1, 2)]["last_tok"] == "t009"
+    assert out[(2, 0)]["n_tok"] == 4
+    assert out[(3, 0)]["first_tok"] == out[(3, 0)]["last_tok"] == "solo"
+
+
+def test_gap_fill_daily_constructed(spark):
+    """Grid covers [min,max] per key; gaps carry the last daily sum
+    forward; observed days pass through untouched."""
+    import datetime
+
+    from easy_alterator_spark.operators.timeseries import gap_fill_daily
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, h)
+
+    rows = [
+        (1, ts(1), 1.0), (1, ts(1, 5), 2.0),  # day1 sum 3.0
+        (1, ts(4), 7.5),                       # days 2-3 are gaps
+        (2, ts(2), 4.0),                       # single-day key: no gaps
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r["user_id"], str(r["d"])): r for r in gap_fill_daily(ev).collect()
+    }
+    assert len(got) == 5  # key1: 4 days, key2: 1 day
+    assert got[(1, "2024-01-01")]["filled"] == 3.0
+    assert got[(1, "2024-01-02")]["sv"] is None
+    assert got[(1, "2024-01-02")]["is_gap"] is True
+    assert got[(1, "2024-01-02")]["filled"] == 3.0
+    assert got[(1, "2024-01-03")]["filled"] == 3.0
+    assert got[(1, "2024-01-04")]["filled"] == 7.5
+    assert got[(2, "2024-01-02")]["is_gap"] is False
