@@ -172,3 +172,131 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
         content = bytes([(i * 7 + j) % 256 for j in range(128 + (i % 5) * 1024)])
         rows.append((i, kind, f"application/x-{kind}", content, len(content)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def _resize_image_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Deterministic fake resize: stub dims scaled to fit max_side,
+    payload truncated proportionally to the area ratio — keeps the
+    (smaller-bytes-out) contract the real path has."""
+    w, h, _ = _decode_image_stub(content)
+    if w == 0 or h == 0:
+        return 0, 0, b""
+    scale = min(1.0, max_side / float(max(w, h)))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    keep = max(1, int(len(content) * (nw * nh) / float(w * h)))
+    return nw, nh, bytes(content[:keep])
+
+
+def _resize_image_pil(content: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Real thumbnail via PIL: aspect-preserving fit into a max_side
+    box, re-encoded PNG."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — executor-side optional dep
+
+    if content is None or len(content) == 0:
+        return 0, 0, b""
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.thumbnail((max_side, max_side))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+    except Exception:
+        return 0, 0, b""
+    return img.width, img.height, buf.getvalue()
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, use_pil: bool | None = None
+) -> DataFrame:
+    """image rows -> aspect-preserving resize to fit ``max_side``.
+
+    Same Arrow-batched mapInPandas shape as decode_images; the output
+    is again a binary media column, so resize stages chain (decode ->
+    resize -> feature-extract) without leaving the batch pipeline.
+    """
+    if use_pil is None:
+        use_pil = _pil_available()
+    resize_one = _resize_image_pil if use_pil else _resize_image_stub
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_one(c, max_side) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [r[0] for r in out],
+                    "height": [r[1] for r in out],
+                    "content": [r[2] for r in out],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(resize, RESIZED_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_windows", IntegerType(), True),
+        StructField("mean_energy", FloatType(), True),
+        StructField("peak_energy", FloatType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
+    """audio rows -> per-window RMS energy profile (windows, mean, peak).
+
+    This is a REAL windowed-energy computation over the raw byte
+    stream (bytes treated as unsigned 8-bit samples — a stand-in for
+    codec decode, which would slot in front of the same windowing
+    inside this mapInPandas). numpy does the window math per Arrow
+    batch, so cost is linear in bytes with zero JVM<->Python row
+    traffic.
+    """
+    import numpy as np
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, me, pe = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None or len(content) == 0:
+                    nw.append(0), me.append(0.0), pe.append(0.0)
+                    continue
+                a = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
+                a = (a - 128.0) / 128.0
+                n = (len(a) // window_bytes) or 1
+                wins = np.array_split(a[: n * window_bytes] if len(a) >= window_bytes else a, n)
+                rms = np.array([float(np.sqrt(np.mean(w * w))) for w in wins])
+                nw.append(n), me.append(round(float(rms.mean()), 6)), pe.append(
+                    round(float(rms.max()), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_windows": nw,
+                    "mean_energy": me,
+                    "peak_energy": pe,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(energy, AUDIO_FEATURES_SCHEMA)
+    )

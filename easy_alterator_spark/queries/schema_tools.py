@@ -225,3 +225,27 @@ def multimodal_frame_sample(spark, sf_dir):
         .agg(F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx"))
         .orderBy("media_id")
     )
+
+
+@query("multimodal_resize", bench=False)  # mapInPandas plumbing; rows-only
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize over binary image columns (stubbed
+    codec, real batch pipeline — output is a binary media column so
+    stages chain; real path unit-tested behind the PIL gate)."""
+    from ..operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return resize_images(media, max_side=128, use_pil=False).select(
+        "media_id", "width", "height", F.length("content").alias("n_bytes")
+    ).orderBy("media_id")
+
+
+@query("multimodal_audio_energy", bench=False)  # mapInPandas plumbing; rows-only
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed RMS energy per audio blob — real numpy window math
+    over Arrow batches (bytes as unsigned samples; codec decode slots
+    in front of the same windowing)."""
+    from ..operators.multimodal import audio_features, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return audio_features(media, window_bytes=256).orderBy("media_id")

@@ -57,6 +57,54 @@ class TestDecodeGate:
         assert (r["width"], r["height"]) == (20, 10)
         assert abs(sum(r["features"]) - 1.0) < 1e-6
 
+    def test_resize_stub_shrinks(self, spark):
+        from easy_alterator_spark.operators.multimodal import (
+            resize_images,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=30)
+        rows = resize_images(media, max_side=128, use_pil=False).collect()
+        assert len(rows) == 10
+        assert all(max(r["width"], r["height"]) <= 128 for r in rows)
+        assert all(r["content"] is not None for r in rows)
+
+    @pytest.mark.skipif(not _pil_present(), reason="PIL not installed")
+    def test_real_resize_with_pil(self, spark):
+        import io
+
+        from PIL import Image
+
+        from easy_alterator_spark.operators.multimodal import resize_images
+
+        buf = io.BytesIO()
+        Image.new("RGB", (400, 100), (0, 255, 0)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", "image/png", buf.getvalue(), len(buf.getvalue()))],
+            "media_id long, kind string, mime string, content binary, n_bytes long",
+        )
+        r = resize_images(media, max_side=200, use_pil=True).collect()[0]
+        assert (r["width"], r["height"]) == (200, 50)  # aspect preserved
+        assert Image.open(io.BytesIO(bytes(r["content"]))).size == (200, 50)
+
+    def test_audio_energy_real_windows(self, spark):
+        """Known byte patterns give known RMS: silence (128s) -> 0,
+        full-swing square wave (0/255) -> ~1."""
+        from easy_alterator_spark.operators.multimodal import audio_features
+
+        silence = bytes([128] * 512)
+        square = bytes([0, 255] * 256)
+        media = spark.createDataFrame(
+            [
+                (1, "audio", "audio/raw", silence, len(silence)),
+                (2, "audio", "audio/raw", square, len(square)),
+            ],
+            "media_id long, kind string, mime string, content binary, n_bytes long",
+        )
+        got = {r["media_id"]: r for r in audio_features(media, window_bytes=256).collect()}
+        assert got[1]["n_windows"] == 2 and got[1]["peak_energy"] == 0.0
+        assert got[2]["n_windows"] == 2 and abs(got[2]["mean_energy"] - 1.0) < 0.01
+
     def test_pil_decoder_rejects_garbage_bytes(self):
         # unit-level: the PIL path must not throw on non-image bytes
         if not _pil_present():
