@@ -1,6 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship query (Q08 multi-way join + agg) on
+``entry(spark)`` runs the flagship query — the end-to-end
+training-corpus pipeline (quality gate -> exact dedup ->
+decontamination -> stratified sample -> sequence packing) — on
 sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
@@ -22,7 +24,7 @@ load_all()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q08_multijoin_agg"](spark, "/root/testdata/sf0.001")
+    return QUERIES["pipeline_training_corpus"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

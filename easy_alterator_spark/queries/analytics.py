@@ -272,3 +272,92 @@ def text_bpe_tokens(spark, sf_dir):
         F.sum("ws").cast("long").alias("ws_tokens"),
         F.round(F.avg("bpe"), 2).alias("avg_bpe"),
     )
+
+
+@query(
+    "pipeline_training_corpus",
+    # End-to-end oracle: the same five stages in DuckDB SQL. Grams are
+    # compared as strings here vs 64-bit hashes in Spark — identical
+    # doc sets barring ~n²/2⁶⁴ hash-collision odds.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE length(text) > 100 AND source <> 'src0'),
+    fp AS (
+        SELECT doc_id, lang, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM base),
+    surv AS (
+        SELECT doc_id, lang, text FROM fp
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+    bt AS (SELECT {_DTOKS} AS t FROM documents WHERE source = 'src0'),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+        FROM bt, UNNEST(range(1, greatest(len(t) - 2, 1))) AS u(i)
+        WHERE len(t) >= 4),
+    st AS (SELECT doc_id, {_DTOKS} AS t FROM surv),
+    sgrams AS (
+        SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+        FROM st, UNNEST(range(1, greatest(len(t) - 2, 1))) AS u(i)
+        WHERE len(t) >= 4),
+    cont AS (SELECT DISTINCT doc_id FROM sgrams JOIN bgrams USING (gram)),
+    clean AS (
+        SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    samp AS (
+        SELECT * FROM clean
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT <
+              CASE WHEN lang = 'en' THEN CAST(0.25 * 65536 AS INT)
+                   ELSE 65536 END),
+    tok AS (SELECT doc_id, lang, len({_DTOKS})::BIGINT AS n_tokens FROM samp),
+    packs AS (
+        SELECT lang, n_tokens,
+               ((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // 512)::BIGINT AS pack_id
+        FROM tok)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT pack_id)::BIGINT AS n_packs,
+           SUM(n_tokens)::BIGINT AS total_tokens
+    FROM packs GROUP BY lang
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """Flagship composition — the whole training-data pipeline in one
+    oracle-checked plan: quality gate -> exact dedup (keep lowest id
+    per fingerprint) -> benchmark decontamination (drop docs sharing a
+    word 4-gram with the src0 corpus) -> deterministic stratified
+    sample (25% of English, all of the rest) -> 512-token sequence
+    packing -> per-lang corpus accounting.
+
+    Every stage is the operator the standalone queries test
+    individually (functions/text.fingerprint, operators/decontaminate,
+    operators/sampling); composing them stays ONE Catalyst plan — no
+    materialization barriers between stages, so column pruning and
+    filter pushdown work across stage boundaries.
+    """
+    from ..functions import text as T
+    from ..operators import decontaminate as DC
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter((F.length("text") > 100) & (F.col("source") != "src0"))
+    # exact dedup: survivor = lowest doc_id per canonical fingerprint
+    surv_ids = (
+        base.select("doc_id", T.fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = base.join(surv_ids, "doc_id", "left_semi")
+    bench = docs.filter(F.col("source") == "src0")
+    dirty = DC.contaminated_docs(surv, bench, n=4).select("doc_id")
+    clean = surv.join(dirty, "doc_id", "left_anti")
+    samp = SP.sample_hash(
+        clean, rate=1.0, stratum_col="lang", stratum_rates={"en": 0.25}
+    )
+    packed = SP.pack_sequences(samp, budget=512, partition_col="lang")
+    return packed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
