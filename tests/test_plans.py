@@ -258,3 +258,14 @@ class TestAnalyticsOps:
         # any join strategy but a cartesian is fine; Generate (the
         # sequence explode) must run executor-side
         assert "Generate" in plan
+
+    def test_pipeline_composes_without_cartesian(self, spark, queries):
+        """The five-stage pipeline must stay one sane plan: benchmark
+        gram set broadcast, no cartesian anywhere, and the dedup/
+        decontaminate joins as hash joins."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["pipeline_training_corpus"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        assert jc["BroadcastHashJoin"] >= 1  # bench grams + survivor semi-join
