@@ -272,3 +272,28 @@ def run_to_memory(
     )
     q.awaitTermination(timeout)
     q.stop()
+
+
+def latest_by_key_stream(events: DataFrame) -> DataFrame:
+    """Latest-wins materialized view over the stream — the streaming
+    twin of queries/analytics.py::events_latest_by_key (CDC upsert
+    compaction). State per key is ONE row: the max_by aggregate folds
+    each micro-batch into the running (ts, event_id)-max, so state
+    size is bounded by key cardinality, not stream length — no
+    watermark needed (nothing is ever evicted; the view is the point).
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.event_type").alias("event_type"),
+            F.round(F.col("r.value"), 2).alias("value"),
+        )
+    )

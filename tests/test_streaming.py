@@ -184,3 +184,21 @@ class TestStreamStreamJoin:
         }
         assert got == want
         assert got, "interval join must produce matches on this data"
+
+
+class TestLatestWins:
+    def test_latest_by_key_matches_batch(self, spark, batch_events, stream_events):
+        from easy_alterator_spark.queries import QUERIES, load_all
+        from easy_alterator_spark.streaming.events import latest_by_key_stream
+
+        load_all()
+        drain(latest_by_key_stream(stream_events), "t_latest", mode="complete")
+        got = {
+            r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+            for r in spark.table("t_latest").collect()
+        }
+        want = {
+            r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+            for r in QUERIES["events_latest_by_key"](spark, SF).collect()
+        }
+        assert got == want
