@@ -361,3 +361,55 @@ def pipeline_training_corpus(spark, sf_dir):
         F.countDistinct("pack_id").cast("long").alias("n_packs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1)::BIGINT AS n_signup,
+           (SELECT COUNT(*) FROM s2)::BIGINT AS n_viewed,
+           (SELECT COUNT(*) FROM s3)::BIGINT AS n_purchased
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential conversion funnel (signup -> later view -> later
+    purchase): each step keeps users whose step event occurs at or
+    after their previous step's first occurrence. Three aggregations
+    on the SAME key — co-partitioned after the first shuffle, so the
+    step joins add no new exchange of the events table; step counts
+    are 1-row aggregates combined with literal cross joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("long").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").cast("long").alias("n_viewed")))
+        .crossJoin(s3.agg(F.count("*").cast("long").alias("n_purchased")))
+    )
