@@ -413,3 +413,35 @@ def events_funnel(spark, sf_dir):
         .crossJoin(s2.agg(F.count("*").cast("long").alias("n_viewed")))
         .crossJoin(s3.agg(F.count("*").cast("long").alias("n_purchased")))
     )
+
+
+@query(
+    "q22_correlated_avg",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n_small,
+           ROUND(SUM(l_extendedprice), 2) AS small_rev
+    FROM lineitem l
+    WHERE l_partkey <= 200
+      AND l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l_partkey
+    """,
+)
+def q22_correlated_avg(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems under
+    half their part's average quantity. Decorrelated the way Catalyst
+    would — ONE pass with an average window over l_partkey instead of
+    a per-row subquery; the filter and aggregate ride the same
+    partitioning, so the whole query is a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    w = Window.partitionBy("l_partkey")
+    flagged = li.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.avg("l_quantity").over(w).alias("avg_qty"),
+    ).filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    return flagged.groupBy("l_partkey").agg(
+        F.count("*").alias("n_small"),
+        F.round(F.sum("l_extendedprice"), 2).alias("small_rev"),
+    )
