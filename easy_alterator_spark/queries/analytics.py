@@ -445,3 +445,43 @@ def q22_correlated_avg(spark, sf_dir):
         F.count("*").alias("n_small"),
         F.round(F.sum("l_extendedprice"), 2).alias("small_rev"),
     )
+
+
+@query(
+    "events_outliers",
+    oracle="""
+    WITH s AS (SELECT user_id, value,
+                      AVG(value) OVER (PARTITION BY user_id) AS mu,
+                      STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sigma
+               FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(*) FILTER (sigma > 0 AND abs(value - mu) > 2.5 * sigma)
+               AS n_outliers
+    FROM s GROUP BY user_id
+    """,
+)
+def events_outliers(spark, sf_dir):
+    """Per-entity z-score outlier flagging (anomalous event values vs
+    the entity's own distribution) — the data-quality triage step
+    before a value column feeds training. Mean/stddev come from an
+    unordered window over the entity key, so the flagging and the
+    final count ride ONE shuffle on user_id; no second scan, no join
+    of a stats table back onto the events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    flagged = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(
+            F.when(
+                (F.col("sigma") > 0)
+                & (F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma")),
+                1,
+            )
+        ).alias("n_outliers"),
+    )
