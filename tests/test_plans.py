@@ -269,3 +269,31 @@ class TestAnalyticsOps:
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0
         assert jc["BroadcastHashJoin"] >= 1  # bench grams + survivor semi-join
+
+    def test_funnel_steps_share_key_partitioning(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_funnel"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0  # 1-row combines are BNLJ, fine
+        assert jc["SortMergeJoin"] == 0
+
+    def test_outliers_single_shuffle(self, spark, queries):
+        from easy_alterator_spark.plans.audit import exchange_count, formatted_plan
+
+        plan = formatted_plan(queries["events_outliers"](spark, SF))
+        assert "Join" not in plan
+        # stats window + final agg ride one user_id shuffle (node
+        # listed twice: tree + details)
+        assert exchange_count(plan) <= 2, plan
+
+    def test_correlated_avg_one_shuffle(self, spark, queries):
+        from easy_alterator_spark.plans.audit import (
+            assert_filter_pushed,
+            exchange_count,
+            formatted_plan,
+        )
+
+        df = queries["q22_correlated_avg"](spark, SF)
+        assert_filter_pushed(df, "LessThanOrEqual(l_partkey,200)")
+        assert exchange_count(formatted_plan(df)) <= 2
