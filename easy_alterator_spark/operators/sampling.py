@@ -129,3 +129,21 @@ def chunk_documents(
         F.element_at(piece, 1).alias("first_tok"),
         F.element_at(piece, -1).alias("last_tok"),
     )
+
+
+def sample_weighted(
+    df: DataFrame, weight_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    own ``weight_col`` value in [0, 1] — deterministically, via the
+    same content-derived md5 bucket as :func:`sample_hash` (floor'd to
+    an integer threshold so any engine reproduces the exact set).
+
+    The training-data use is quality-weighted mixing: high-quality
+    documents are kept at ~their score, low-quality ones decimated,
+    with no RNG — membership is stable across runs, engines, and
+    corpus growth. Row-local filter: pushes to the scan when the
+    weight is a stored column, stays map-side when computed.
+    """
+    thresh = F.floor(F.col(weight_col) * _BUCKETS).cast("int")
+    return df.filter(hash_bucket(F.col(id_col)) < thresh)

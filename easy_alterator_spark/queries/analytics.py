@@ -485,3 +485,51 @@ def events_outliers(spark, sf_dir):
             )
         ).alias("n_outliers"),
     )
+
+
+@query(
+    "doc_sample_weighted",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {_DTOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, lang,
+                 len(toks) AS ntok,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                           / length(text)
+                      ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(
+                             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                           / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM t),
+    s AS (SELECT doc_id, lang,
+                 ROUND(0.5 * least(ntok / 50.0, 1.0)
+                       + 0.3 * alpha_ratio
+                       + 0.2 * least(stop_ratio * 5, 1.0), 4) AS q
+          FROM m),
+    kept AS (SELECT * FROM s
+             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                   < FLOOR(q * 65536)::INT)
+    SELECT lang, COUNT(*)::BIGINT AS kept, ROUND(AVG(q), 4) AS avg_q
+    FROM kept GROUP BY lang
+    """,
+)
+def doc_sample_weighted(spark, sf_dir):
+    """Quality-weighted importance sampling: each document survives
+    with probability equal to its own quality score — deterministic
+    (md5-bucket vs floor'd threshold, reproduced exactly by the
+    oracle), so the mix is stable across runs and engines. The
+    selection-bias effect shows in avg_q of the kept set."""
+    from ..operators import sampling as SP
+    from ..operators import textstats as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        X.quality(docs).withColumnRenamed("quality", "q"), "doc_id"
+    )
+    kept = SP.sample_weighted(scored, "q")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("kept"),
+        F.round(F.avg("q"), 4).alias("avg_q"),
+    )
