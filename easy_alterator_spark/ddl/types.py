@@ -74,8 +74,36 @@ def canon_decimal(t: str) -> str:
     return re.sub(r"decimal\((\d+),\s*(\d+)\)", r"decimal(\1, \2)", t)
 
 
+def is_nested_type(t: str) -> bool:
+    """array<...> / struct<...> / map<...> (any complex type)."""
+    return "<" in t
+
+
+def canon_nested(t: str) -> str:
+    """Canonical nested-type spelling: lowercase, zero whitespace.
+
+    ``Array< Struct<a : int, b:string> >`` == ``array<struct<a:int,b:string>>``.
+    Whitespace inside complex types is never load-bearing in Hive/Spark
+    DDL, so stripping it yields a stable comparison key on both sides.
+    """
+    return re.sub(r"\s+", "", t.lower())
+
+
+def parse_type_ddl(t: str):
+    """Validate/parse a type string via Spark's own DDL parser
+    (``DataType.fromDDL`` — requires an active SparkSession). Raises on
+    malformed types; used by tests and the apply path as a guard before
+    rendering ALTER statements with nested types."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(t)
+
+
 def normalize_hive_type(t: str) -> str:
-    """Hive comparison normalization: only decimal spacing is canonical."""
+    """Hive comparison normalization: decimal spacing canonical; nested
+    complex types canonicalized to the whitespace-free lowercase form."""
+    if is_nested_type(t):
+        return canon_nested(t)
     return canon_decimal(t) if "decimal" in t.lower() else t
 
 
@@ -83,8 +111,12 @@ def normalize_iceberg_ddl_type(t: str) -> str:
     """DDL type -> Iceberg comparison vocabulary.
 
     varchar(n) -> string; decimal canonical spacing; bare timestamp ->
-    timestamptz; bigint -> long.
+    timestamptz; bigint -> long; nested complex types canonicalized
+    (compatible only on exact match — Iceberg does not evolve complex
+    types wholesale).
     """
+    if is_nested_type(t):
+        return canon_nested(t)
     low = t.lower()
     if low.startswith("varchar"):
         return re.sub(r"varchar\(\d+\)", "string", t, flags=re.IGNORECASE)
@@ -115,7 +147,16 @@ def decimal_compatible(old: str, new: str) -> bool:
 
 
 def is_compatible(old: str, new: str, engine: str = "athena") -> bool:
-    """Driver-side compatibility check (matrix ∨ decimal widening)."""
+    """Driver-side compatibility check (matrix ∨ decimal widening).
+
+    Nested complex types are compatible only on exact (normalized)
+    match — i.e. any *detected change* involving array/struct/map is
+    incompatible. Without this guard a struct containing a decimal
+    field would fall into the widening rule's parse-failure-is-
+    compatible quirk and be waved through.
+    """
+    if is_nested_type(old) or is_nested_type(new):
+        return False
     matrix = COMPATIBILITY[engine]
     if new.upper() in matrix.get(old.upper(), ()):
         return True
@@ -131,13 +172,18 @@ def canon_decimal_col(t: Column) -> Column:
     return F.regexp_replace(t, r"decimal\((\d+),\s*(\d+)\)", r"decimal($1, $2)")
 
 
+def canon_nested_col(t: Column) -> Column:
+    return F.lower(F.regexp_replace(t, r"\s+", ""))
+
+
 def normalize_hive_type_col(t: Column) -> Column:
-    return canon_decimal_col(t)
+    return F.when(t.contains("<"), canon_nested_col(t)).otherwise(canon_decimal_col(t))
 
 
 def normalize_iceberg_ddl_type_col(t: Column) -> Column:
     low = F.lower(t)
-    out = F.when(low.startswith("varchar"), F.regexp_replace(t, r"(?i)varchar\(\d+\)", "string"))
+    out = F.when(t.contains("<"), canon_nested_col(t))
+    out = out.when(low.startswith("varchar"), F.regexp_replace(t, r"(?i)varchar\(\d+\)", "string"))
     out = out.when(low.startswith("decimal"), canon_decimal_col(t))
     out = out.when(low == "timestamp", F.lit("timestamptz"))
     for src, dst in DDL_TO_ICEBERG.items():
@@ -189,5 +235,12 @@ def is_compatible_col(old: Column, new: Column, engine: str = "athena") -> Colum
             in_matrix = in_matrix | (
                 (F.upper(old) == old_t) & F.upper(new).isin(*news)
             )
-    both_decimal = F.lower(old).contains("decimal") & F.lower(new).contains("decimal")
-    return in_matrix | (both_decimal & decimal_compatible_col(old, new))
+    # nested complex types: compatible only on exact match, so any
+    # detected change is incompatible — and must NOT reach the decimal
+    # widening rule (struct<...decimal...> would otherwise hit its
+    # parse-failure-is-compatible quirk)
+    nested = old.contains("<") | new.contains("<")
+    both_decimal = (
+        ~nested & F.lower(old).contains("decimal") & F.lower(new).contains("decimal")
+    )
+    return ~nested & (in_matrix | (both_decimal & decimal_compatible_col(old, new)))

@@ -11,6 +11,12 @@ import pytest
 TYPES = [
     "string", "int", "bigint", "double", "float", "date", "timestamp",
     "decimal(18, 7)", "decimal(10,2)", "varchar(32)", "smallint",
+    # nested complex types (depth up to 3 — the parser's documented bound)
+    "array<int>",
+    "map<string, int>",
+    "array<struct<a:int,b:string>>",
+    "struct<x:decimal(10,2),y:array<string>>",
+    "map<string,array<struct<k:string,v:double>>>",
 ]
 
 

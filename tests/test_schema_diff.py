@@ -459,3 +459,150 @@ class TestDuplicateFiles:
         assert len(rows) == 1
         # lexically-last file wins; no cross-file contamination
         assert [c["name"] for c in rows[0]["new_cols"]] == ["fresh"]
+
+
+class TestNestedTypes:
+    """Complex array<>/struct<>/map<> columns parse and diff end-to-end.
+
+    Closes the reference's silent nested-type gap (SURVEY.md §1.3;
+    reference src/bin/alterator.py:75-78 drops such columns from the
+    parse entirely, so they'd be reported as deleted)."""
+
+    CAT_SCHEMA = (
+        "table_name string, name string, type string, position int, "
+        "is_partition boolean, field_id int"
+    )
+    TBL_SCHEMA = (
+        "table_name string, table_type string, format string, "
+        "metadata_location string, properties map<string,string>, version_id string"
+    )
+
+    @pytest.fixture(scope="class")
+    def nested_report(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import build_report, hive_diff
+
+        # ev: unchanged modulo whitespace; tags: add; old_nested: delete;
+        # meta: nested type CHANGE (decimal field widened inside a struct
+        # — must be INCOMPATIBLE, not waved through the widening quirk)
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/nested.hql",
+                """CREATE EXTERNAL TABLE `ndb.nested`(
+                    `id` int,
+                    `ev` array< struct<k: string, v: int> >,
+                    `tags` map<string, int>,
+                    `deep` map<string,array<struct<k:string,v:double>>>,
+                    `meta` struct<a:decimal(12,2)>
+                ) STORED AS PARQUET LOCATION 's3://b/nested';""",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [
+                ("ndb.nested", "id", "int", 0, False, None),
+                ("ndb.nested", "ev", "array<struct<k:string,v:int>>", 1, False, None),
+                ("ndb.nested", "deep", "map<string,array<struct<k:string,v:double>>>", 2, False, None),
+                ("ndb.nested", "meta", "struct<a:decimal(10,2)>", 3, False, None),
+                ("ndb.nested", "old_nested", "array<int>", 4, False, None),
+            ],
+            self.CAT_SCHEMA,
+        )
+        cat_tables = spark.createDataFrame(
+            [("ndb.nested", "EXTERNAL_TABLE", "PARQUET", None, {}, "4")],
+            self.TBL_SCHEMA,
+        )
+        return build_report(hive_diff(parsed, cat_cols, cat_tables))
+
+    def test_parse_preserves_nested_types(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+
+        corpus = corpus_from_rows(
+            spark,
+            [("hql/p.hql", "CREATE EXTERNAL TABLE `p.t`(`a` array<struct<x:int,y:map<string,date>>>, `b` int) STORED AS PARQUET;")],
+        )
+        [row] = parse_ddl_corpus(corpus).collect()
+        assert [(c["name"], c["type"]) for c in row["columns"]] == [
+            ("a", "array<struct<x:int,y:map<string,date>>>"),
+            ("b", "int"),
+        ]
+
+    def test_nested_change_is_incompatible_skip(self, nested_report):
+        e = by_table(nested_report["skipped_tables"], "ndb.nested")
+        assert e["reason"] == "IncompatibleDataTypeError"
+        inc = e["details"]["incompatible"]
+        assert [c["Name"] for c in inc] == ["meta"]
+        assert inc[0]["Type"] == "struct<a:decimal(10,2)>"
+        assert inc[0]["updated_type"] == "struct<a:decimal(12,2)>"
+
+    def test_nested_add_delete_whitespace_insensitive(self, nested_report):
+        e = by_table(nested_report["skipped_tables"], "ndb.nested")
+        # ev/deep unchanged (modulo whitespace) -> neither add nor delete
+        assert [c["Name"] for c in e["details"]["add"]] == ["tags"]
+        assert e["details"]["add"][0]["Type"] == "map<string, int>"
+        assert [c["Name"] for c in e["details"]["delete"]] == ["old_nested"]
+
+    def test_nested_no_change_is_identical(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import build_report, hive_diff
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/same.hql",
+                "CREATE EXTERNAL TABLE `ndb.same`(`ev` Array< Struct<K: string, V: int> >) STORED AS PARQUET;",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [("ndb.same", "ev", "array<struct<k:string,v:int>>", 0, False, None)],
+            self.CAT_SCHEMA,
+        )
+        cat_tables = spark.createDataFrame(
+            [("ndb.same", "EXTERNAL_TABLE", "PARQUET", None, {}, "1")],
+            self.TBL_SCHEMA,
+        )
+        rep = build_report(hive_diff(parsed, cat_cols, cat_tables))
+        assert [t for t in rep["identical_tables"]] == ["ndb.same"]
+
+    def test_nested_iceberg_add_and_identity(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import iceberg_diff
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/ni.hql",
+                """CREATE TABLE `ndb.ni` (
+                    `ev` array<struct<k: string, v: int>>,
+                    `tags` map<string, bigint>
+                ) USING iceberg;""",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [("ndb.ni", "ev", "array<struct<k:string,v:int>>", 0, False, 1)],
+            self.CAT_SCHEMA,
+        )
+        cat_tables = spark.createDataFrame(
+            [("ndb.ni", "EXTERNAL_TABLE", "ICEBERG", "s3://m", {}, "1")],
+            self.TBL_SCHEMA,
+        )
+        [row] = iceberg_diff(parsed, cat_cols, cat_tables).collect()
+        # ev identical after canonicalization; tags is the only add, its
+        # type in canonical comparison vocabulary
+        assert [c["name"] for c in row["new_cols"]] == ["tags"]
+        assert row["new_cols"][0]["type"] == "map<string,bigint>"
+        assert not row["dropped"]
+
+    def test_spark_parses_every_nested_type_we_emit(self, spark):
+        from easy_alterator_spark.ddl.types import parse_type_ddl
+
+        for t in [
+            "array<struct<k:string,v:int>>",
+            "map<string,array<struct<k:string,v:double>>>",
+            "struct<a:decimal(12,2)>",
+            "map<string, int>",
+        ]:
+            parse_type_ddl(t)  # raises on malformed
