@@ -397,26 +397,40 @@ def connected_components(
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iters: int = 50,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """(id, component) assignment over an undirected pair graph —
     the step a dedup pipeline needs AFTER pair generation: near-dup
     PAIRS say who matches whom; the CLUSTER says which rows are one
     logical document (keep min-id, drop the rest).
 
-    Min-label propagation: every node starts as its own label; each
-    round takes the min over neighbors; fixpoint = connected
-    components with component id = min member id. Rounds needed =
-    graph diameter — near-dup graphs are clique-ish (diameter 2-4),
-    so this loops 3-5 times in practice, each round one
-    shuffle-on-node-id join + a map-side-combined min. The driver loop
-    is over ROUNDS, never over data. Lineage is truncated per round
-    with localCheckpoint (at cluster scale point checkpointing at a
-    reliable dir instead); convergence is witnessed by sum(label) —
-    labels only ever decrease, so an unchanged sum IS the fixpoint,
-    one cheap agg instead of a change-count join. For graphs with
-    giant-diameter chains swap in large-star/small-star (same
-    operator surface, O(log n) rounds).
+    Two algorithms behind one surface (identical output — component
+    id = min member id):
+
+    - ``min_label`` (default): every node starts as its own label;
+      each round takes the min over neighbors; fixpoint in
+      O(diameter) rounds. Near-dup graphs are clique-ish (diameter
+      2-4), so this loops 3-5 times, each round ONE
+      shuffle-on-node-id join + a map-side-combined min.
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n)
+      rounds on ANY graph shape, the adversarial-diameter path: a
+      chain of 1000 nodes converges in ~8 alternations where
+      min_label needs ~1000 rounds. Two shuffles per round; pick it
+      when the pair graph may contain long chains (e.g. transitive
+      near-dup at a loose threshold).
+
+    The driver loop is over ROUNDS, never over data. Lineage is
+    truncated per round with localCheckpoint (at cluster scale point
+    checkpointing at a reliable dir instead); convergence is
+    witnessed by a monotone label-sum — labels only ever decrease, so
+    an unchanged sum IS the fixpoint, one cheap agg instead of a
+    change-count join.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iters)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(
         F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
     )
@@ -444,6 +458,84 @@ def connected_components(
             break
         prev_sum = s
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star — O(log n) rounds.
+
+    Per alternation (one large-star + one small-star):
+
+    - large-star: for each node u with symmetric neighborhood Γ(u),
+      connect every STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u}).
+    - small-star: orient edges high→low; for each node h connect all
+      its smaller neighbors AND h itself to m = min(Γ⁻(h)).
+
+    Both steps preserve connectivity and only move edges toward
+    smaller ids; at fixpoint the graph is a star forest whose centers
+    are the component minima. Convergence witness: Σ over nodes of
+    their current best-known label (monotone non-increasing — the
+    same witness graphframes uses for this algorithm).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    # unordered pairs, s < d
+    edges = (
+        e.select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("s").alias("id"))
+        .unionByName(edges.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        # --- large star over symmetric neighborhoods
+        sym = edges.unionByName(
+            edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        mins = sym.groupBy("s").agg(F.min("d").alias("mnd"))
+        mins = mins.select("s", F.least("s", "mnd").alias("mn"))
+        ls = (
+            sym.filter(F.col("d") > F.col("s"))
+            .join(mins, "s")
+            # mn <= s < d, so (mn, d) is already ordered
+            .select(F.col("mn").alias("s"), "d")
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # --- small star over high->low orientation (ls pairs have s < d)
+        hi = ls.select(F.col("d").alias("h"), F.col("s").alias("l"))
+        mins2 = hi.groupBy("h").agg(F.min("l").alias("mn"))
+        joined = hi.join(mins2, "h")
+        edges = (
+            joined.select(F.col("mn").alias("s"), F.col("l").alias("d"))
+            .unionByName(joined.select(F.col("mn").alias("s"), F.col("h").alias("d")))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # best-known label per node (centers label themselves)
+        lbl = nodes.join(
+            edges.groupBy("d").agg(F.min("s").alias("mn")),
+            nodes["id"] == F.col("d"),
+            "left",
+        ).select(F.least("id", F.coalesce("mn", "id")).alias("comp"))
+        s_now = lbl.agg(F.sum("comp").alias("t")).collect()[0]["t"]
+        if s_now == prev_sum:
+            break
+        prev_sum = s_now
+    final = nodes.join(
+        edges.groupBy("d").agg(F.min("s").alias("mn")),
+        nodes["id"] == F.col("d"),
+        "left",
+    ).select("id", F.least("id", F.coalesce("mn", "id")).alias("comp"))
+    return final
 
 
 # ---------------------------------------------------------------------------
@@ -578,48 +670,78 @@ def incremental_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits(toks: F.Column, nbits: int = 64) -> F.Column:
+def simhash_bits(toks: F.Column, nbits: int = 64, bit_source: str = "xxhash64") -> F.Column:
     """SimHash as an array<int> of nbits 0/1 entries, row-local.
 
     Bit i is 1 iff more token hashes have bit i set than unset. Kept
     as an int array (not packed into a bigint) to dodge sign issues
-    and keep hamming distance a zip_with sum.
+    and keep hamming distance a zip_with sum. All row-local, one
+    nested higher-order expression — constant codegen size regardless
+    of nbits.
 
-    Token bits come from the first nbits/4 hex digits of md5(token) —
-    md5 (not xxhash64) so an external engine (the DuckDB differential
-    oracle) can reproduce the exact signature: bit i of a token is bit
-    (3 - i%4) of hex digit i//4. All row-local, one nested
-    higher-order expression — constant codegen size regardless of
-    nbits.
+    bit_source picks the token-hash schedule:
+
+    - ``xxhash64`` (default): bit i of a token = bit i%64 of
+      xxhash64(token, seed=i//64). One 64-bit hash per token per 64
+      bits — the production path (small expression tree, cheap
+      codegen, JVM-native hash).
+    - ``md5``: bit i = bit (3 - i%4) of hex digit i//4 of md5(token).
+      Slower (hex-digit conv per nibble) but reproducible in an
+      external engine — the DuckDB differential-oracle variant
+      (`dedup_simhash_md5`).
     """
-    if nbits % 4 != 0 or not 0 < nbits <= 128:
-        raise ValueError("nbits must be a multiple of 4 in (0, 128]")
     n = F.size(toks)
-    # per token: md5 hex (computed ONCE — outer transform) -> nbits/4
-    # digit values -> nbits 0/1 entries
-    tokbits = F.transform(
-        F.transform(toks, lambda t: F.md5(t)),
-        lambda m: F.flatten(
-            F.transform(
+    if bit_source == "xxhash64":
+        if nbits % 64 != 0 or not 0 < nbits <= 256:
+            raise ValueError("xxhash64 bit schedule needs nbits a multiple of 64 in (0, 256]")
+        idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+        tokbits = F.transform(
+            toks,
+            lambda t: F.flatten(
                 F.transform(
-                    F.sequence(F.lit(1), F.lit(nbits // 4)),
-                    lambda p: F.conv(F.substring(m, p, F.lit(1)), 16, 10).cast("int"),
-                ),
-                lambda v: F.array(
-                    F.shiftright(v, 3).bitwiseAND(F.lit(1)),
-                    F.shiftright(v, 2).bitwiseAND(F.lit(1)),
-                    F.shiftright(v, 1).bitwiseAND(F.lit(1)),
-                    v.bitwiseAND(F.lit(1)),
-                ),
-            )
-        ),
-    )
+                    F.sequence(F.lit(0), F.lit(nbits // 64 - 1)),
+                    # seed via word-index suffix: one hash per 64-bit word
+                    lambda w: _word_bits(F.xxhash64(t, w)),
+                )
+            ),
+        )
+    elif bit_source == "md5":
+        if nbits % 4 != 0 or not 0 < nbits <= 128:
+            raise ValueError("md5 bit schedule needs nbits a multiple of 4 in (0, 128]")
+        # per token: md5 hex (computed ONCE — outer transform) -> nbits/4
+        # digit values -> nbits 0/1 entries
+        tokbits = F.transform(
+            F.transform(toks, lambda t: F.md5(t)),
+            lambda m: F.flatten(
+                F.transform(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(nbits // 4)),
+                        lambda p: F.conv(F.substring(m, p, F.lit(1)), 16, 10).cast("int"),
+                    ),
+                    lambda v: F.array(
+                        F.shiftright(v, 3).bitwiseAND(F.lit(1)),
+                        F.shiftright(v, 2).bitwiseAND(F.lit(1)),
+                        F.shiftright(v, 1).bitwiseAND(F.lit(1)),
+                        v.bitwiseAND(F.lit(1)),
+                    ),
+                )
+            ),
+        )
+    else:
+        raise ValueError(f"unknown bit_source {bit_source!r}")
     counts = F.aggregate(
         tokbits,
         F.array_repeat(F.lit(0), nbits),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
     return F.transform(counts, lambda c: (c * 2 > n).cast("int"))
+
+
+def _word_bits(h: F.Column) -> F.Column:
+    """64 LSB-first 0/1 ints from a bigint."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda i: F.bit_get(h, i).cast("int")
+    )
 
 
 def hamming(a: F.Column, b: F.Column) -> F.Column:
@@ -635,17 +757,20 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     nbits: int = 64,
     bands: int = 8,
+    bit_source: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
     Candidates come from matching any of `bands` bit-slices exactly
     (pigeonhole: distance <= bands-1 guarantees a matching band; with
     8 bands this is exact for max_hamming <= 7). Verify = hamming on
-    the full bit array.
+    the full bit array. ``bit_source`` as in :func:`simhash_bits` —
+    xxhash64 production default, md5 for the DuckDB-oracle variant.
     """
     width = nbits // bands
     sig = docs.select(
-        F.col(id_col).alias("id"), simhash_bits(T.tokens(F.col(text_col)), nbits).alias("bits")
+        F.col(id_col).alias("id"),
+        simhash_bits(T.tokens(F.col(text_col)), nbits, bit_source).alias("bits"),
     )
     banded = sig.select(
         "id",
@@ -755,7 +880,7 @@ def embedding_lsh_dedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 128,
+    nbits: int = 256,
     bands: int = 16,
     dim: int | None = None,
 ) -> DataFrame:
@@ -764,12 +889,17 @@ def embedding_lsh_dedup_pairs(
 
     P(two vectors agree on one sign bit) = 1 - angle/pi, so near-dup
     pairs (angle -> 0) collide in many of the `bands` bit-slices while
-    the n² bulk never meets. Band WIDTH is the precision lever: at
-    width 8 a random pair collides in a band w.p. 0.5^8 ≈ 0.4% (≈6%
-    over 16 bands), while a cos≥0.99 pair misses ALL bands w.p. ~7e-9.
-    Narrow bands (width ≤4) collapse to all-pairs on random data —
-    measured 6× slower here. Signature + banding are map-only; the
-    band self-join shuffles uniform keys; the verify joins pull unit
+    the n² bulk never meets. Band WIDTH sets the candidate budget: at
+    the default width 16 a random pair collides in a band w.p.
+    0.5^16 ≈ 1.5e-5 (≈2.4e-4 over 16 bands — ~500 candidate pairs per
+    2000 random vectors, measured), where width 8 produced 140k (7% of
+    all pairs — collapsing toward all-pairs, unusable at 10^9 rows).
+    Recall at width 16: a cos≥0.99 pair (p_bit≈0.955) misses all 16
+    bands w.p. (1-0.955^16)^16 ≈ 1e-4; EXACT duplicates have identical
+    sign bits and can never be missed. For borderline thresholds
+    (0.90-0.95) raise `bands` (more, same-width slices) rather than
+    shrinking width. Signature + banding are map-only; the band
+    self-join shuffles uniform keys; the verify joins pull unit
     vectors for candidate pairs only. Exact-form twin:
     :func:`embedding_dedup_pairs` (the DuckDB-oracle surface).
     """
@@ -781,7 +911,10 @@ def embedding_lsh_dedup_pairs(
         dim = int(dim_row["d"]) if dim_row else 0
     uv = emb.select(F.col(id_col).alias("id"), V.unit(F.col(vec_col)).alias("uv"))
     bits_udf = _hyperplane_bits_udf(nbits, dim)
-    sig = uv.repartition("id").select("id", "uv", bits_udf(F.col("uv")).alias("bits"))
+    # no repartition: signature + banding ride the scan's own
+    # partitioning (map-only); a shuffle here would move the full
+    # vector table once for nothing at scale
+    sig = uv.select("id", "uv", bits_udf(F.col("uv")).alias("bits"))
     banded = sig.select(
         "id",
         F.posexplode(

@@ -94,25 +94,16 @@ def refine_centroids(
     return centroids
 
 
-def assign_ivf_buckets(
+def ivf_centroids(
     vectors: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments): nearest-centroid bucket per vector.
-
-    Centroids are a deterministic sample (md5-ordered first N — md5 so
-    the DuckDB differential oracle can reproduce the exact sample) — a
-    k-means refinement loop can replace this without changing the
-    plan shape. Assignment = broadcast join + argmax over a window-free
-    max_by, so the big side never shuffles.
-    """
-    # NB: no unit-normalization here — this subtree is evaluated more
-    # than once downstream (query side + candidate side of ivf_topk),
-    # and the 16-centroid broadcast makes per-pair norms cheap anyway
-    # (measured: pre-normalizing regresses ivf_topk ~2.5x).
+) -> DataFrame:
+    """Deterministic centroid seed (md5-ordered first N — md5 so the
+    DuckDB differential oracle can reproduce the exact sample), with
+    optional Lloyd refinement."""
     centroids = (
         vectors.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
         .orderBy(F.md5(F.col("c_id").cast("string")))
@@ -122,12 +113,59 @@ def assign_ivf_buckets(
         centroids = refine_centroids(
             vectors, centroids, iters=refine_iters, vec_col=vec_col, id_col=id_col
         )
-    v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
-    scored = v.join(F.broadcast(centroids)).select(
-        "v_id", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
+    return centroids
+
+
+def _nearest_centroid(cents_arr: F.Column, vec: F.Column) -> F.Column:
+    """Inline argmax-cosine bucket id: highest sim, ties -> lowest c_id
+    (struct max over (sim, -c_id), the same order max_by(c_id,
+    struct(sim, -c_id)) would use). Pure row-local expression — no
+    groupBy, no join-back — so assignment never shuffles the vectors.
+    """
+    best = F.array_max(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                V.cosine(vec, c["cv"]).alias("sim"), (-c["c_id"]).alias("nc")
+            ),
+        )
     )
-    assignments = scored.groupBy("v_id").agg(
-        F.max_by("c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("tb"))).alias("bucket")
+    return -best["nc"]
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """One-row DataFrame holding all centroids as a sorted array —
+    broadcast-crossed into the vector scan for map-side assignment."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "cv"))).alias("cents")
+    )
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): nearest-centroid bucket per vector.
+
+    Assignment is a broadcast of the one-row centroid array crossed
+    into the vector scan + a row-local argmax — fully map-side: the
+    vector table neither shuffles (no groupBy) nor re-joins. At 100 TB
+    the only data movement is the ≤num_centroids-row broadcast.
+    """
+    # NB: no unit-normalization here — this subtree is evaluated more
+    # than once downstream (query side + candidate side of ivf_topk),
+    # and the 16-centroid broadcast makes per-pair norms cheap anyway
+    # (measured: pre-normalizing regresses ivf_topk ~2.5x).
+    centroids = ivf_centroids(vectors, num_centroids, id_col, vec_col, refine_iters)
+    assignments = (
+        vectors.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            F.col(id_col).alias("v_id"),
+            _nearest_centroid(F.col("cents"), F.col(vec_col)).alias("bucket"),
+        )
     )
     return centroids, assignments
 
@@ -156,11 +194,14 @@ def ivf_topk(
     in tests/test_operators.py); the registered sim_ann_ivf queries
     keep 0 so their DuckDB oracles stay expressible.
     """
-    cents, assign = assign_ivf_buckets(
-        vectors, num_centroids, id_col, vec_col, refine_iters=refine_iters
-    )
-    v = vectors.join(assign, vectors[id_col] == assign.v_id).select(
-        F.col(id_col), F.col(vec_col), F.col("bucket")
+    cents = ivf_centroids(vectors, num_centroids, id_col, vec_col, refine_iters)
+    # candidate-side bucket computed INLINE from the broadcast centroid
+    # array — map-only; joining a precomputed assignment table back
+    # onto `vectors` would shuffle the big side twice for nothing
+    v = vectors.crossJoin(F.broadcast(_centroid_array(cents))).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(F.col("cents"), F.col(vec_col)).alias("bucket"),
     )
     q = vectors.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")

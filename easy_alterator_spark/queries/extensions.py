@@ -99,6 +99,41 @@ def dedup_cluster_assign(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_assign_star",
+    # identical reachability-closure oracle: the star algorithm computes
+    # the SAME min-id components, just in O(log n) rounds
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION SELECT b, a FROM p),
+    reach(id, comp) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, r.comp FROM e JOIN reach r ON e.dd = r.id
+    )
+    SELECT id::BIGINT AS doc_id, MIN(comp)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_assign_star(spark, sf_dir):
+    """Adversarial-diameter twin of dedup_cluster_assign: the
+    large-star/small-star path (O(log n) rounds on chain graphs where
+    min-label needs O(diameter))."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    comps = D.connected_components(
+        D.jaccard_pairs(docs, threshold=0.8), algorithm="star"
+    )
+    return comps.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents)
@@ -131,17 +166,62 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_embedding_lsh(spark, sf_dir):
     # Scale path for embedding near-dup: random-hyperplane LSH
     # candidates + exact-cosine verify, over the FULL table (no id
-    # bound — the brute-force twin needs one, this doesn't). At 0.95
-    # the hyperplane s-curve miss probability is ~1e-11, so the
-    # brute-force oracle matches exactly. Non-empty-output behavior is
-    # unit-tested on constructed clustered vectors (test_operators).
+    # bound — the brute-force twin needs one, this doesn't). The
+    # synthetic embeddings are near-orthogonal (max pairwise cos < 0.7
+    # at every SF), so this output is legitimately empty; the planted
+    # variant below is the non-vacuous driver-gate twin.
     return D.embedding_lsh_dedup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.95, dim=64
     )
 
 
 @query(
-    "dedup_simhash",
+    "dedup_embedding_lsh_planted",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dup AS (SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(emb, x -> x * 2) AS emb
+            FROM base WHERE vec_id < 50),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+    """,
+)
+def dedup_embedding_lsh_planted(spark, sf_dir):
+    """LSH near-dup with PLANTED duplicates, so the driver gate sees
+    real rows (the raw embeddings have no pairs above cos 0.7 — the
+    plain `dedup_embedding_lsh` oracle is vacuously empty).
+
+    Each vec_id < 50 gains a copy at id+1000000 scaled by exactly 2:
+    power-of-two scaling is exact in IEEE754, so unit(2v) == unit(v)
+    bitwise, the copy's sign bits are identical, and the LSH candidate
+    stage can NEVER miss the pair — the brute-force oracle match is
+    structural, not probabilistic. Cast to double before scaling so
+    Spark and DuckDB double the same float-derived doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    return D.embedding_lsh_dedup_pairs(emb.unionAll(dup), threshold=0.95, dim=64)
+
+
+# no oracle: xxhash64 signatures are not reproducible in DuckDB — the
+# md5 twin below carries the exact differential oracle; this entry is
+# the production-default (fast) path, rows-only checked by the driver.
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return D.simhash_dedup_pairs(docs, max_hamming=6)
+
+
+@query(
+    "dedup_simhash_md5",
     # Exact oracle: with 8 bands over 64 bits, any pair at hamming <= 7
     # shares at least one identical band (pigeonhole), so the banded
     # candidate stage loses nothing at max_hamming=6 and the oracle can
@@ -169,9 +249,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     SELECT doc_id_a, doc_id_b, hd FROM pairs WHERE hd <= 6
     """,
 )
-def dedup_simhash(spark, sf_dir):
+def dedup_simhash_md5(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
-    return D.simhash_dedup_pairs(docs, max_hamming=6)
+    return D.simhash_dedup_pairs(docs, max_hamming=6, bit_source="md5")
 
 
 @query(

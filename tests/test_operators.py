@@ -150,6 +150,58 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """Star algorithm must produce identical labels on chain+islands."""
+    from easy_alterator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (50, 51)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10),
+        (50, 50), (51, 50),
+    }
+
+
+def test_connected_components_star_long_chain_log_rounds(spark):
+    """Chain of 1000 nodes (diameter 999): min-label would need ~999
+    rounds; large-star/small-star must converge within 12 alternations
+    — with max_iters=12 a slower algorithm returns WRONG labels, so
+    correctness here certifies the round bound."""
+    from easy_alterator_spark.operators.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, algorithm="star", max_iters=12).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_star_random_graphs_property(spark):
+    """On random graphs both algorithms agree (star vs min-label)."""
+    import random
+
+    from easy_alterator_spark.operators.dedup import connected_components
+
+    rng = random.Random(77)
+    edges = list({(a, b) for _ in range(120)
+                  for a, b in [sorted(rng.sample(range(60), 2))]})
+    pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    ml = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    st = {(r["id"], r["comp"])
+          for r in connected_components(pairs, algorithm="star").collect()}
+    assert st == ml
+
+
 def test_redact_pii_values(spark):
     from pyspark.sql import functions as F
 

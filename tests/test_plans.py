@@ -100,10 +100,15 @@ class TestTrainingDataOps:
 
         plan = formatted_plan(queries["sim_ann_ivf_probe2"](spark, SF))
         jc = join_counts(plan)
-        # centroids + probe sets broadcast; the vector table must never
-        # be the shuffled side of a sort-merge join
-        assert jc["BroadcastHashJoin"] >= 2
+        # probe sets broadcast; bucket assignment is an inline argmax
+        # over the broadcast one-row centroid array (nested-loop with a
+        # single build row, map-only) — the vector table must never be
+        # the shuffled side of ANY join, including the old
+        # assignment-join-back (a SMJ/shuffled-hash of |vectors| rows)
+        assert jc["BroadcastHashJoin"] >= 1
+        assert jc["BroadcastNestedLoopJoin"] >= 1
         assert jc["SortMergeJoin"] == 0
+        assert jc["ShuffledHashJoin"] == 0
         assert jc["CartesianProduct"] == 0
 
     def test_pii_redact_no_shuffle_before_agg(self, spark, queries):
