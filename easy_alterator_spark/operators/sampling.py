@@ -111,14 +111,19 @@ def chunk_documents(
     + explode with output proportional to total tokens / chunk size.
     No shuffle, no UDF; empty documents yield no chunks.
     """
-    toks = T.tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.ceil(n.cast("double") / chunk_tokens).cast("int")
-    chunked = docs.select(
+    # empty docs are dropped BEFORE the explode: sequence(0, n_chunks-1)
+    # with n_chunks=0 would be sequence(0,-1) = [0,-1] (Spark infers
+    # step -1) — two spurious rows that a later filter would have to
+    # clean up; filtering first keeps the invariant local
+    base = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = F.ceil(F.size("toks").cast("double") / chunk_tokens).cast("int")
+    chunked = base.select(
         F.col(id_col),
-        toks.alias("toks"),
+        "toks",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    ).filter(F.size("toks") > 0)
+    )
     piece = F.slice(
         F.col("toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens
     )
@@ -144,6 +149,16 @@ def sample_weighted(
     with no RNG — membership is stable across runs, engines, and
     corpus growth. Row-local filter: pushes to the scan when the
     weight is a stored column, stays map-side when computed.
+
+    Out-of-contract weights are clamped into [0, 1] (w>1 keeps the
+    row, w<0 or NaN drops it) instead of silently skewing the sample;
+    NULL weights drop the row (NULL comparison is never true).
     """
-    thresh = F.floor(F.col(weight_col) * _BUCKETS).cast("int")
+    raw = F.col(weight_col)
+    # NaN explicitly: Spark orders NaN ABOVE all doubles, so a bare
+    # least/greatest clamp would turn NaN into "keep always"
+    w = F.when(F.isnan(raw), F.lit(0.0)).otherwise(
+        F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    )
+    thresh = F.floor(w * _BUCKETS).cast("int")
     return df.filter(hash_bucket(F.col(id_col)) < thresh)

@@ -108,10 +108,14 @@ def pivot_event_counts(spark, sf_dir):
 
 @query(
     "events_rolling_7d",
+    # CAST(floor(epoch(ts)) ...) not epoch(ts)::BIGINT: DuckDB's cast
+    # ROUNDS fractional seconds while Spark's ts.cast('long') TRUNCATES
+    # — with sub-second micros in every timestamp, rounding would shift
+    # ~half the RANGE-frame order keys by 1s vs the Spark side
     oracle="""
     SELECT user_id, event_id,
            ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS roll_sum
     FROM events WHERE user_id < 20
     """,

@@ -153,7 +153,10 @@ def _bulk_fixture(spark, n_tables: int = 500):
     This is the schema-diff THROUGHPUT surface (BASELINE.md: >=458
     tables/run) — one Spark plan, no per-table loop, no catalog calls
     from executors."""
-    key = (id(spark), n_tables)
+    # applicationId, not id(spark): CPython reuses object addresses, so
+    # a stopped session followed by a new one at the same address would
+    # resurrect DataFrames bound to a dead JVM
+    key = (spark.sparkContext.applicationId, n_tables)
     if key in _BULK_CACHE:
         return _BULK_CACHE[key]
     ddls, cat_cols, cat_tables = [], [], []

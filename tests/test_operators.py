@@ -430,6 +430,23 @@ def test_chunk_documents_reassembles(spark):
     assert out[(3, 0)]["first_tok"] == out[(3, 0)]["last_tok"] == "solo"
 
 
+def test_sample_weighted_clamps_out_of_contract_weights(spark):
+    """w>1 keeps, w<0 / NaN / NULL drop — loud, documented behavior
+    instead of a silently skewed sample."""
+    from easy_alterator_spark.operators.sampling import sample_weighted
+
+    rows = [
+        (1, 5.0),            # > 1 -> clamp to 1 -> always kept
+        (2, -3.0),           # < 0 -> clamp to 0 -> always dropped
+        (3, float("nan")),   # NaN -> dropped (would sort above 1.0)
+        (4, None),           # NULL -> dropped
+        (5, 1.0),            # in-contract certainty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r["doc_id"] for r in sample_weighted(df, "w").collect()}
+    assert kept == {1, 5}
+
+
 def test_gap_fill_daily_constructed(spark):
     """Grid covers [min,max] per key; gaps carry the last daily sum
     forward; observed days pass through untouched."""
