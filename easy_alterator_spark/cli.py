@@ -25,6 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-fp", "--file_prefix", type=str, default=None)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--force", action="store_true")
+    p.add_argument(
+        "-o",
+        "--output",
+        type=str,
+        default=None,
+        help="also write the run report JSON to this Hadoop-FS URI "
+        "(file://, s3a://, hdfs://, ...)",
+    )
     p.add_argument("--sync", action="store_true")
     p.add_argument("-src", "--source_table", type=str)
     p.add_argument("-tgt", "--target_table", type=str)
@@ -170,6 +178,26 @@ def run_alterator(
     return report
 
 
+def write_report(spark: SparkSession, report: dict, uri: str) -> None:
+    """Persist the run report JSON to any Hadoop-FS URI.
+
+    Parity with the reference's ``write_to_s3``
+    (src/utils/s3_utils.py:95-106), generalized: the scheme routes
+    through Hadoop's FileSystem API, so the same call serves file://,
+    s3a://, hdfs://, or anything else the session's Hadoop conf knows —
+    no boto3 dependency and no driver-side temp files.
+    """
+    data = json.dumps(report, indent=2, default=str)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)  # overwrite=True, reference semantics
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def main(argv: list[str] | None = None) -> int:
     from .diff.sync import sync_tables
     from .files import read_config
@@ -189,6 +217,8 @@ def main(argv: list[str] | None = None) -> int:
             validate=args.validate,
             force=args.force,
         )
+        if args.output:
+            write_report(spark, report, args.output)
         print(json.dumps(report, indent=2, default=str))
         return 0
 
@@ -212,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
         validate=args.validate,
         force=args.force,
     )
+    if args.output:
+        write_report(spark, report, args.output)
     print(json.dumps(report, indent=2, default=str))
     return 0
 

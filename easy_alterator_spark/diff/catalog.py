@@ -170,22 +170,76 @@ def snapshot_catalog(
     return cols_df, spark.createDataFrame(tbl_rows, _TABLES_SCHEMA)
 
 
+# Injected boto3 Glue client (tests pass a moto client; production
+# leaves None and the client is built lazily from the session's AWS
+# environment when the session is Glue-backed).
+GLUE_CLIENT = None
+
+
+def _glue_backed(spark: SparkSession) -> bool:
+    """True when the session's metastore client factory is AWS Glue
+    (the get_spark(glue=True) wiring, session.py:62)."""
+    try:
+        factory = spark.conf.get("hive.metastore.client.factory.class", "") or ""
+    except Exception:  # noqa: BLE001 — conf key may be restricted
+        factory = ""
+    return "glue" in factory.lower()
+
+
+def glue_table_version(table: str, client=None) -> str | None:
+    """Native Glue VersionId — the reference's actual S6 signal
+    (src/utils/glue_utils.py:90-114 ``get_table_versions``; newest
+    version first). Returns None when boto3/Glue is unreachable or the
+    table is unknown, so callers can fall back to the digest form.
+    """
+    client = client or GLUE_CLIENT
+    if client is None:
+        try:
+            import boto3
+
+            client = boto3.client("glue")
+        except Exception:  # noqa: BLE001 — no boto3 / no credentials
+            return None
+    parts = table.split(".")
+    if len(parts) == 3:  # iceberg catalog prefix: glue_catalog.db.tbl
+        _, db, name = parts
+    elif len(parts) == 2:
+        db, name = parts
+    else:
+        return None
+    try:
+        resp = client.get_table_versions(DatabaseName=db, TableName=name)
+        ids = [v.get("VersionId") for v in resp.get("TableVersions", []) if v.get("VersionId")]
+        if not ids:
+            return None
+        # real Glue returns newest first, moto oldest first — take the
+        # numerically-largest id rather than trusting order
+        return max(ids, key=lambda s: (int(s) if s.isdigit() else -1, s))
+    except Exception:  # noqa: BLE001 — fall back to digest versioning
+        return None
+
+
 def table_version(spark: SparkSession, table: str) -> str | None:
     """A catalog version id for the S6 version bracket.
 
     The reference brackets Glue ``update_table`` with two
-    ``get_table_versions`` calls (alterator.py:434-440). Spark's
-    session catalog has no native versioning, so the bracket uses the
-    strongest signal each catalog offers:
+    ``get_table_versions`` calls (alterator.py:434-440). On a
+    Glue-backed session (or with an injected client) the bracket uses
+    the NATIVE Glue VersionId via :func:`glue_table_version`;
+    otherwise Spark's session catalog has no versioning, so it uses
+    the strongest signal each catalog offers:
 
     - Iceberg: the ``metadata_location`` property — a NEW metadata file
       per commit, so it IS the table version.
     - otherwise: a digest of the schema + table properties, which
-      changes exactly when an ALTER lands. (On a Glue-backed session,
-      swap in the Glue version id.)
+      changes exactly when an ALTER lands.
     """
     import hashlib
 
+    if GLUE_CLIENT is not None or _glue_backed(spark):
+        v = glue_table_version(table)
+        if v is not None:
+            return v
     if not spark.catalog.tableExists(table):
         return None
     _, props = _table_format(spark, table)

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side contract is real and tested — schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing. Image decode is feature
-gated: with PIL importable it is REAL (true dimensions + luminance
-histogram); without it (this container) a deterministic stub keeps the
-same output contract. Video frame sampling stays stubbed (no ffmpeg
-here); its real implementation is keyframe extraction inside the same
-mapInPandas shape.
+``mapInPandas`` pipelines, partition sizing. Decode stages are feature
+gated on executor-side deps, each with a deterministic fallback that
+keeps the same output contract where the dep is absent (this
+container): image decode/resize on PIL (real: true dimensions,
+luminance histogram, thumbnail re-encode), audio energy on soundfile
+(real: codec decode to float samples before the windowed RMS), video
+frame sampling on ffmpeg (real: every-nth frame re-encoded as PNG via
+an executor subprocess).
 
 Scale notes: media blobs dominate row size, so the decode stage uses
 ``mapInPandas`` (streaming Arrow batches, bounded memory) rather than
@@ -130,36 +132,90 @@ def decode_images(media: DataFrame, batch_hint: int = 256, use_pil: bool | None 
     )
 
 
-def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """video rows -> (media_id, frame_idx, frame) frame-sample stub.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
 
-    Real impl: ffmpeg keyframe extraction inside mapInPandas. The stub
-    emits deterministic frame indices so downstream plumbing (explode
-    shape, partitioning by media_id) is exercised.
+
+def _ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _sample_frames_ffmpeg(content: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Real keyframe extraction: pipe the blob through ffmpeg, keep
+    every ``every_n``-th frame re-encoded as PNG. Executor-side
+    subprocess; gated on the binary being present."""
+    import subprocess
+
+    if content is None or len(content) == 0:
+        return []
+    try:
+        proc = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-loglevel", "error",
+                "-i", "pipe:0",
+                "-vf", f"select='not(mod(n\\,{every_n}))'",
+                "-vsync", "vfr",
+                "-f", "image2pipe", "-vcodec", "png", "pipe:1",
+            ],
+            input=bytes(content),
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception:  # noqa: BLE001 — bad blob/codec -> no frames
+        return []
+    # split the concatenated PNG stream on its 8-byte signature
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunks = proc.stdout.split(sig)
+    return [(i * every_n, sig + c) for i, c in enumerate(chunks[1:])]
+
+
+def _sample_frames_stub(content: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Deterministic fake: frame count derived from blob size so the
+    explode shape and partitioning are exercised without a codec."""
+    if content is None:
+        return []
+    n_frames = max(1, len(content) // 1024)
+    return [(idx, bytes(content[:16])) for idx in range(0, n_frames, every_n)]
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, use_ffmpeg: bool | None = None
+) -> DataFrame:
+    """video rows -> (media_id, frame_idx, frame) frame samples.
+
+    Same Arrow-batched mapInPandas shape as the image pipeline. With
+    ffmpeg on the workers (``use_ffmpeg=None`` auto-detects on the
+    driver) frames are REAL — every n-th decoded frame re-encoded as
+    PNG via an executor-side subprocess; without it (this container)
+    the deterministic stub keeps the output contract so downstream
+    plumbing stays tested end-to-end.
     """
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("frame_idx", IntegerType(), False),
-            StructField("frame", BinaryType(), True),
-        ]
-    )
+    if use_ffmpeg is None:
+        use_ffmpeg = _ffmpeg_available()
+    sample_one = _sample_frames_ffmpeg if use_ffmpeg else _sample_frames_stub
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n_frames = 0 if content is None else max(1, len(content) // 1024)
-                for idx in range(0, n_frames, every_n):
+                for idx, frame in sample_one(content, every_n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
-                    rows["frame"].append(None if content is None else bytes(content[:16]))
+                    rows["frame"].append(frame)
             yield pd.DataFrame(rows)
 
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", "content")
-        .mapInPandas(sample, out_schema)
+        .mapInPandas(sample, FRAME_SCHEMA)
     )
 
 
@@ -258,17 +314,59 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _audio_samples_sf(content: bytes):
+    """Real codec decode via soundfile (WAV/FLAC/OGG...): float64
+    samples in [-1, 1], channels mixed down. Executor-side deferred
+    import; caller gates on availability. Returns None on undecodable
+    bytes so the caller can fall back to the raw-byte interpretation."""
+    import io
+
+    import numpy as np
+    import soundfile as sf  # noqa: PLC0415 — executor-side optional dep
+
+    try:
+        data, _rate = sf.read(io.BytesIO(content), dtype="float64")
+    except Exception:  # noqa: BLE001 — not a known audio container
+        return None
+    if data.ndim > 1:
+        data = np.mean(data, axis=1)
+    return data
+
+
+def _audio_samples_raw(content: bytes):
+    """Raw-byte interpretation: unsigned 8-bit samples -> [-1, 1]."""
+    import numpy as np
+
+    a = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
+    return (a - 128.0) / 128.0
+
+
+def audio_features(
+    media: DataFrame, window_bytes: int = 1024, use_soundfile: bool | None = None
+) -> DataFrame:
     """audio rows -> per-window RMS energy profile (windows, mean, peak).
 
-    This is a REAL windowed-energy computation over the raw byte
-    stream (bytes treated as unsigned 8-bit samples — a stand-in for
-    codec decode, which would slot in front of the same windowing
-    inside this mapInPandas). numpy does the window math per Arrow
-    batch, so cost is linear in bytes with zero JVM<->Python row
-    traffic.
+    A REAL windowed-energy computation. With soundfile on the workers
+    (``use_soundfile=None`` auto-detects on the driver) the blob is
+    codec-decoded first (WAV/FLAC/OGG; undecodable blobs fall back to
+    the raw interpretation); otherwise bytes are treated as unsigned
+    8-bit samples. ``window_bytes`` counts decoded samples per window
+    on either path. numpy does the window math per Arrow batch, so
+    cost is linear in bytes with zero JVM<->Python row traffic.
     """
     import numpy as np
+
+    if use_soundfile is None:
+        use_soundfile = _soundfile_available()
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,8 +376,9 @@ def audio_features(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
                 if content is None or len(content) == 0:
                     nw.append(0), me.append(0.0), pe.append(0.0)
                     continue
-                a = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
-                a = (a - 128.0) / 128.0
+                a = _audio_samples_sf(content) if use_soundfile else None
+                if a is None:
+                    a = _audio_samples_raw(content)
                 n = (len(a) // window_bytes) or 1
                 wins = np.array_split(a[: n * window_bytes] if len(a) >= window_bytes else a, n)
                 rms = np.array([float(np.sqrt(np.mean(w * w))) for w in wins])

@@ -199,3 +199,124 @@ class TestMainEntry:
         # allowlist keeps only the named table's file
         assert report["identical_tables"] == [f"{db}.cfg_t"]
         assert report["ResponseMetadata"]["stats"]["num_tables_analyzed"] == 1
+
+
+class TestReportSink:
+    def test_write_report_roundtrip_file_uri(self, spark, tmp_path):
+        """K2 parity: the run report persists to a Hadoop-FS URI
+        (reference write_to_s3, src/utils/s3_utils.py:95-106) — the
+        file:// scheme exercises the exact code path s3a:// would."""
+        from easy_alterator_spark.cli import write_report
+
+        report = {"ResponseMetadata": {"stats": {"num_tables_analyzed": 2}},
+                  "success_tables": [{"table_name": "db.t"}]}
+        uri = f"file://{tmp_path}/out/report.json"
+        write_report(spark, report, uri)
+        back = json.loads((tmp_path / "out" / "report.json").read_text())
+        assert back == report
+        # overwrite semantics (reference put_object replaces)
+        write_report(spark, {"v": 2}, uri)
+        assert json.loads((tmp_path / "out" / "report.json").read_text()) == {"v": 2}
+
+    def test_cli_output_flag_writes_report(self, spark, db, tmp_path, monkeypatch):
+        from easy_alterator_spark import cli
+
+        spark.sql(f"CREATE TABLE {db}.sink_t (id INT) USING parquet")
+        ddl = tmp_path / "sink_t.hql"
+        ddl.write_text(
+            f"CREATE EXTERNAL TABLE `{db}.sink_t`(`id` int, `n` string) STORED AS PARQUET;"
+        )
+        monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark, raising=False)
+        # main() imports get_spark from .session — patch there
+        from easy_alterator_spark import session as sess
+
+        monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+        out_uri = f"file://{tmp_path}/cli_report.json"
+        rc = cli.main(["-p", str(tmp_path), "--validate", "-o", out_uri])
+        assert rc == 0
+        back = json.loads((tmp_path / "cli_report.json").read_text())
+        assert f"{db}.sink_t" in [
+            e["table_name"] for e in back.get("success_tables", [])
+        ] or back.get("validate_tables") or back.get("ResponseMetadata")
+
+
+class TestGlueVersions:
+    """Native Glue get_table_versions bracket (reference
+    glue_utils.py:90-114), moto-mocked; feature-gated on moto."""
+
+    @pytest.fixture()
+    def glue_client(self, monkeypatch):
+        moto = pytest.importorskip("moto")
+        import boto3
+
+        with moto.mock_aws():
+            monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test")
+            monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test")
+            monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+            client = boto3.client("glue")
+            client.create_database(DatabaseInput={"Name": "gdb"})
+            client.create_table(
+                DatabaseName="gdb",
+                TableInput={
+                    "Name": "vt",
+                    "StorageDescriptor": {
+                        "Columns": [{"Name": "id", "Type": "int"}]
+                    },
+                },
+            )
+            yield client
+
+    def test_glue_version_advances_on_update(self, glue_client):
+        from easy_alterator_spark.diff.catalog import glue_table_version
+
+        v1 = glue_table_version("gdb.vt", client=glue_client)
+        assert v1 is not None
+        glue_client.update_table(
+            DatabaseName="gdb",
+            TableInput={
+                "Name": "vt",
+                "StorageDescriptor": {
+                    "Columns": [
+                        {"Name": "id", "Type": "int"},
+                        {"Name": "n", "Type": "string"},
+                    ]
+                },
+            },
+        )
+        v2 = glue_table_version("gdb.vt", client=glue_client)
+        assert v2 is not None and v2 != v1
+        # catalog-prefixed (iceberg) names resolve too
+        assert glue_table_version("glue_catalog.gdb.vt", client=glue_client) == v2
+        # unknown table -> None (digest fallback takes over)
+        assert glue_table_version("gdb.nope", client=glue_client) is None
+
+    def test_report_brackets_with_glue_version_ids(
+        self, spark, db, tmp_path, glue_client, monkeypatch
+    ):
+        """run_alterator's success entries carry NATIVE VersionIds when
+        a Glue client is wired in (GLUE_CLIENT injection point)."""
+        from easy_alterator_spark.cli import run_alterator
+        from easy_alterator_spark.diff import catalog as cat
+
+        # session-catalog table drives the diff; same name registered in
+        # mocked Glue supplies the version ids
+        spark.sql(f"CREATE TABLE {db}.vt (id INT) USING parquet")
+        glue_client.create_database(DatabaseInput={"Name": db})
+        glue_client.create_table(
+            DatabaseName=db,
+            TableInput={
+                "Name": "vt",
+                "StorageDescriptor": {"Columns": [{"Name": "id", "Type": "int"}]},
+            },
+        )
+        ddl = tmp_path / "vt.hql"
+        ddl.write_text(
+            f"CREATE EXTERNAL TABLE `{db}.vt`(`id` int, `n2` string) STORED AS PARQUET;"
+        )
+        monkeypatch.setattr(cat, "GLUE_CLIENT", glue_client)
+        report = run_alterator(spark, [str(tmp_path)], validate=True)
+        [entry] = [e for e in report["success_tables"] if e["table_name"] == f"{db}.vt"]
+        glue_v = glue_client.get_table_versions(DatabaseName=db, TableName="vt")[
+            "TableVersions"
+        ][0]["VersionId"]
+        assert entry["previous_version"] == entry["current_version"] == glue_v

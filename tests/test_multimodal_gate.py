@@ -105,6 +105,70 @@ class TestDecodeGate:
         assert got[1]["n_windows"] == 2 and got[1]["peak_energy"] == 0.0
         assert got[2]["n_windows"] == 2 and abs(got[2]["mean_energy"] - 1.0) < 0.01
 
+    def test_frame_sample_stub_and_autodetect(self, spark):
+        from easy_alterator_spark.operators import multimodal as mm
+
+        media = mm.synthesize_media(spark, n=30)
+        rows = mm.sample_frames(media, every_n=1, use_ffmpeg=False).collect()
+        assert rows and all(r["frame"] is not None for r in rows)
+        # autodetect matches the environment and runs either way
+        import shutil
+
+        assert mm._ffmpeg_available() == (shutil.which("ffmpeg") is not None)
+        auto = mm.sample_frames(media, every_n=1)
+        assert auto.count() >= 0  # real path may yield 0 (garbage blobs)
+
+    @pytest.mark.skipif(
+        not __import__("shutil").which("ffmpeg"), reason="ffmpeg not installed"
+    )
+    def test_real_frames_with_ffmpeg(self, spark):  # pragma: no cover - needs ffmpeg
+        """With ffmpeg present, garbage blobs yield no frames (graceful)
+        and the output stays within the FRAME_SCHEMA contract."""
+        from easy_alterator_spark.operators.multimodal import sample_frames, synthesize_media
+
+        out = sample_frames(synthesize_media(spark, n=9), every_n=2, use_ffmpeg=True)
+        assert out.count() == 0  # synthetic bytes are not valid video
+
+    def test_audio_soundfile_gate_and_autodetect(self, spark):
+        from easy_alterator_spark.operators import multimodal as mm
+
+        try:
+            import soundfile  # noqa: F401
+
+            present = True
+        except ImportError:
+            present = False
+        assert mm._soundfile_available() == present
+        # forcing the raw path works everywhere; autodetect must run too
+        media = mm.synthesize_media(spark, n=9)
+        raw = mm.audio_features(media, use_soundfile=False)
+        auto = mm.audio_features(media)
+        assert raw.count() == auto.count() == 3
+
+    def test_soundfile_real_decode_if_present(self, spark):
+        """With soundfile present, a real WAV decodes: pure silence ->
+        zero energy (raw-byte interpretation of a WAV would see the
+        non-zero header instead)."""
+        try:
+            import soundfile as sf
+        except ImportError:
+            pytest.skip("soundfile not installed")
+        import io
+
+        import numpy as np
+
+        from easy_alterator_spark.operators.multimodal import audio_features
+
+        buf = io.BytesIO()
+        sf.write(buf, np.zeros(2048), 16000, format="WAV")
+        wav = buf.getvalue()
+        media = spark.createDataFrame(
+            [(1, "audio", "audio/wav", wav, len(wav))],
+            "media_id long, kind string, mime string, content binary, n_bytes long",
+        )
+        r = audio_features(media, window_bytes=1024, use_soundfile=True).collect()[0]
+        assert r["peak_energy"] == 0.0 and r["n_windows"] == 2
+
     def test_pil_decoder_rejects_garbage_bytes(self):
         # unit-level: the PIL path must not throw on non-image bytes
         if not _pil_present():
