@@ -35,6 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     *[f"q{i:02d}" for i in range(1, 22)],  # name-prefix match below
     "q22_correlated_avg",
+    "q23_tpch_pricing",
+    "q24_tpch_shipping",
+    "q25_tpch_local_supplier",
+    "q26_tpch_large_orders",
     "pipeline_training_corpus",
     # round-3 additions / changes
     "dedup_embedding_lsh_planted",

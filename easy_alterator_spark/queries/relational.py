@@ -387,3 +387,208 @@ def q21(spark, sf_dir):
         .orderBy(F.col("dot").desc(), "vec_id_a", "vec_id_b")
         .limit(10)
     )
+
+
+# --- Q23-Q26: TPC-H-shaped suite (adapted to the testdata schema) ----------
+# The four canonical TPC-H plan shapes the inventory above does not
+# already exercise end-to-end at full-table scale: pricing-summary wide
+# aggregate (Q1), mid-size join + top-k (Q3), 6-table snowflake with a
+# cycle-closing condition (Q5), group-HAVING semi-reduction (Q18).
+# Scale notes inline per query.
+
+
+@query(
+    "q23_tpch_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q23(spark, sf_dir):
+    """TPC-H Q1 pricing summary. One shuffle on a 6-value group key;
+    every aggregate is algebraic, so the map side pre-combines 60k rows
+    per partition down to <=6 partials — at 100 TB the reduce stage
+    moves KBs. The shipdate predicate reaches the parquet scan
+    (PushedFilters), and ReadSchema carries only the 7 needed columns.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q24_tpch_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q24(spark, sf_dir):
+    """TPC-H Q3 shipping priority. The segment-filtered customer side
+    is ~1/5 of a dimension table -> broadcast; orders joins lineitem on
+    the orderkey shuffle. Top-10 is TakeOrderedAndProject: each
+    partition keeps 10 rows, the driver merges — no global sort at any
+    scale. Deterministic tiebreak (l_orderkey) keeps the LIMIT stable
+    across engines.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q25_tpch_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q25(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume. The snowflake closes a cycle
+    (customer and supplier must share a nation), which no join
+    reordering can avoid — but every dimension (region, nation,
+    customer-slice, supplier) broadcasts, so the only shuffle is
+    lineitem |><| orders on orderkey; the s_nationkey = c_nationkey
+    equality rides along as a broadcast-join condition, never a
+    shuffle key. At 100 TB the fact-side join is the sole exchange.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q26_tpch_large_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q26(spark, sf_dir):
+    """TPC-H Q18 large-volume customer. The HAVING subquery reduces
+    lineitem to a tiny orderkey set FIRST (map-side partial sums, one
+    shuffle on orderkey); that set broadcasts back as a semi-join
+    filter, so the re-scan of lineitem and the orders join only touch
+    qualifying orders. Same aggregation-then-semi-join shape Spark
+    plans for the SQL form; no row explosion at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+                li["l_orderkey"] == F.col("bk"), "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

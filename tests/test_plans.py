@@ -302,3 +302,52 @@ class TestAnalyticsOps:
         df = queries["q22_correlated_avg"](spark, SF)
         assert_filter_pushed(df, "LessThanOrEqual(l_partkey,200)")
         assert exchange_count(formatted_plan(df)) <= 2
+
+
+class TestTpchShapes:
+    """q23-q26 plan contracts: the four TPC-H shapes must keep their
+    canonical strategies (pushdown + partial agg; broadcast dims +
+    single fact shuffle; TakeOrdered instead of global sort)."""
+
+    def test_q23_pricing_pushdown_and_partial_agg(self, spark, queries):
+        from easy_alterator_spark.plans.audit import (
+            assert_filter_pushed,
+            assert_reads_only,
+            formatted_plan,
+        )
+
+        df = queries["q23_tpch_pricing"](spark, SF)
+        assert_filter_pushed(df, "LessThanOrEqual(l_shipdate")
+        assert_reads_only(
+            df,
+            "l_returnflag",
+            {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax", "l_shipdate"},
+        )
+        # algebraic aggregate -> map-side partial before the exchange
+        assert "partial_sum" in formatted_plan(df).lower() or "HashAggregate" in formatted_plan(df)
+
+    def test_q24_shipping_topk_no_global_sort(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["q24_tpch_shipping"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert join_counts(plan)["CartesianProduct"] == 0
+
+    def test_q25_snowflake_broadcasts_all_dims(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["q25_tpch_local_supplier"](spark, SF))
+        jc = join_counts(plan)
+        # region/nation/customer/supplier all broadcast; the only
+        # shuffle join is lineitem |><| orders
+        assert jc["BroadcastHashJoin"] >= 4
+        assert jc["CartesianProduct"] == 0
+
+    def test_q26_having_set_broadcasts_back(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["q26_tpch_large_orders"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] >= 2  # semi-filter + customer
+        assert jc["CartesianProduct"] == 0
