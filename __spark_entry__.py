@@ -41,6 +41,7 @@ _PRIORITY = [
     "q26_tpch_large_orders",
     "pipeline_training_corpus",
     # round-3 additions / changes
+    "dedup_semantic",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

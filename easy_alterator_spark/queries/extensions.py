@@ -272,6 +272,46 @@ def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_dedup_pairs(emb, threshold=0.35)
 
 
+@query(
+    "dedup_semantic",
+    # Mirrors the sim_ann_ivf deterministic construction: centroids =
+    # first 8 vectors by md5(vec_id); assignment = argmax cosine with
+    # (sim DESC, c_id ASC) tie-break; then SemDeDup's within-cluster
+    # prune — drop iff a smaller-id same-bucket vector is >= 0.3 cosine.
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, emb AS cv FROM v
+              ORDER BY md5(vec_id::VARCHAR) LIMIT 8),
+    sc AS (SELECT v.vec_id AS id, c.c_id,
+                  list_dot_product(v.emb, c.cv)
+                    / (sqrt(list_dot_product(v.emb, v.emb))
+                       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM v CROSS JOIN cents c),
+    asn AS (SELECT id, c_id AS bucket FROM (
+              SELECT id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY sim DESC, c_id) AS rn
+              FROM sc) WHERE rn = 1),
+    av AS (SELECT a.id, a.bucket, v.emb FROM asn a JOIN v ON v.vec_id = a.id)
+    SELECT x.id AS vec_id, x.bucket,
+           NOT EXISTS (
+             SELECT 1 FROM av y
+             WHERE y.bucket = x.bucket AND y.id < x.id
+               AND list_dot_product(x.emb, y.emb)
+                     / (sqrt(list_dot_product(x.emb, x.emb))
+                        * sqrt(list_dot_product(y.emb, y.emb))) >= 0.3
+           ) AS keep
+    FROM av x
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    from ..operators.semantic import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), num_clusters=8, threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

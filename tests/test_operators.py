@@ -474,3 +474,67 @@ def test_gap_fill_daily_constructed(spark):
     assert got[(1, "2024-01-03")]["filled"] == 3.0
     assert got[(1, "2024-01-04")]["filled"] == 7.5
     assert got[(2, "2024-01-02")]["is_gap"] is False
+
+
+def test_semantic_dedup_constructed(spark):
+    """Two tight semantic groups + one singleton: within each group the
+    lowest id survives, everything similar to it drops; the singleton
+    and cross-group pairs (orthogonal) are untouched."""
+    from easy_alterator_spark.operators.semantic import semantic_dedup
+
+    def vec(base, eps, dim=8):
+        v = [0.0] * dim
+        v[base] = 1.0
+        v[(base + 1) % dim] = eps
+        return v
+
+    rows = [
+        # group A around axis 0 (ids 10, 11, 12 — mutually cos ~ 1)
+        (10, vec(0, 0.0)), (11, vec(0, 0.05)), (12, vec(0, 0.1)),
+        # group B around axis 3
+        (20, vec(3, 0.0)), (21, vec(3, 0.08)),
+        # singleton on axis 6
+        (30, vec(6, 0.0)),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r for r in semantic_dedup(emb, num_clusters=3, threshold=0.9).collect()
+    }
+    assert len(out) == 6
+    keepers = {i for i, r in out.items() if r["keep"]}
+    dropped = set(out) - keepers
+    # every group's minimum id survives; the singleton survives
+    assert 10 in keepers and 20 in keepers and 30 in keepers
+    # drops only happen among higher ids of the two groups
+    assert dropped <= {11, 12, 21}
+    # a dropped doc shares its bucket with its group's keeper
+    for d in dropped:
+        keeper = 10 if d in (11, 12) else 20
+        assert out[d]["bucket"] == out[keeper]["bucket"]
+
+
+def test_semantic_dedup_keep_is_complete_per_bucket(spark):
+    """Within every bucket the kept set is exactly: id has no kept OR
+    dropped smaller-id neighbor >= threshold (greedy-by-id contract)."""
+    from easy_alterator_spark.functions import vectors as V
+    from easy_alterator_spark.operators.semantic import semantic_dedup
+    from easy_alterator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb, num_clusters=4, threshold=0.3)
+    a = out.join(emb, "vec_id").select(
+        F.col("vec_id").alias("ida"), F.col("bucket").alias("ba"),
+        F.col("keep").alias("ka"), F.col("embedding").alias("va"))
+    b = out.join(emb, "vec_id").select(
+        F.col("vec_id").alias("idb"), F.col("bucket").alias("bb"),
+        F.col("embedding").alias("vb"))
+    # recompute "has a smaller-id near neighbor in-bucket" independently
+    flagged = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("idb") < F.col("ida"))
+                  & (V.cosine(F.col("va"), F.col("vb")) >= 0.3), "left_semi")
+        .select("ida").distinct()
+    )
+    flagged_ids = {r["ida"] for r in flagged.collect()}
+    for r in out.collect():
+        assert r["keep"] == (r["vec_id"] not in flagged_ids)

@@ -351,3 +351,18 @@ class TestTpchShapes:
         jc = join_counts(plan)
         assert jc["BroadcastHashJoin"] >= 2  # semi-filter + customer
         assert jc["CartesianProduct"] == 0
+
+
+class TestSemanticDedup:
+    def test_assignment_never_shuffles_vectors(self, spark, queries):
+        """Bucket assignment must be the inline broadcast-argmax — the
+        embeddings table reaches its self-join through map-side work
+        only (no SortMergeJoin anywhere; the only wide op on the big
+        side is the bucket-key exchange of the self-join)."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["dedup_semantic"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+        assert jc["ShuffledHashJoin"] >= 1  # the within-bucket self-join
