@@ -42,6 +42,7 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 additions / changes
     "dedup_semantic",
+    "decontaminate_bloom",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

@@ -76,3 +76,87 @@ def decontaminate(
     """The training corpus minus contaminated documents."""
     hits = contaminated_docs(train, bench, n=n, id_col=id_col, text_col=text_col)
     return train.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered variant (the very-large-benchmark scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bitmap(bench_grams: DataFrame, bits_per_key: int, num_hashes: int):
+    """(words, m): a classic Bloom filter over the benchmark gram
+    hashes, built WITH Spark expressions so probe-side hashing matches
+    bit-for-bit (xxhash64(g, j) — Python has no twin of Spark's
+    XXH64).
+
+    Two tiny jobs over the (small by contract) benchmark side: a count
+    to size ``m``, and a distinct-positions collect. The bitmap comes
+    back as ``m/64`` longs.
+    """
+    cnt = bench_grams.count()
+    m = max(64, 1 << (max(cnt, 1) * bits_per_key - 1).bit_length())
+    pos = [F.pmod(F.xxhash64("g", F.lit(j)), F.lit(m)) for j in range(num_hashes)]
+    rows = bench_grams.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
+    words = [0] * (m // 64)
+    for r in rows:
+        p = r["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed longs for the array<bigint> literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words], m
+
+
+def _might_contain(bitmap: F.Column, m: int, num_hashes: int, g: F.Column) -> F.Column:
+    """All ``num_hashes`` probe bits set — pure codegen'd Column math
+    (shift/and over the literal word array), no UDF."""
+    cond = F.lit(True)
+    for j in range(num_hashes):
+        p = F.pmod(F.xxhash64(g, F.lit(j)), F.lit(m))
+        word = F.element_at(bitmap, (F.floor(p / 64) + 1).cast("int"))
+        cond = cond & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
+    return cond
+
+
+def bloom_contaminated_docs(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_key: int = 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contaminated_docs` with a Bloom prefilter on the training
+    gram stream — EXACT output (Blooms have no false negatives; the
+    surviving grams still pass through the precise benchmark join, so
+    false positives die there).
+
+    Why a second variant exists: the broadcast-exact path ships the
+    full benchmark gram set to every executor. When the benchmark side
+    grows (every eval suite ever published ~ 10⁸ grams ~ 800 MB raw),
+    the Bloom is the 16-bits-per-key stand-in (~200 MB) that prunes
+    ~everything map-side; the exact verify join then runs over the
+    tiny survivor stream, so the full gram set never needs to reach
+    the executors as a broadcast — at cluster scale that verify is a
+    plain shuffle join of survivors against the gram table, and with
+    fpp = 2^-num_hashes only ~fpp of clean grams pay it.
+
+    Here the bitmap travels as an ``array<bigint>`` literal inside the
+    plan (512 longs at test scale). Past ~1M benchmark grams the
+    literal should become a real ``sc.broadcast`` consumed by a scala
+    UDF or Spark's injected runtime bloom — same algebra, documented
+    swap (SCALE.md).
+    """
+    bench_grams = bench.select(
+        F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
+    ).distinct()
+    words, m = _bloom_bitmap(bench_grams, bits_per_key, num_hashes)
+    bitmap = F.lit(words)
+    train_grams = train.select(
+        F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
+    )
+    survivors = train_grams.filter(_might_contain(bitmap, m, num_hashes, F.col("g")))
+    return (
+        survivors.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+    )

@@ -881,6 +881,36 @@ def decontaminate_ngram(spark, sf_dir):
     return DC.contaminated_docs(train, bench, n=4)
 
 
+
+
+@query(
+    "decontaminate_bloom",
+    # Same contract as decontaminate_ngram — the Bloom prefilter is
+    # exact after the verify join, so the oracle is identical.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_DTOKS} AS t FROM documents),
+    g AS (SELECT doc_id, source, array_to_string(t[i:i+3], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-2, 1))) AS u(i)
+          WHERE len(t) >= 4),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id, COUNT(DISTINCT g.gram)::BIGINT AS shared_ngrams
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — the very-large-benchmark
+    scale path (operators/decontaminate.py): training grams die on a
+    literal-bitmap Bloom probe map-side; survivors exact-verify."""
+    from ..operators import decontaminate as DC
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return DC.bloom_contaminated_docs(train, bench, n=4)
+
+
 @query(
     "text_repetition",
     oracle=f"""

@@ -538,3 +538,51 @@ def test_semantic_dedup_keep_is_complete_per_bucket(spark):
     flagged_ids = {r["ida"] for r in flagged.collect()}
     for r in out.collect():
         assert r["keep"] == (r["vec_id"] not in flagged_ids)
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """The Bloom-prefiltered path must return EXACTLY the hit set of
+    the broadcast-exact path (no false negatives by construction, no
+    false positives past the verify join) — across n and filter sizes,
+    including an aggressively small/collision-prone bitmap."""
+    from easy_alterator_spark.operators import decontaminate as DC
+    from easy_alterator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    for kwargs in ({}, {"bits_per_key": 2, "num_hashes": 1}):
+        exact = {
+            (r["doc_id"], r["shared_ngrams"])
+            for r in DC.contaminated_docs(train, bench, n=4).collect()
+        }
+        bloom = {
+            (r["doc_id"], r["shared_ngrams"])
+            for r in DC.bloom_contaminated_docs(train, bench, n=4, **kwargs).collect()
+        }
+        assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """On a disjoint benchmark the Bloom must kill ~all training grams
+    before the verify join (that is its entire reason to exist)."""
+    from easy_alterator_spark.operators.decontaminate import (
+        _bloom_bitmap,
+        _gram_hashes,
+        _might_contain,
+    )
+    from easy_alterator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = spark.createDataFrame(
+        [(1, "zz yy xx ww vv uu tt ss")], ["doc_id", "text"]
+    )
+    bench_grams = bench.select(F.explode(_gram_hashes(F.col("text"), 4)).alias("g")).distinct()
+    words, m = _bloom_bitmap(bench_grams, 16, 5)
+    grams = docs.select(F.explode(_gram_hashes(F.col("text"), 4)).alias("g"))
+    total = grams.count()
+    survived = grams.filter(_might_contain(F.lit(words), m, 5, F.col("g"))).count()
+    assert total > 1000
+    assert survived < total * 0.01

@@ -366,3 +366,19 @@ class TestSemanticDedup:
         assert jc["SortMergeJoin"] == 0
         assert jc["CartesianProduct"] == 0
         assert jc["ShuffledHashJoin"] >= 1  # the within-bucket self-join
+
+
+class TestBloomDecontaminate:
+    def test_training_side_maps_into_broadcast_verify(self, spark, queries):
+        """The Bloom probe is a scan-level Filter (literal bitmap, no
+        UDF, no join) and the only join is the broadcast verify —
+        the training side never SMJ/shuffle-joins."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["decontaminate_bloom"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] >= 1
+        assert jc["SortMergeJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+        assert "getbit" in plan  # the native bit probe made it into codegen
+        assert "pythonudf" not in plan.lower()
