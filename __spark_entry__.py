@@ -43,6 +43,7 @@ _PRIORITY = [
     # round-3 additions / changes
     "dedup_semantic",
     "decontaminate_bloom",
+    "doc_chunk_dedup",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

@@ -943,3 +943,84 @@ def embedding_lsh_dedup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level corpus dedup (C4-style repeated-span removal + rebuild)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup_rebuild(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove globally repeated chunks and rebuild each document — the
+    span-level counterpart of document dedup (C4 dropped repeated
+    3-sentence spans; CCNet dedups on paragraph hashes). A chunk
+    survives only at its GLOBAL first occurrence (lowest (doc_id,
+    position)); every later verbatim repetition — boilerplate, license
+    headers, navigation chrome — is cut out of its document.
+
+    Output: (doc_id, clean_text, n_chunks, n_removed) for every input
+    doc; a fully-boilerplate doc comes back with clean_text = ''.
+
+    Shape at 100 TB: chunking is row-local (tokens -> fixed
+    ``chunk_tokens`` slices); the dedup decision is ONE window over
+    the 64-bit chunk hash (min-struct, no ordering sort), and the
+    rebuild is ONE groupBy(doc_id) — two shuffles total, both on
+    uniform keys (hash / doc id), payload = chunk text once each.
+    min(struct) instead of row_number avoids a per-bucket sort and
+    keeps the window agg frame-less.
+    """
+    from pyspark.sql import Window
+
+    toks = T.tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_arr = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode_outer(chunk_arr).alias("cidx", "chunk")
+    )
+    w = Window.partitionBy(F.xxhash64("chunk"))
+    kept = (
+        exploded.filter(F.col("chunk").isNotNull())
+        .withColumn("first", F.min(F.struct(id_col, "cidx")).over(w))
+        .withColumn(
+            "is_first",
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("cidx") == F.col("first.cidx")),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_first"), F.struct("cidx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+        # docs whose every chunk was null-exploded (empty text) still appear
+        .unionByName(
+            docs.select(F.col(id_col)).join(
+                kept.select(id_col).distinct(), id_col, "left_anti"
+            ).select(
+                F.col(id_col),
+                F.lit("").alias("clean_text"),
+                F.lit(0).cast("long").alias("n_chunks"),
+                F.lit(0).cast("long").alias("n_removed"),
+            )
+        )
+    )

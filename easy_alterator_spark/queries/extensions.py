@@ -312,6 +312,36 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+@query(
+    "doc_chunk_dedup",
+    # Chunk = 10 consecutive tokens; survivor = global first occurrence
+    # (lowest (doc_id, cidx)); docs rebuilt from surviving chunks.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    ch AS (SELECT doc_id, i AS cidx,
+                  array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+           FROM toks, UNNEST(range(0, cast(ceil(len(t)/10.0) AS BIGINT))) u(i)
+           WHERE len(t) > 0),
+    k AS (SELECT doc_id, cidx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+          FROM ch),
+    agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx) AS clean_text,
+                   COUNT(*)::BIGINT AS n_chunks,
+                   (COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed
+            FROM k GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_chunks, 0)::BIGINT AS n_chunks,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_chunk_dedup(spark, sf_dir):
+    """C4-style repeated-span removal with document rebuild
+    (operators/dedup.py::chunk_dedup_rebuild)."""
+    return D.chunk_dedup_rebuild(load_table(spark, sf_dir, "documents"), chunk_tokens=10)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

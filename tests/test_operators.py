@@ -586,3 +586,27 @@ def test_bloom_prefilter_actually_prunes(spark):
     survived = grams.filter(_might_contain(F.lit(words), m, 5, F.col("g"))).count()
     assert total > 1000
     assert survived < total * 0.01
+
+
+def test_chunk_dedup_rebuild_constructed(spark):
+    """Shared boilerplate chunk survives only in the lowest (doc_id,
+    pos); unique chunks all survive; empty docs come back empty."""
+    from easy_alterator_spark.operators.dedup import chunk_dedup_rebuild
+
+    boiler = "b1 b2 b3"  # one 3-token chunk at chunk_tokens=3
+    rows = [
+        (1, f"{boiler} u1 u2 u3"),          # first occurrence -> keeps both
+        (2, f"{boiler} v1 v2 v3"),          # later occurrence -> boiler cut
+        (3, f"w1 w2 w3 {boiler}"),          # later, at position 1 -> cut
+        (4, ""),                            # empty doc
+        (5, boiler),                        # fully-boilerplate doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in chunk_dedup_rebuild(docs, chunk_tokens=3).collect()}
+    assert len(out) == 5
+    assert out[1]["clean_text"] == f"{boiler} u1 u2 u3" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "v1 v2 v3" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "w1 w2 w3" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_chunks"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+    assert out[5]["n_chunks"] == 1

@@ -382,3 +382,16 @@ class TestBloomDecontaminate:
         assert jc["CartesianProduct"] == 0
         assert "getbit" in plan  # the native bit probe made it into codegen
         assert "pythonudf" not in plan.lower()
+
+
+class TestChunkDedup:
+    def test_two_wide_ops_only(self, spark, queries):
+        """Chunking is row-local; the whole operator is one window on
+        the chunk hash + one doc regroup (plus the empty-doc anti-join
+        legs) — no SMJ of the exploded stream, no cartesian."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["doc_chunk_dedup"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        assert "pythonudf" not in plan.lower()
