@@ -44,6 +44,7 @@ _PRIORITY = [
     "dedup_semantic",
     "decontaminate_bloom",
     "doc_chunk_dedup",
+    "sim_ann_pq",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

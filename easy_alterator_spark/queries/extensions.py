@@ -458,6 +458,53 @@ def sim_ann_ivf_probe2(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
+@query(
+    "sim_ann_pq",
+    # PQ is approximate but fully deterministic: codebooks are the
+    # md5-ordered first 16 vectors (subspaced), codes are argmin-L2
+    # with lowest-centroid tie-break, ADC score is the sum of
+    # per-subspace dots against the coded centroid. The oracle
+    # rebuilds codebooks, codes, and scores from the same parquet.
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seed AS (SELECT emb, ROW_NUMBER() OVER (ORDER BY md5k) - 1 AS c_idx
+             FROM (SELECT emb, md5(vec_id::VARCHAR) AS md5k FROM v
+                   ORDER BY md5k LIMIT 16)),
+    js AS (SELECT unnest(range(8)) AS j),
+    cs AS (SELECT s.c_idx, js.j, s.emb[js.j*8+1 : js.j*8+8] AS cv
+           FROM seed s CROSS JOIN js),
+    dist AS (SELECT v.vec_id, c.j, c.c_idx,
+                    list_sum(list_transform(range(1, 9),
+                      i -> (v.emb[c.j*8+i] - c.cv[i]) * (v.emb[c.j*8+i] - c.cv[i]))) AS d
+             FROM v CROSS JOIN cs c),
+    codes AS (SELECT vec_id, j, c_idx AS code FROM (
+                SELECT vec_id, j, c_idx,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d, c_idx) AS rn
+                FROM dist) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, emb AS qv FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+    contrib AS (SELECT q.q_id, n.vec_id AS n_id,
+                       list_dot_product(q.qv[c.j*8+1 : c.j*8+8], cs.cv) AS part
+                FROM codes c
+                JOIN v n ON n.vec_id = c.vec_id
+                JOIN cs ON cs.j = c.j AND cs.c_idx = c.code
+                JOIN q ON q.q_id <> c.vec_id),
+    s2 AS (SELECT q_id, n_id, SUM(part) AS score FROM contrib GROUP BY q_id, n_id),
+    r AS (SELECT q_id, n_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, n_id) AS rnk
+          FROM s2)
+    SELECT q_id, n_id, rnk, ROUND(score, 4) AS score FROM r WHERE rnk <= 3
+    """,
+)
+def sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: 32x-compressed codes + ADC scoring
+    (operators/similarity.py::pq_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+    return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -610,3 +610,37 @@ def test_chunk_dedup_rebuild_constructed(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_chunks"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
     assert out[5]["n_chunks"] == 1
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark, clustered_vectors):
+    """ADC over PQ codes must rank same-cluster vectors on top: with
+    tight clusters (within-cos > 0.99) the compressed top-3 should
+    overlap the exact brute-force top-3 heavily (codebooks are only a
+    16-point sample, so demand >= 60% recall, not equality)."""
+    from easy_alterator_spark.operators.similarity import brute_force_topk, pq_topk
+
+    qids = [0, 6, 12, 18, 24]
+    exact = brute_force_topk(
+        clustered_vectors.filter(f"vec_id in ({','.join(map(str, qids))})"),
+        clustered_vectors, k=3,
+    )
+    approx = pq_topk(clustered_vectors, qids, k=3, m=8)
+    ex = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    assert len(ap) == 15
+    assert len(ex & ap) / len(ex) >= 0.6
+    # same-cluster neighbors dominate: every PQ hit shares the query's
+    # cluster (ids are grouped in blocks of 6)
+    same = [1 for q, n in ap if q // 6 == n // 6]
+    assert sum(same) >= 12
+
+
+def test_pq_codes_compress_and_are_deterministic(spark, clustered_vectors):
+    from easy_alterator_spark.operators.similarity import pq_codebooks, pq_encode
+
+    cents = pq_codebooks(clustered_vectors, m=8)
+    assert len(cents) == 8 and len(cents[0]) == 16 and len(cents[0][0]) == 4
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(clustered_vectors, cents).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(clustered_vectors, cents).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())

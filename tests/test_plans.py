@@ -395,3 +395,18 @@ class TestChunkDedup:
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0
         assert "pythonudf" not in plan.lower()
+
+
+class TestProductQuantization:
+    def test_pq_scan_is_mapside_until_topk(self, spark, queries):
+        """Codebooks/queries are broadcast literals; encoding + ADC
+        scoring are row-local, so the big side's only wide op is the
+        top-k window — no SMJ, no shuffle join of the vector table."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["sim_ann_pq"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0
+        assert jc["ShuffledHashJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+        assert "pythonudf" not in plan.lower()
