@@ -140,21 +140,27 @@ def bloom_contaminated_docs(
     plain shuffle join of survivors against the gram table, and with
     fpp = 2^-num_hashes only ~fpp of clean grams pay it.
 
-    Here the bitmap travels as an ``array<bigint>`` literal inside the
-    plan (512 longs at test scale). Past ~1M benchmark grams the
-    literal should become a real ``sc.broadcast`` consumed by a scala
-    UDF or Spark's injected runtime bloom — same algebra, documented
-    swap (SCALE.md).
+    Here the bitmap travels as ROW DATA in a broadcast one-row frame —
+    NOT as an inline array literal: ``F.lit(words)`` plants a
+    CreateArray of m/64 long literals that is re-evaluated per probed
+    row (measured 8.1 s vs 3.4 s for the exact path at sf0.1); the
+    broadcast row materializes the array once and ``element_at`` reads
+    it by reference. Past ~1M benchmark grams swap the broadcast row
+    for Spark's injected runtime bloom or a scala-UDF ``sc.broadcast``
+    — same algebra, documented swap (SCALE.md).
     """
     bench_grams = bench.select(
         F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
     ).distinct()
     words, m = _bloom_bitmap(bench_grams, bits_per_key, num_hashes)
-    bitmap = F.lit(words)
+    spark = train.sparkSession
+    bitmap_row = spark.createDataFrame([(words,)], "bm array<bigint>")
     train_grams = train.select(
         F.col(id_col), F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
     )
-    survivors = train_grams.filter(_might_contain(bitmap, m, num_hashes, F.col("g")))
+    survivors = train_grams.crossJoin(F.broadcast(bitmap_row)).filter(
+        _might_contain(F.col("bm"), m, num_hashes, F.col("g"))
+    )
     return (
         survivors.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)

@@ -60,8 +60,16 @@ def semantic_dedup(
         F.col(vec_col).alias("vv"),
         _nearest_centroid(F.col("cents"), F.col(vec_col)).alias("bucket"),
     )
-    a = assigned.select(F.col("id").alias("ida"), F.col("vv").alias("va"), "bucket")
-    b = assigned.select(F.col("id").alias("idb"), F.col("vv").alias("vb"), "bucket")
+    # unit-normalize ONCE per row below the exchange: the pair
+    # condition is then a single dot product instead of dot + two
+    # norms (3 interpreted array-aggregates per colliding pair -> 1;
+    # measured 10.9 s -> ~4 s at sf0.1)
+    a = assigned.select(
+        F.col("id").alias("ida"), V.unit(F.col("vv")).alias("ua"), "bucket"
+    )
+    b = assigned.select(
+        F.col("id").alias("idb"), V.unit(F.col("vv")).alias("ub"), "bucket"
+    )
     # identical subtrees + shuffle_hash -> the bucket exchange is
     # computed once and the second side is a ReusedExchange
     dropped = (
@@ -70,7 +78,7 @@ def semantic_dedup(
             b,
             (F.col("ida") < F.col("idb"))
             & (a["bucket"] == b["bucket"])
-            & (V.cosine(F.col("va"), F.col("vb")) >= F.lit(threshold)),
+            & (V.dot(F.col("ua"), F.col("ub")) >= F.lit(threshold)),
         )
         .select(F.col("idb").alias("id"))
         .distinct()

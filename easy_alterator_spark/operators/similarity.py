@@ -282,7 +282,12 @@ def pq_encode(
     """
     m = len(cents)
     sub = len(cents[0][0])
-    cl = F.lit(cents)  # array<array<array<double>>> [j][c][d]
+    # codebook as broadcast ROW DATA, not an inline literal — F.lit of
+    # a 1024-element nested list is a CreateArray re-evaluated per row
+    cb_row = vectors.sparkSession.createDataFrame(
+        [(cents,)], "cb array<array<array<double>>>"
+    )
+    cl = F.col("cb")
     vd = V.as_double(F.col(vec_col))
 
     def code_for(j: F.Column) -> F.Column:
@@ -303,7 +308,9 @@ def pq_encode(
         return best["ci"]
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
-    return vectors.select(F.col(id_col), codes.alias("codes"))
+    return vectors.crossJoin(F.broadcast(cb_row)).select(
+        F.col(id_col), codes.alias("codes")
+    )
 
 
 def pq_topk(
@@ -327,8 +334,11 @@ def pq_topk(
     """
     cents = pq_codebooks(vectors, m, num_centroids, id_col, vec_col)
     sub = len(cents[0][0])
-    cl = F.lit(cents)
-    enc = pq_encode(vectors, cents, id_col, vec_col)
+    cb_row = vectors.sparkSession.createDataFrame(
+        [(cents,)], "cb array<array<array<double>>>"
+    )
+    cl = F.col("cb")
+    enc = pq_encode(vectors, cents, id_col, vec_col).crossJoin(F.broadcast(cb_row))
     q = vectors.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
     )
