@@ -577,75 +577,104 @@ def incremental_near_dup_pairs(
     Cross-side identical sets need no special case: their signatures
     collide in band 0 and exact-verify at jac = 1.0.
     """
+    rb = _inc_reps(batch, "b", id_col, text_col)
+    rc = _inc_reps(corpus, "c", id_col, text_col)
+    bb = _inc_banded(rb, "b", num_perm, bands)
+    bc = _inc_banded(rc, "c", num_perm, bands)
+    return _probe_pairs(rb, bb, rc, bc, threshold, num_perm)
+
+
+def _inc_reps(df: DataFrame, side: str, id_col: str, text_col: str) -> DataFrame:
+    """Distinct-token-set representatives for one side (see
+    incremental_near_dup_pairs: identical sets collapse BEFORE
+    banding)."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("hset"),
+    )
+    return (
+        hs.groupBy("hset")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .select(
+            F.element_at("members", 1).alias(f"{side}_rid"),
+            F.col("hset").alias(f"{side}_hset"),
+            F.col("members").alias(f"{side}_members"),
+        )
+    )
+
+
+def _inc_banded(rp: DataFrame, side: str, num_perm: int, bands: int) -> DataFrame:
+    """Position-tagged signatures + exploded band rows for one side.
+    band_hash is tagged with its band index (v*bands + i), so it is
+    globally unique per band and suffices alone as the join/bucket
+    key."""
     rows_per_band = num_perm // bands
     band_seq = F.sequence(F.lit(0), F.lit(bands - 1))
+    sig = rp.select(
+        f"{side}_rid",
+        F.size(f"{side}_hset").alias(f"{side}_sz"),
+        _minhash_from_hashes(F.col(f"{side}_hset"), num_perm).alias("sig"),
+    )
+    tsig = F.zip_with(
+        F.col("sig"),
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda v, i: v * num_perm + i,
+    )
+    tbh = F.zip_with(
+        _band_hashes(F.col("sig"), bands, rows_per_band),
+        band_seq,
+        lambda v, i: v.cast("long") * bands + i,
+    )
+    return (
+        sig.withColumn(f"{side}_tsig", tsig)
+        .withColumn(f"{side}_tbh", tbh)
+        .select(
+            f"{side}_rid",
+            f"{side}_sz",
+            f"{side}_tsig",
+            f"{side}_tbh",
+            F.explode(band_seq).alias(f"{side}_band_idx"),
+        )
+        .withColumn(
+            "band_hash",
+            F.element_at(F.col(f"{side}_tbh"), F.col(f"{side}_band_idx") + 1),
+        )
+    )
+
+
+def _probe_pairs(
+    rb: DataFrame,
+    bb: DataFrame,
+    rc: DataFrame,
+    bc: DataFrame,
+    threshold: float,
+    num_perm: int,
+) -> DataFrame:
+    """Band probe + in-join pruning + exact verify + member expansion —
+    shared by the in-memory incremental path and the persisted-index
+    probe. Joins on band_hash ALONE (it is band-index-tagged, so equal
+    hashes imply equal band), which lets a corpus index bucketed by
+    band_hash satisfy the join distribution with no exchange."""
     sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
     pre_cut = max(0.0, threshold - max(0.25, 8.0 * sigma))
-
-    def reps(df: DataFrame, side: str) -> DataFrame:
-        hs = df.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
-            ).alias("hset"),
-        )
-        return (
-            hs.groupBy("hset")
-            .agg(F.array_sort(F.collect_list("id")).alias("members"))
-            .select(
-                F.element_at("members", 1).alias(f"{side}_rid"),
-                F.col("hset").alias(f"{side}_hset"),
-                F.col("members").alias(f"{side}_members"),
-            )
-        )
-
-    def banded(rp: DataFrame, side: str) -> DataFrame:
-        sig = rp.select(
-            f"{side}_rid",
-            F.size(f"{side}_hset").alias(f"{side}_sz"),
-            _minhash_from_hashes(F.col(f"{side}_hset"), num_perm).alias("sig"),
-        )
-        tsig = F.zip_with(
-            F.col("sig"),
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda v, i: v * num_perm + i,
-        )
-        tbh = F.zip_with(
-            _band_hashes(F.col("sig"), bands, rows_per_band),
-            band_seq,
-            lambda v, i: v.cast("long") * bands + i,
-        )
-        return (
-            sig.withColumn(f"{side}_tsig", tsig)
-            .withColumn(f"{side}_tbh", tbh)
-            .select(
-                f"{side}_rid",
-                f"{side}_sz",
-                f"{side}_tsig",
-                f"{side}_tbh",
-                F.explode(band_seq).alias("band_idx"),
-            )
-            .withColumn(
-                "band_hash", F.element_at(F.col(f"{side}_tbh"), F.col("band_idx") + 1)
-            )
-        )
-
-    rb, rc = reps(batch, "b"), reps(corpus, "c")
     size_ok = (
         F.least(F.col("b_sz"), F.col("c_sz")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("b_sz"), F.col("c_sz"))
     )
+    # equal tagged band_hash implies equal band index, so each side
+    # slices by its OWN band position
     first_band = ~F.arrays_overlap(
-        F.slice(F.col("b_tbh"), 1, F.col("band_idx")),
-        F.slice(F.col("c_tbh"), 1, F.col("band_idx")),
+        F.slice(F.col("b_tbh"), 1, F.col("b_band_idx")),
+        F.slice(F.col("c_tbh"), 1, F.col("c_band_idx")),
     )
     est_ok = F.size(F.array_intersect(F.col("b_tsig"), F.col("c_tsig"))) >= F.lit(
         int(pre_cut * num_perm)
     )
     cands = (
-        banded(rb, "b")
-        .hint("shuffle_hash")
-        .join(banded(rc, "c"), ["band_idx", "band_hash"])
+        bb.hint("shuffle_hash")
+        .join(bc, "band_hash")
         .filter(size_ok & first_band & est_ok)
         .select("b_rid", "c_rid")
     )
@@ -663,6 +692,57 @@ def incremental_near_dup_pairs(
             F.round("jac", 4).alias("jac"),
         )
     )
+
+
+def build_band_index(
+    corpus: DataFrame,
+    name: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the reusable LSH index of a corpus as TWO bucketed
+    catalog tables: ``{name}_bands`` bucketed by band_hash (the probe
+    join key) and ``{name}_reps`` bucketed by c_rid (the verify join
+    key).
+
+    This is the production form of incremental ingest-time dedup: the
+    corpus-side signature work is paid ONCE at index build; every
+    subsequent batch probe joins against the bucketed scans with no
+    corpus-side exchange (tests/test_bucketing.py pins the plan). On a
+    growing corpus, append each accepted batch's band rows to the same
+    bucketed tables.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    rc = _inc_reps(corpus, "c", id_col, text_col)
+    bc = _inc_banded(rc, "c", num_perm, bands)
+    write_bucketed(bc, f"{name}_bands", ["band_hash"], num_buckets, ["band_hash"])
+    write_bucketed(rc.select("c_rid", "c_hset", "c_members"), f"{name}_reps", ["c_rid"], num_buckets, ["c_rid"])
+
+
+def probe_band_index(
+    batch: DataFrame,
+    name: str,
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(batch_doc_id, corpus_doc_id, jac) — identical semantics to
+    :func:`incremental_near_dup_pairs`, but the corpus side comes from
+    the persisted bucketed index written by :func:`build_band_index`:
+    batch-side cost only, no corpus recompute, no corpus-side shuffle.
+    """
+    spark = batch.sparkSession
+    bc = spark.table(f"{name}_bands")
+    rc = spark.table(f"{name}_reps")
+    rb = _inc_reps(batch, "b", id_col, text_col)
+    bb = _inc_banded(rb, "b", num_perm, bands)
+    return _probe_pairs(rb, bb, rc, bc, threshold, num_perm)
 
 
 # ---------------------------------------------------------------------------

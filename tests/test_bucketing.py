@@ -72,3 +72,46 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_db):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_persisted_band_index_probe(spark, bucketed_db):
+    """The persisted LSH index must (a) return exactly the pairs of the
+    in-memory incremental path and (b) satisfy the probe join's
+    distribution straight off the bucketed scan — no corpus-side
+    exchange at probe time."""
+    from easy_alterator_spark.operators.dedup import (
+        build_band_index,
+        incremental_near_dup_pairs,
+        probe_band_index,
+    )
+    from easy_alterator_spark.plans.audit import formatted_plan
+    from easy_alterator_spark.sources import load_table
+
+    db = bucketed_db
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    build_band_index(corpus, f"{db}.lsh", num_buckets=8)
+
+    got = probe_band_index(batch, f"{db}.lsh", threshold=0.9)
+    want = incremental_near_dup_pairs(batch, corpus, threshold=0.9)
+    key = lambda r: (r["batch_doc_id"], r["corpus_doc_id"], r["jac"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0
+
+    # the index-side leg of the band join reads the bucketed scan with
+    # no Exchange above it: total exchanges stay below the in-memory
+    # twin's (which must shuffle the corpus bands too)
+    from easy_alterator_spark.plans.audit import exchange_count
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_idx = formatted_plan(probe_band_index(batch, f"{db}.lsh", threshold=0.9))
+        p_mem = formatted_plan(incremental_near_dup_pairs(batch, corpus, threshold=0.9))
+        assert exchange_count(p_idx) < exchange_count(p_mem)
+        # the bands scan feeds the ShuffledHashJoin directly — assert
+        # the bucketed relation appears and is not re-exchanged on its
+        # band_hash key
+        assert "lsh_bands" in p_idx
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
