@@ -45,6 +45,7 @@ _PRIORITY = [
     "decontaminate_bloom",
     "doc_chunk_dedup",
     "sim_ann_pq",
+    "doc_mixture_resample",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

@@ -162,3 +162,47 @@ def sample_weighted(
     )
     thresh = F.floor(w * _BUCKETS).cast("int")
     return df.filter(hash_bucket(F.col(id_col)) < thresh)
+
+
+def mixture_resample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Resample a multi-source corpus toward a TARGET domain mixture —
+    the "data mixing" step of pre-training pipelines (cf. The Pile /
+    DoReMi-style fixed mixture weights): given ``targets`` =
+    {source: weight} and a total token ``budget_tokens``, each source
+    is hash-downsampled at rate min(1, budget·w_s / tokens_s) so the
+    expected kept-token mass per source matches budget·w_s. Sources
+    absent from ``targets`` are dropped.
+
+    Shape at 100 TB: ONE map-side-combined aggregate computes
+    per-source token totals (|sources| rows to the driver — tens, not
+    data-scale); the rates become a literal when/otherwise chain
+    inside the same deterministic md5-bucket filter
+    :func:`sample_hash` uses, so the corpus pass is scan + row-local
+    filter — pushdown-friendly, no shuffle, reproducible re-runs.
+    Oversubscribed sources (tokens_s < budget·w_s) keep everything —
+    rate clamps at 1; real pipelines then upsample by epoch repetition
+    at training time, which is out of scope for the corpus pass.
+    """
+    from ..functions import text as T
+
+    nt = F.size(T.tokens(F.col(text_col)))
+    totals = {
+        r[source_col]: r["toks"]
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(nt).cast("double").alias("toks"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, budget_tokens * w / totals[s])
+        for s, w in targets.items()
+        if s in totals and totals[s] > 0
+    }
+    kept = docs.filter(F.col(source_col).isin(list(rates)))
+    return sample_hash(kept, 0.0, id_col=id_col, stratum_col=source_col, stratum_rates=rates)

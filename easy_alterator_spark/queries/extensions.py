@@ -342,6 +342,42 @@ def doc_chunk_dedup(spark, sf_dir):
     return D.chunk_dedup_rebuild(load_table(spark, sf_dir, "documents"), chunk_tokens=10)
 
 
+@query(
+    "doc_mixture_resample",
+    # Rates derive from the data (budget * w / source_tokens), so the
+    # oracle recomputes them in SQL; floor() mirrors Spark's
+    # truncating int cast (DuckDB's CAST rounds).
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, len({_DTOKS}) AS nt,
+                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS bucket
+                 FROM documents),
+    tot AS (SELECT source, SUM(nt)::DOUBLE AS toks FROM tok GROUP BY source),
+    tgt(source, w) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+    rates AS (SELECT t.source, LEAST(1.0, 2000 * g.w / t.toks) AS r
+              FROM tot t JOIN tgt g USING (source))
+    SELECT k.source, COUNT(*)::BIGINT AS n_docs, SUM(k.nt)::BIGINT AS n_tokens
+    FROM tok k JOIN rates USING (source)
+    WHERE k.bucket < CAST(floor(r * 65536) AS INT)
+    GROUP BY k.source
+    """,
+)
+def doc_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling toward {src1: .5, src2: .3, src3: .2}
+    at a 2000-token budget (operators/sampling.py::mixture_resample);
+    reports kept docs/tokens per source."""
+    from ..functions import text as T
+    from ..operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        docs, {"src1": 0.5, "src2": 0.3, "src3": 0.2}, budget_tokens=2000
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -644,3 +644,31 @@ def test_pq_codes_compress_and_are_deterministic(spark, clustered_vectors):
     b = {r["vec_id"]: r["codes"] for r in pq_encode(clustered_vectors, cents).collect()}
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_mixture_resample_hits_target_mixture(spark):
+    """Kept token mass per source approximates budget * weight; absent
+    sources are dropped; oversubscribed sources clamp at keep-all."""
+    from easy_alterator_spark.functions import text as T
+    from easy_alterator_spark.operators.sampling import mixture_resample
+    from easy_alterator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    targets = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    kept = mixture_resample(docs, targets, budget_tokens=2000)
+    got = {
+        r["source"]: r["nt"]
+        for r in kept.groupBy("source")
+        .agg(F.sum(F.size(T.tokens(F.col("text")))).alias("nt"))
+        .collect()
+    }
+    assert set(got) <= set(targets)
+    for s, w in targets.items():
+        # md5-bucket sampling at ~25 docs/source is coarse: allow wide
+        # but bounded deviation from the target token mass
+        assert 0.3 * 2000 * w <= got[s] <= 2.0 * 2000 * w, (s, got[s])
+
+    # a source with tokens < budget*w keeps everything (rate clamps)
+    tiny = mixture_resample(docs, {"src1": 1.0}, budget_tokens=10_000_000)
+    assert tiny.count() == docs.filter("source = 'src1'").count()
