@@ -46,6 +46,7 @@ _PRIORITY = [
     "doc_chunk_dedup",
     "sim_ann_pq",
     "doc_mixture_resample",
+    "events_retention_cohorts",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

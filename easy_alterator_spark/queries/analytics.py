@@ -537,3 +537,40 @@ def doc_sample_weighted(spark, sf_dir):
         F.count("*").cast("long").alias("kept"),
         F.round(F.avg("q"), 4).alias("avg_q"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, ts,
+                      MIN(ts) OVER (PARTITION BY user_id) AS ft
+               FROM events),
+    w AS (SELECT user_id,
+                 CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM f)
+    SELECT cohort_week,
+           (date_diff('day', cohort_week, wk) // 7)::INT AS week_offset,
+           COUNT(DISTINCT user_id)::BIGINT AS active_users
+    FROM w GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Classic cohort-retention triangle: users grouped by first-seen
+    week, counted distinct in each subsequent week offset.
+
+    The first-seen timestamp is a frameless window min over user_id —
+    ONE shuffle, no self-join back onto the event stream; the cohort
+    rollup is a partial+final distinct-count on a tiny (cohort,
+    offset) key space. At 100 TB both wide ops key uniformly (user
+    id, then a few hundred cohort cells)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w)).cast("date")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.withColumn("cohort_week", cohort)
+        .withColumn("week_offset", F.floor(F.datediff(wk, F.col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
