@@ -47,6 +47,8 @@ _PRIORITY = [
     "sim_ann_pq",
     "doc_mixture_resample",
     "events_retention_cohorts",
+    "events_value_ranks",
+    "dedup_edit_distance",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

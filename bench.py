@@ -34,6 +34,12 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in sorted(set(QUERIES) - NO_BENCH):
+        # one untimed warm-up execution per query: JIT-compiles the
+        # generated code and faults input pages in, so the timed
+        # median measures the declared warm steady state instead of
+        # first-run compilation (heavy dedup plans JIT from ~21 s cold
+        # to ~7 s warm; without this the median samples the ramp).
+        QUERIES[name](spark, sf_dir).toPandas()
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -574,3 +574,32 @@ def events_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "events_value_ranks",
+    # ntile is tie-order-sensitive -> event_id tiebreak makes the
+    # frame deterministic in both engines.
+    oracle="""
+    SELECT event_type, event_id,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 4) AS cd
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def events_value_ranks(spark, sf_dir):
+    """Rank-family window breadth (percent_rank / ntile / cume_dist)
+    in ONE window spec — one shuffle on event_type, one sort, all
+    three functions share the frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )

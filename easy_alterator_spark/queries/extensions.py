@@ -378,6 +378,35 @@ def doc_mixture_resample(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_edit_distance",
+    # Bounded all-pairs form = the VERIFY stage (compose with MinHash
+    # band candidates for the scale path); levenshtein is the same DP
+    # in both engines.
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 60)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.text, b.text)::INT AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 120
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Near-dup by raw edit distance — catches reorder-insensitive
+    boilerplate variants that token-set Jaccard misses. JVM-native
+    levenshtein; at scale this exact form runs only on LSH candidate
+    pairs (output-sized), never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 60)
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("dist", F.levenshtein("ta", "tb").cast("int"))
+        .filter(F.col("dist") <= 120)
+        .select("doc_id_a", "doc_id_b", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
