@@ -672,3 +672,41 @@ def test_mixture_resample_hits_target_mixture(spark):
     # a source with tokens < budget*w keeps everything (rate clamps)
     tiny = mixture_resample(docs, {"src1": 1.0}, budget_tokens=10_000_000)
     assert tiny.count() == docs.filter("source = 'src1'").count()
+
+
+def test_chunk_dedup_properties_random_corpora(spark):
+    """Property pass over random corpora: (1) kept chunks are globally
+    unique, (2) kept + removed counts partition the original chunks,
+    (3) clean_text is a subsequence of the original chunk sequence."""
+    import random
+
+    from easy_alterator_spark.operators.dedup import chunk_dedup_rebuild
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in chunk_dedup_rebuild(docs, chunk_tokens=4).collect()}
+        orig = {i: t for i, t in rows}
+        assert set(out) == set(orig)
+
+        def chunks(t):
+            toks = t.split()
+            return [" ".join(toks[i:i + 4]) for i in range(0, len(toks), 4)]
+
+        seen = set()
+        for i in sorted(out):
+            kept = chunks(out[i]["clean_text"]) if out[i]["clean_text"] else []
+            full = chunks(orig[i])
+            assert out[i]["n_chunks"] == len(full)
+            assert out[i]["n_removed"] == len(full) - len(kept)
+            # kept preserves original order (subsequence)
+            it = iter(full)
+            assert all(any(c == f for f in it) for c in kept), (trial, i)
+            for c in kept:
+                assert c not in seen, "kept chunk repeated globally"
+            seen.update(full)  # any later occurrence of these must drop
