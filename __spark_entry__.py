@@ -49,6 +49,7 @@ _PRIORITY = [
     "events_retention_cohorts",
     "events_value_ranks",
     "dedup_edit_distance",
+    "dedup_lsh_recall_audit",
     "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
     "dedup_simhash_md5",

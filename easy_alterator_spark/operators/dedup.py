@@ -1104,3 +1104,54 @@ def chunk_dedup_rebuild(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-audited recall (operating the dedup at scale)
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    sample_rate: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One-row (n_true, n_found, recall) audit of the MinHash-LSH path
+    against exact ground truth on a deterministic hash sample.
+
+    At 100 TB nobody can verify dedup output globally — but a
+    content-hash sample is verifiable: exact all-pairs Jaccard on the
+    sampled slice is |sample|² work, and LSH restricted to the same
+    slice must rediscover those pairs at its theoretical recall
+    (1-(1-t^r)^b, ~1 at t=0.9 with 16×4 bands). Run this per ingest
+    batch and alert when measured recall drops below the theory line —
+    the cheap canary for tokenization drift, banding bugs, or skew.
+    The sample is md5-bucket-deterministic (operators/sampling.py), so
+    reruns audit the identical slice.
+    """
+    from .sampling import sample_hash
+
+    sample = sample_hash(docs, sample_rate, id_col=id_col)
+    exact = jaccard_pairs(
+        sample, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    found = minhash_dedup_pairs(
+        sample,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+    ).select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    hit = exact.join(found, ["a", "b"], "left_semi")
+    n_true = exact.count()
+    n_found = hit.count()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(n_true, n_found, round(n_found / n_true, 4) if n_true else None)],
+        "n_true bigint, n_found bigint, recall double",
+    )

@@ -407,6 +407,28 @@ def dedup_edit_distance(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_lsh_recall_audit",
+    # The audit's ground truth is exact sampled Jaccard; at t=0.9 with
+    # 16x4 bands LSH misses with p ~ 4e-8, so the oracle asserts found
+    # == true and recall == 1.0 — a miss IS a defect worth failing on.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DSET} AS toks FROM documents
+               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 19660),
+    p AS (SELECT count(*) AS n FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)
+    SELECT n::BIGINT AS n_true, n::BIGINT AS n_found, 1.0::DOUBLE AS recall FROM p
+    """,
+)
+def dedup_lsh_recall_audit(spark, sf_dir):
+    """Sample-audited LSH recall (operators/dedup.py::lsh_recall_report)
+    on the deterministic 30% md5 slice — the per-batch dedup canary."""
+    return D.lsh_recall_report(
+        load_table(spark, sf_dir, "documents"), threshold=0.9, sample_rate=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

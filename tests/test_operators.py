@@ -710,3 +710,18 @@ def test_chunk_dedup_properties_random_corpora(spark):
             for c in kept:
                 assert c not in seen, "kept chunk repeated globally"
             seen.update(full)  # any later occurrence of these must drop
+
+
+def test_lsh_recall_report_full_recall_on_testdata(spark):
+    """At t=0.9 with 16x4 bands the theoretical miss rate is ~4e-8, so
+    the sampled audit must report recall == 1.0 on the synthetic
+    corpus (and a deterministic rerun must agree exactly)."""
+    from easy_alterator_spark.operators.dedup import lsh_recall_report
+    from easy_alterator_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r1 = lsh_recall_report(docs, threshold=0.9, sample_rate=0.5).collect()[0]
+    r2 = lsh_recall_report(docs, threshold=0.9, sample_rate=0.5).collect()[0]
+    assert r1["n_true"] > 0
+    assert r1["recall"] == 1.0
+    assert (r1["n_true"], r1["n_found"]) == (r2["n_true"], r2["n_found"])
