@@ -1114,28 +1114,32 @@ def chunk_dedup_rebuild(
 def lsh_recall_report(
     docs: DataFrame,
     threshold: float = 0.9,
-    sample_rate: float = 0.1,
+    sample_size: int = 300,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
 ) -> DataFrame:
     """One-row (n_true, n_found, recall) audit of the MinHash-LSH path
-    against exact ground truth on a deterministic hash sample.
+    against exact ground truth on a deterministic fixed-size sample.
 
-    At 100 TB nobody can verify dedup output globally — but a
-    content-hash sample is verifiable: exact all-pairs Jaccard on the
-    sampled slice is |sample|² work, and LSH restricted to the same
-    slice must rediscover those pairs at its theoretical recall
-    (1-(1-t^r)^b, ~1 at t=0.9 with 16×4 bands). Run this per ingest
-    batch and alert when measured recall drops below the theory line —
+    At 100 TB nobody can verify dedup output globally — but a sampled
+    slice is verifiable, and the audit budget must be CORPUS-SIZE-
+    INDEPENDENT: a fixed-rate sample grows quadratically in the exact
+    stage (0.1% of 10^10 docs is 10^7 docs -> 10^13 pairs), while a
+    fixed-SIZE slice keeps the ground-truth join at sample_size²
+    forever. The slice is the md5-ordered first ``sample_size`` ids —
+    deterministic (reruns audit the identical slice, and the DuckDB
+    differential oracle can rebuild it) yet content-independent.
+    Exact all-pairs Jaccard on the slice is the truth; LSH restricted
+    to the same slice must rediscover those pairs at its theoretical
+    recall (1-(1-t^r)^b, ~1 at t=0.9 with 16x4 bands). Run per ingest
+    batch; alert when measured recall drops below the theory line —
     the cheap canary for tokenization drift, banding bugs, or skew.
-    The sample is md5-bucket-deterministic (operators/sampling.py), so
-    reruns audit the identical slice.
     """
-    from .sampling import sample_hash
-
-    sample = sample_hash(docs, sample_rate, id_col=id_col)
+    sample = (
+        docs.orderBy(F.md5(F.col(id_col).cast("string"))).limit(sample_size)
+    )
     exact = jaccard_pairs(
         sample, threshold=threshold, id_col=id_col, text_col=text_col
     ).select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))

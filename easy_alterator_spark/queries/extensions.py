@@ -412,9 +412,11 @@ def dedup_edit_distance(spark, sf_dir):
     # The audit's ground truth is exact sampled Jaccard; at t=0.9 with
     # 16x4 bands LSH misses with p ~ 4e-8, so the oracle asserts found
     # == true and recall == 1.0 — a miss IS a defect worth failing on.
+    # Slice = md5-ordered first 300 ids (fixed AUDIT BUDGET regardless
+    # of corpus size), reproducible on both engines.
     oracle=f"""
     WITH s AS (SELECT doc_id, {_DSET} AS toks FROM documents
-               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 19660),
+               ORDER BY md5(doc_id::VARCHAR) LIMIT 300),
     p AS (SELECT count(*) AS n FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                 / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)
@@ -423,9 +425,10 @@ def dedup_edit_distance(spark, sf_dir):
 )
 def dedup_lsh_recall_audit(spark, sf_dir):
     """Sample-audited LSH recall (operators/dedup.py::lsh_recall_report)
-    on the deterministic 30% md5 slice — the per-batch dedup canary."""
+    on the deterministic 300-doc md5 slice — the per-batch dedup canary
+    with a corpus-size-independent cost."""
     return D.lsh_recall_report(
-        load_table(spark, sf_dir, "documents"), threshold=0.9, sample_rate=0.3
+        load_table(spark, sf_dir, "documents"), threshold=0.9, sample_size=300
     )
 
 

@@ -720,8 +720,8 @@ def test_lsh_recall_report_full_recall_on_testdata(spark):
     from easy_alterator_spark.sources import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    r1 = lsh_recall_report(docs, threshold=0.9, sample_rate=0.5).collect()[0]
-    r2 = lsh_recall_report(docs, threshold=0.9, sample_rate=0.5).collect()[0]
+    r1 = lsh_recall_report(docs, threshold=0.9, sample_size=150).collect()[0]
+    r2 = lsh_recall_report(docs, threshold=0.9, sample_size=150).collect()[0]
     assert r1["n_true"] > 0
     assert r1["recall"] == 1.0
     assert (r1["n_true"], r1["n_found"]) == (r2["n_true"], r2["n_found"])
