@@ -202,3 +202,56 @@ class TestLatestWins:
             for r in QUERIES["events_latest_by_key"](spark, SF).collect()
         }
         assert got == want
+
+
+class TestIdempotentFileSink:
+    def test_stream_to_files_equals_batch(self, spark, tmp_path):
+        """availableNow drain through the idempotent foreachBatch sink:
+        the landed files hold exactly the batch-mode rows."""
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.events import read_events_stream
+        from easy_alterator_spark.streaming.sinks import write_stream_idempotent
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream = read_events_stream(spark, SF).select("event_id", "user_id")
+        write_stream_idempotent(stream, out, ckpt)
+        landed = spark.read.parquet(f"{out}/batch=*")
+        want = load_table(spark, SF, "events").select("event_id", "user_id")
+        assert sorted(r["event_id"] for r in landed.collect()) == sorted(
+            r["event_id"] for r in want.collect()
+        )
+
+    def test_replayed_batch_does_not_duplicate(self, spark, tmp_path):
+        """Calling the batch writer twice with the SAME batch_id (the
+        crash-replay case foreachBatch is documented to produce) must
+        leave one copy of the data."""
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.sinks import idempotent_batch_writer
+
+        out = str(tmp_path / "replay")
+        df = load_table(spark, SF, "events").select("event_id").limit(50)
+        w = idempotent_batch_writer(out)
+        w(df, 7)
+        w(df, 7)  # replay
+        assert spark.read.parquet(f"{out}/batch=7").count() == 50
+
+    def test_resume_processes_nothing_new(self, spark, tmp_path):
+        """A second availableNow run against the same checkpoint sees
+        no new input: offsets persist, files are not re-landed."""
+        import os
+
+        from easy_alterator_spark.streaming.events import read_events_stream
+        from easy_alterator_spark.streaming.sinks import write_stream_idempotent
+
+        out = str(tmp_path / "resume")
+        ckpt = str(tmp_path / "ckpt2")
+        stream = read_events_stream(spark, SF).select("event_id")
+        write_stream_idempotent(stream, out, ckpt)
+        dirs_before = sorted(os.listdir(out))
+        write_stream_idempotent(
+            read_events_stream(spark, SF).select("event_id"), out, ckpt
+        )
+        assert sorted(d for d in os.listdir(out) if d.startswith("batch=")) == [
+            d for d in dirs_before if d.startswith("batch=")
+        ]
