@@ -41,6 +41,8 @@ _PRIORITY = [
     "q26_tpch_large_orders",
     "pipeline_training_corpus",
     # round-3 additions / changes
+    "dedup_substring_stats",
+    "dedup_substring_drop",
     "dedup_semantic",
     "decontaminate_bloom",
     "doc_chunk_dedup",

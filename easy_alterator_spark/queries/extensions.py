@@ -1189,3 +1189,69 @@ def text_pii_redact(spark, sf_dir):
         F.sum("n_phone").cast("long").alias("phones"),
         F.sum("redacted_len").cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplication (ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_stats",
+    # w=6 at this corpus size so the gate sees a dense, non-trivial
+    # profile; the operator default is 8 (real ExactSubstr runs use
+    # ~50-token spans, i.e. larger windows over longer documents).
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    w AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-4, 1))) AS u(i)
+          WHERE len(t) >= 6),
+    c AS (SELECT gram, COUNT(*) AS nd FROM w GROUP BY gram)
+    SELECT w.doc_id,
+           COUNT(*)::BIGINT AS n_win,
+           SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_win,
+           ROUND(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS dup_frac
+    FROM w JOIN c USING (gram)
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_substring_stats(spark, sf_dir):
+    """ExactSubstr-style duplicated-window profile (Lee et al. 2022):
+    per-doc fraction of distinct 6-token windows that also occur in
+    another document. One hash-partitioned window count + one per-doc
+    rollup — no joins of the occurrence stream
+    (operators/substrings.py)."""
+    from ..operators import substrings as SS
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SS.window_dup_stats(docs, w=6)
+
+
+@query(
+    "dedup_substring_drop",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    w AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-4, 1))) AS u(i)
+          WHERE len(t) >= 6),
+    c AS (SELECT gram, COUNT(*) AS nd FROM w GROUP BY gram),
+    f AS (SELECT w.doc_id,
+                 SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*) AS dup_frac
+          FROM w JOIN c USING (gram) GROUP BY w.doc_id)
+    SELECT d.source, COUNT(*)::BIGINT AS kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM f WHERE dup_frac > 0.6)
+    GROUP BY d.source
+    """,
+)
+def dedup_substring_drop(spark, sf_dir):
+    """The ExactSubstr ACTION: drop documents whose duplicated-window
+    fraction exceeds 0.6, report survivors per source. Short docs
+    (< w tokens) carry no windows and are kept."""
+    from ..operators import substrings as SS
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SS.drop_duplicated_docs(docs, w=6, max_dup_fraction=0.6)
+    return kept.groupBy("source").agg(F.count("*").cast("long").alias("kept"))

@@ -725,3 +725,50 @@ def test_lsh_recall_report_full_recall_on_testdata(spark):
     assert r1["n_true"] > 0
     assert r1["recall"] == 1.0
     assert (r1["n_true"], r1["n_found"]) == (r2["n_true"], r2["n_found"])
+
+
+class TestSubstringDedup:
+    """ExactSubstr window stats on constructed docs: shared boilerplate
+    spans are counted, unique prose is not, short docs are kept."""
+
+    def _docs(self, spark):
+        boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (1, boiler + " one unique tail here now"),          # shares boiler with 2
+            (2, "intro words lead in " + boiler),               # shares boiler with 1
+            (3, "completely different text with no overlap at all ok"),
+            (4, "tiny doc"),                                    # < w tokens -> no windows
+            (5, boiler + " " + boiler),                         # internal repeat + cross-doc
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stats_planted_boilerplate(self, spark):
+        from easy_alterator_spark.operators import substrings as SS
+
+        out = {
+            r["doc_id"]: r
+            for r in SS.window_dup_stats(self._docs(spark), w=8).collect()
+        }
+        # the 8-token boilerplate is exactly ONE 8-window; both carriers
+        # see it as duplicated
+        assert out[1]["dup_win"] >= 1 and out[2]["dup_win"] >= 1
+        assert out[3]["dup_win"] == 0 and out[3]["dup_frac"] == 0.0
+        assert 4 not in out  # no windows -> absent from stats
+        # doc 5 (boiler twice = 16 tokens): 9 window positions, and the
+        # window at offset 0 equals the one at offset 8 (both are the
+        # full boilerplate) -> 8 DISTINCT windows; internal repetition
+        # does not inflate n_win
+        assert out[5]["n_win"] == 8
+
+    def test_drop_keeps_short_and_unique(self, spark):
+        from easy_alterator_spark.operators import substrings as SS
+
+        kept = {
+            r["doc_id"]
+            for r in SS.drop_duplicated_docs(
+                self._docs(spark), w=8, max_dup_fraction=0.5
+            ).collect()
+        }
+        assert 3 in kept and 4 in kept  # unique prose + short doc survive
+        # docs 1/2 share one window out of several -> frac < 0.5 -> kept
+        assert 1 in kept and 2 in kept

@@ -410,3 +410,35 @@ class TestProductQuantization:
         assert jc["ShuffledHashJoin"] == 0
         assert jc["CartesianProduct"] == 0
         assert "pythonudf" not in plan.lower()
+
+
+class TestSubstringDedup:
+    def test_stats_two_shuffles_no_joins(self, spark, queries):
+        """window_dup_stats is one window over the gram hash + one
+        per-doc rollup: exactly two exchanges, zero joins, zero UDFs —
+        the occurrence stream is never joined back onto itself."""
+        from easy_alterator_spark.plans.audit import (
+            exchange_count,
+            formatted_plan,
+            join_counts,
+        )
+
+        df = queries["dedup_substring_stats"](spark, SF)
+        plan = formatted_plan(df)
+        jc = join_counts(plan)
+        assert sum(jc.values()) == 0, jc
+        # formatted mode lists every node twice (tree + detail block),
+        # so 2 real shuffles == 4 matches
+        assert exchange_count(plan) == 4, plan
+        assert "pythonudf" not in plan.lower()
+
+    def test_drop_is_anti_join_on_flagged_only(self, spark, queries):
+        """drop_duplicated_docs anti-joins the corpus against the
+        (small) flagged set — no cartesian, no extra join of the
+        window stream."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["dedup_substring_drop"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        assert "LeftAnti" in plan
