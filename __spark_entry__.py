@@ -43,6 +43,8 @@ _PRIORITY = [
     # round-3 additions / changes
     "dedup_substring_stats",
     "dedup_substring_drop",
+    "doc_quality_filter",
+    "doc_training_order",
     "dedup_semantic",
     "decontaminate_bloom",
     "doc_chunk_dedup",

@@ -206,3 +206,93 @@ def mixture_resample(
     }
     kept = docs.filter(F.col(source_col).isin(list(rates)))
     return sample_hash(kept, 0.0, id_col=id_col, stratum_col=source_col, stratum_rates=rates)
+
+
+def quality_percent_rank(
+    docs: DataFrame,
+    score_col: str = "q",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs + ``pr``: exact percent rank of ``score_col`` within each
+    ``by`` group (ties broken by id, so the rank — and any filter on
+    it — is fully deterministic).
+
+    This is the EXACT quantile-filter form: one sort-shuffle per
+    group. Groups are domains/sources (tens to thousands), so at
+    100 TB a single group can be a large fraction of the corpus and
+    the per-group sort is the bottleneck — that is what
+    :func:`quality_threshold_filter` exists for. Keep this form for
+    moderate group cardinality or when exact ranks are the contract.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return docs.withColumn("pr", F.percent_rank().over(w))
+
+
+def quality_threshold_filter(
+    docs: DataFrame,
+    quantile: float = 0.25,
+    score_col: str = "q",
+    by: str = "source",
+) -> DataFrame:
+    """Drop each group's bottom ``quantile`` of ``score_col`` — the
+    100 TB quantile-filter path.
+
+    Two passes, neither sorting the corpus: (1) a map-side-combined
+    ``approx_percentile`` per group (t-digest-style mergeable sketch;
+    |groups| rows out), (2) a broadcast join of the thresholds back
+    and a row-local ``>=`` filter. The corpus never shuffles.
+    Approximation only moves the CUT POINT by the sketch error
+    (fraction of rows near the boundary) — everything clearly above
+    or below the quantile is classified identically to the exact
+    form (tests/test_operators.py pins agreement away from the cut).
+    """
+    thr = docs.groupBy(by).agg(
+        F.percentile_approx(score_col, quantile, 10000).alias("q_cut")
+    )
+    return (
+        docs.join(F.broadcast(thr), by)
+        .filter(F.col(score_col) >= F.col("q_cut"))
+        .drop("q_cut")
+    )
+
+
+def training_order(
+    docs: DataFrame,
+    num_shards: int = 8,
+    seed: str = "42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, pos): a deterministic global shuffle of the
+    corpus into ``num_shards`` training shards — the "randomize your
+    training order, reproducibly" primitive every run needs.
+
+    The shuffle key is content-derived (md5 of seed:id, the same
+    engine-portable rule as :func:`sample_hash`), so any engine — and
+    any re-run — derives the identical order; changing ``seed`` gives
+    an independent permutation. ``shard`` is the key mod num_shards;
+    ``pos`` is the rank of the full hex key within the shard (ties
+    impossible: md5 keys collide only when ids collide, and the id is
+    appended as a tiebreak).
+
+    100 TB shape: one hash-partitioned sort per shard. Pick
+    num_shards so a shard fits a task (e.g. 100k shards for 100 TB ->
+    ~1 GB each); the physical form is then
+    ``repartition(num_shards, shard).sortWithinPartitions(key)`` —
+    identical output, and the window below degenerates to exactly
+    that one exchange + in-partition sort.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int"), F.lit(num_shards)
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("k").asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), key.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -1255,3 +1255,82 @@ def dedup_substring_drop(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     kept = SS.drop_duplicated_docs(docs, w=6, max_dup_fraction=0.6)
     return kept.groupBy("source").agg(F.count("*").cast("long").alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# quality-quantile filtering + deterministic training order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_filter",
+    # same quality formula as text_quality's oracle, then an exact
+    # per-source percent rank (ties broken by doc_id => deterministic)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text, {_DTOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, source,
+                 len(toks) AS ntok,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                           / length(text)
+                      ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(
+                             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                           / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM t),
+    s AS (SELECT doc_id, source,
+                 ROUND(0.5 * least(ntok / 50.0, 1.0)
+                       + 0.3 * alpha_ratio
+                       + 0.2 * least(stop_ratio * 5, 1.0), 4) AS q
+          FROM m),
+    r AS (SELECT doc_id, source, q,
+                 PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY q, doc_id) AS pr
+          FROM s)
+    SELECT doc_id, source, q, ROUND(pr, 4) AS pr
+    FROM r WHERE pr >= 0.25
+    """,
+)
+def doc_quality_filter(spark, sf_dir):
+    """Per-domain quality-quantile gate: drop each source's bottom
+    quartile by heuristic quality score, exact percent-rank form.
+    The approximate broadcast-threshold twin (the corpus-never-
+    shuffles 100 TB path) is operators/sampling.py
+    quality_threshold_filter, agreement-tested in
+    tests/test_operators.py."""
+    from ..functions import text as T
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+    )
+    ranked = SP.quality_percent_rank(docs, score_col="q", by="source")
+    return ranked.filter(F.col("pr") >= 0.25).select(
+        "doc_id", "source", "q", F.round("pr", 4).alias("pr")
+    )
+
+
+@query(
+    "doc_training_order",
+    oracle="""
+    WITH k AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS k
+               FROM documents),
+    s AS (SELECT doc_id, k,
+                 (('0x' || substr(k, 1, 4))::INT % 8) AS shard
+          FROM k)
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT AS pos
+    FROM s
+    """,
+)
+def doc_training_order(spark, sf_dir):
+    """Deterministic global training shuffle: every doc gets a
+    (shard, pos) slot from md5(seed:id) — reproducible on any engine,
+    independent permutation per seed (operators/sampling.py
+    training_order)."""
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.training_order(docs, num_shards=8, seed="42")

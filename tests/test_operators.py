@@ -772,3 +772,71 @@ class TestSubstringDedup:
         assert 3 in kept and 4 in kept  # unique prose + short doc survive
         # docs 1/2 share one window out of several -> frac < 0.5 -> kept
         assert 1 in kept and 2 in kept
+
+
+class TestQualityQuantileFilter:
+    def test_threshold_path_agrees_away_from_cut(self, spark):
+        """The approx-percentile broadcast path classifies every doc
+        whose score is clearly above/below the per-group quantile the
+        same as the exact percent-rank form; only the boundary region
+        (sketch error) may flip."""
+        from easy_alterator_spark.functions import text as T
+        from easy_alterator_spark.operators import sampling as SP
+        from pyspark.sql import functions as F
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", T.quality_score(F.col("text")).alias("q"))
+        )
+        exact = SP.quality_percent_rank(docs, score_col="q", by="source")
+        approx = SP.quality_threshold_filter(docs, quantile=0.25, score_col="q", by="source")
+        kept_exact = {r["doc_id"]: r["pr"] for r in exact.collect()}
+        kept_approx = {r["doc_id"] for r in approx.collect()}
+        for doc, pr in kept_exact.items():
+            if pr >= 0.30:
+                assert doc in kept_approx, (doc, pr)
+            if pr < 0.20:
+                assert doc not in kept_approx, (doc, pr)
+
+    def test_threshold_filter_broadcasts_and_never_shuffles_corpus(self, spark):
+        from easy_alterator_spark.functions import text as T
+        from easy_alterator_spark.operators import sampling as SP
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+        from pyspark.sql import functions as F
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", T.quality_score(F.col("text")).alias("q"))
+        )
+        plan = formatted_plan(
+            SP.quality_threshold_filter(docs, score_col="q", by="source")
+        )
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] >= 1
+        assert jc["SortMergeJoin"] == 0 and jc["ShuffledHashJoin"] == 0
+
+
+class TestTrainingOrder:
+    def test_deterministic_and_dense(self, spark):
+        from easy_alterator_spark.operators import sampling as SP
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {(r["doc_id"], r["shard"], r["pos"]) for r in SP.training_order(docs).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"]) for r in SP.training_order(docs).collect()}
+        assert a == b and len(a) == docs.count()
+        # positions are 1..n_shard dense within each shard
+        by_shard: dict = {}
+        for _, s, p in a:
+            by_shard.setdefault(s, []).append(p)
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), s
+        assert set(by_shard) <= set(range(8))
+
+    def test_seed_changes_permutation(self, spark):
+        from easy_alterator_spark.operators import sampling as SP
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {r["doc_id"]: (r["shard"], r["pos"]) for r in SP.training_order(docs, seed="42").collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"]) for r in SP.training_order(docs, seed="43").collect()}
+        assert a != b  # an independent permutation, same id set
+        assert set(a) == set(b)
