@@ -45,6 +45,8 @@ _PRIORITY = [
     "dedup_substring_drop",
     "doc_quality_filter",
     "doc_training_order",
+    "search_phrase",
+    "search_ranked",
     "dedup_semantic",
     "decontaminate_bloom",
     "doc_chunk_dedup",

@@ -1,0 +1,145 @@
+"""Corpus search: exact phrase lookup and ranked keyword retrieval.
+
+A training-data engine is also the tool you *inspect* the corpus with:
+"which documents contain this exact phrase" (contamination forensics,
+memorization probes, takedown requests) and "rank documents for these
+query terms" (curriculum mining, topical subset extraction). Both are
+expressed so the corpus-side work is a scan + row-local projection:
+
+- Phrase lookup needs no index: a w-token phrase occurs at position i
+  iff the doc's w-gram at i equals it, so the occurrence count is a
+  row-local fold over the gram sequence — ZERO shuffle (the phrase is
+  a literal; nothing is even broadcast).
+- Repeated search at scale uses a persisted phrase-gram posting table
+  bucketed by gram hash (same pattern as the dedup band index,
+  operators/dedup.py build_band_index): probing M phrases is a
+  broadcast join against bucketed postings — no corpus re-scan, no
+  corpus-side exchange.
+- Ranked retrieval scores sum(tf · ln(N/df)) over the query terms
+  (the TF-IDF weighting of operators/tfidf.py, restricted to the
+  query vocabulary): the explode stream is filtered to query terms
+  map-side, so the aggregation shuffles only matching (doc, term)
+  rows; df comes from the same filtered table; top-k is a
+  TakeOrdered, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+
+
+def _norm_phrase(phrase: str) -> list[str]:
+    toks = [t for t in phrase.lower().strip().split() if t]
+    if not toks:
+        raise ValueError("empty phrase")
+    return toks
+
+
+def phrase_occurrences(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_hits): documents containing the exact token phrase,
+    with occurrence counts (overlapping occurrences each count).
+
+    The phrase is normalized with the engine's tokenization rule
+    (lowercase whitespace tokens), so matching is token-exact, not
+    substring-sloppy: searching "low cost" will not hit "slow cost".
+    Row-local — the only post-scan work is the final hit filter.
+    """
+    ptoks = _norm_phrase(phrase)
+    w = len(ptoks)
+    lit = " ".join(ptoks)
+    toks = T.tokens(F.col(text_col))
+    # docs shorter than w tokens cannot contain the phrase; guard the
+    # sequence explicitly — sequence(0, -1) would step BACKWARD to
+    # [0, -1] and slice(toks, 0, ...) errors under ANSI
+    idx = F.sequence(F.lit(0), F.size(toks) - w)
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    n_hits = F.size(F.filter(grams, lambda g: g == F.lit(lit)))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def build_phrase_postings(
+    docs: DataFrame, w: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(g, doc_id, n_hits): posting rows for every w-token gram of
+    every document, keyed by the gram's xxhash64 — the build side of
+    the persisted search index.
+
+    Write with sources/bucketing.py ``write_bucketed`` on ``g``; probe
+    joins then run bucket-local with no corpus-side exchange
+    (tests/test_bucketing.py pins the equivalent band-index shape).
+    """
+    toks = T.tokens(F.col(text_col))
+    # same short-doc guard as phrase_occurrences
+    idx = F.sequence(F.lit(0), F.size(toks) - w)
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " "))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .groupBy("g", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def probe_phrase_postings(
+    postings: DataFrame, phrases: list[str]
+) -> DataFrame:
+    """(phrase, doc_id, n_hits) for every query phrase: M phrases
+    resolved in one broadcast join against the posting table — the
+    corpus is never touched. All phrases must share one token width
+    (one index per w; mixed widths probe separate indexes)."""
+    widths = {len(_norm_phrase(p)) for p in phrases}
+    if len(widths) != 1:
+        raise ValueError(f"phrases must share one token width, got {sorted(widths)}")
+    spark = postings.sparkSession
+    q = spark.createDataFrame(
+        [(p, " ".join(_norm_phrase(p))) for p in phrases], "phrase string, norm string"
+    ).select("phrase", F.xxhash64("norm").alias("g"))
+    return postings.join(F.broadcast(q), "g").select("phrase", "doc_id", "n_hits")
+
+
+def keyword_search_ranked(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag of query terms, scored by
+    sum over matched terms of tf · ln(N / df) (ties -> lowest doc_id).
+
+    Output: (doc_id, n_terms, score) — n_terms is how many distinct
+    query terms the doc matched (AND-ish filtering is a post-filter on
+    it). The token stream is cut to the query vocabulary BEFORE any
+    shuffle; df is per-term document frequency within the corpus.
+    """
+    qterms = sorted({t for p in terms for t in _norm_phrase(p)})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(qterms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 4).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -1334,3 +1334,64 @@ def doc_training_order(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return SP.training_order(docs, num_shards=8, seed="42")
+
+
+# ---------------------------------------------------------------------------
+# corpus search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "search_phrase",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)
+          WHERE len(t) >= 3)
+    SELECT doc_id, COUNT(*)::INT AS n_hits
+    FROM g WHERE gram = 'slow hash batch'
+    GROUP BY doc_id
+    """,
+)
+def search_phrase(spark, sf_dir):
+    """Exact token-phrase lookup with occurrence counts — row-local
+    gram fold, zero shuffle until the hit filter
+    (operators/search.py phrase_occurrences)."""
+    from ..operators import search as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SE.phrase_occurrences(docs, "slow hash batch")
+
+
+@query(
+    "search_ranked",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    q AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q
+           WHERE term IN ('window', 'shuffle', 'broadcast') GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, n_terms, score FROM (
+      SELECT tf.doc_id,
+             COUNT(*)::BIGINT AS n_terms,
+             ROUND(SUM(tf.tf * ln(n.n_docs / df.df)), 4) AS score,
+             ROW_NUMBER() OVER (ORDER BY SUM(tf.tf * ln(n.n_docs / df.df)) DESC,
+                                tf.doc_id) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      GROUP BY tf.doc_id
+    ) WHERE rk <= 20
+    """,
+)
+def search_ranked(spark, sf_dir):
+    """Ranked keyword retrieval: top-20 docs by summed TF-IDF over the
+    query vocabulary; the token stream is cut to the query terms
+    map-side before any shuffle (operators/search.py
+    keyword_search_ranked)."""
+    from ..operators import search as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SE.keyword_search_ranked(docs, ["window", "shuffle", "broadcast"], k=20)

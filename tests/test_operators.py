@@ -840,3 +840,63 @@ class TestTrainingOrder:
         b = {r["doc_id"]: (r["shard"], r["pos"]) for r in SP.training_order(docs, seed="43").collect()}
         assert a != b  # an independent permutation, same id set
         assert set(a) == set(b)
+
+
+class TestCorpusSearch:
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha beta gamma alpha beta gamma"),   # 2 hits of "alpha beta gamma"? overlapping windows
+            (2, "alpha beta delta"),
+            (3, "beta gamma alpha"),
+            (4, "tiny"),                                 # shorter than phrase
+            (5, "alpha beta gamma"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_phrase_occurrences_counts_and_short_docs(self, spark):
+        from easy_alterator_spark.operators import search as SE
+
+        out = {r["doc_id"]: r["n_hits"] for r in
+               SE.phrase_occurrences(self._docs(spark), "Alpha  BETA gamma").collect()}
+        # doc 1: positions 0 and 3 -> 2 occurrences; doc 5: 1; others absent
+        assert out == {1: 2, 5: 1}
+
+    def test_phrase_postings_probe_matches_direct(self, spark):
+        from easy_alterator_spark.operators import search as SE
+
+        docs = self._docs(spark)
+        postings = SE.build_phrase_postings(docs, w=3)
+        probed = SE.probe_phrase_postings(
+            postings, ["alpha beta gamma", "beta gamma alpha"]
+        )
+        got = {(r["phrase"], r["doc_id"], r["n_hits"]) for r in probed.collect()}
+        assert got == {
+            ("alpha beta gamma", 1, 2),
+            ("alpha beta gamma", 5, 1),
+            ("beta gamma alpha", 1, 1),  # wraps across the repeat
+            ("beta gamma alpha", 3, 1),
+        }
+
+    def test_probe_rejects_mixed_widths(self, spark):
+        import pytest as _pt
+
+        from easy_alterator_spark.operators import search as SE
+
+        postings = SE.build_phrase_postings(self._docs(spark), w=3)
+        with _pt.raises(ValueError):
+            SE.probe_phrase_postings(postings, ["alpha beta gamma", "alpha beta"])
+
+    def test_ranked_search_term_cut_is_mapside(self, spark):
+        """The explode stream must be filtered to the query vocabulary
+        before the tf shuffle — the plan carries the isin filter below
+        the first aggregate, and df/N join back as broadcasts."""
+        from easy_alterator_spark.operators import search as SE
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = SE.keyword_search_ranked(docs, ["window", "shuffle"], k=5)
+        plan = formatted_plan(df)
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0 and jc["ShuffledHashJoin"] == 0
+        assert jc["BroadcastHashJoin"] >= 1
+        assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
