@@ -255,3 +255,78 @@ class TestIdempotentFileSink:
         assert sorted(d for d in os.listdir(out) if d.startswith("batch=")) == [
             d for d in dirs_before if d.startswith("batch=")
         ]
+
+
+class TestDedupIngest:
+    def test_streaming_admission_matches_batch_probe(self, spark, tmp_path):
+        """Two landing files drained through the streaming dedup gate
+        must admit exactly the docs the batch probe admits, and a
+        second run with the same checkpoint must be a no-op (offsets
+        committed, no re-admission)."""
+        from easy_alterator_spark.operators.dedup import (
+            build_band_index,
+            incremental_near_dup_pairs,
+        )
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.ingest import run_dedup_ingest
+
+        db = "ea_ingest_test"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"CREATE DATABASE {db}")
+        docs = load_table(spark, SF, "documents")
+        corpus = docs.filter(F.col("doc_id") < 300)
+        incoming = docs.filter(F.col("doc_id") >= 300).select("doc_id", "text")
+        build_band_index(corpus, f"{db}.ingest_idx")
+
+        # land each batch as ONE FLAT parquet file (the file-stream
+        # source lists the landing dir itself, not nested subdirs)
+        import glob
+        import os
+        import shutil
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        for i, frag in enumerate(
+            (
+                incoming.filter(F.col("doc_id") < 400),
+                incoming.filter(F.col("doc_id") >= 400),
+            )
+        ):
+            tmp = str(tmp_path / f"stage{i}")
+            frag.coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{landing}/f{i}.parquet")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        run_dedup_ingest(
+            spark, landing, "doc_id long, text string", f"{db}.ingest_idx", out, ckpt
+        )
+
+        batch_pairs = incremental_near_dup_pairs(incoming, corpus)
+        expect_rejected = {r["batch_doc_id"] for r in batch_pairs.collect()}
+        expect_admitted = {
+            r["doc_id"] for r in incoming.collect()
+        } - expect_rejected
+
+        admitted = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/accepted/batch=*").collect()
+        }
+        rejected = {
+            r["batch_doc_id"]
+            for r in spark.read.parquet(f"{out}/rejected/batch=*").collect()
+        }
+        assert admitted == expect_admitted
+        assert rejected == expect_rejected
+
+        # drain again: checkpointed offsets -> no new batches, output
+        # directories unchanged (exactly-once admission)
+        run_dedup_ingest(
+            spark, landing, "doc_id long, text string", f"{db}.ingest_idx", out, ckpt
+        )
+        admitted2 = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/accepted/batch=*").collect()
+        }
+        assert admitted2 == admitted
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
