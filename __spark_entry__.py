@@ -47,6 +47,7 @@ _PRIORITY = [
     "doc_training_order",
     "search_phrase",
     "search_ranked",
+    "corpus_snapshot_diff",
     "dedup_semantic",
     "decontaminate_bloom",
     "doc_chunk_dedup",

@@ -1395,3 +1395,40 @@ def search_ranked(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return SE.keyword_search_ranked(docs, ["window", "shuffle", "broadcast"], k=20)
+
+
+@query(
+    "corpus_snapshot_diff",
+    # two deterministic snapshots derived from one table: old drops
+    # doc_id % 13 == 0, new drops % 10 == 0 and rewrites % 7 == 0
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    new AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 10 <> 0)
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN md5(old.text) <> md5(new.text) THEN 'changed'
+           END AS status
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    WHERE (old.doc_id IS NULL OR new.doc_id IS NULL
+           OR md5(old.text) <> md5(new.text))
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Data-diff between two corpus snapshots (the reference's diff
+    discipline applied to DATA, not schemas): added/removed/changed
+    docs by content fingerprint; the join carries 32-byte hashes, not
+    text, and unchanged rows never leave the join
+    (operators/corpus_diff.py)."""
+    from ..operators import corpus_diff as CD
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")),
+    )
+    return CD.snapshot_diff(old, new)

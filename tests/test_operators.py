@@ -900,3 +900,47 @@ class TestCorpusSearch:
         assert jc["SortMergeJoin"] == 0 and jc["ShuffledHashJoin"] == 0
         assert jc["BroadcastHashJoin"] >= 1
         assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+class TestCorpusSnapshotDiff:
+    def test_statuses_and_summary(self, spark):
+        from easy_alterator_spark.operators import corpus_diff as CD
+        from pyspark.sql import functions as F
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+        )
+        got = {(r["doc_id"], r["status"]) for r in CD.snapshot_diff(old, new).collect()}
+        assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+        dims = spark.createDataFrame(
+            [(2, "web"), (3, "web"), (4, "book")], "doc_id long, source string"
+        )
+        summary = {
+            (r["status"], r["source"]): r["n"]
+            for r in CD.diff_summary(
+                CD.snapshot_diff(old, new), dims=dims
+            ).collect()
+        }
+        assert summary == {
+            ("changed", "web"): 1,
+            ("removed", "web"): 1,
+            ("added", "book"): 1,
+        }
+
+    def test_diff_carries_hashes_not_text(self, spark):
+        """The full-outer join's shuffle payload must be (id, md5) —
+        the text column is pruned at the scan on both sides."""
+        from easy_alterator_spark.operators import corpus_diff as CD
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = formatted_plan(
+            CD.snapshot_diff(docs.limit(100), docs.limit(200))
+        )
+        import re
+        for schema in re.findall(r"ReadSchema: (\S+)", plan):
+            assert "n_chars" not in schema and "lang" not in schema
