@@ -39,6 +39,10 @@ _PRIORITY = [
     "q24_tpch_shipping",
     "q25_tpch_local_supplier",
     "q26_tpch_large_orders",
+    "q27_tpch_custdist",
+    "q28_tpch_promo",
+    "q29_tpch_quiet_customers",
+    "q30_tpch_disjunctive",
     "pipeline_training_corpus",
     # round-3 additions / changes
     "dedup_substring_stats",

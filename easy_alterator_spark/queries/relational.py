@@ -592,3 +592,168 @@ def q26(spark, sf_dir):
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "q27_tpch_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q27(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution. The ON-clause
+    predicate (priority <> URGENT) must stay in the join, not the
+    WHERE — a left join filtered after the fact would drop zero-order
+    customers. One shuffle on custkey for the outer join + count;
+    the second groupBy keys on c_count (cardinality ~ max orders per
+    customer, tiny), so its exchange moves only partial counts. At
+    100 TB both sides hash-partition on custkey; no broadcast needed
+    because customer is also fact-sized in this shape.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q28_tpch_promo",
+    oracle="""
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q28(spark, sf_dir):
+    """TPC-H Q14 promotion revenue share. The one-month shipdate
+    predicate reaches the parquet scan; part broadcasts (dimension),
+    so the month slice of lineitem never shuffles. The conditional
+    aggregate is algebraic — map-side partials collapse each
+    partition to two doubles; the global agg is a single-row reduce.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q29_tpch_quiet_customers",
+    oracle="""
+    WITH ab AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM ab)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q29(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no
+    urgent orders, rolled up per segment. The scalar average is a
+    single-row aggregate joined back as a cross-broadcast (one row —
+    never a shuffle); the NOT EXISTS is a left_anti join against the
+    URGENT slice of orders. At 100 TB the anti-join shuffles on
+    custkey once; the urgent slice is filter-pruned at the scan.
+    """
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q30_tpch_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q30(spark, sf_dir):
+    """TPC-H Q19 disjunctive-predicate join. The OR-of-ANDs mixes
+    columns from both sides, so it can only be applied after the
+    join — but Catalyst derives the single-side residuals (quantity
+    <= 30, brand IN (...), size <= 15) and pushes THOSE to each scan,
+    shrinking both inputs before the broadcast-hash join. The full
+    disjunction runs as the join's residual filter inside codegen.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#34") & q.between(20, 30) & s.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
