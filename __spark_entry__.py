@@ -45,6 +45,7 @@ _PRIORITY = [
     "q30_tpch_disjunctive",
     "pipeline_training_corpus",
     # round-3 additions / changes
+    "doc_lm_score",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

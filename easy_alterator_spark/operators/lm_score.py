@@ -1,0 +1,139 @@
+"""N-gram language-model quality scoring (CCNet/KenLM-style filter).
+
+The classic LLM-corpus quality gate scores each document by its
+perplexity under a small n-gram LM; high-perplexity documents (gibberish,
+boilerplate, wrong-language text) are dropped. This module implements the
+distributed form: train add-k-smoothed bigram statistics over a corpus as
+plain aggregations, then score documents with joins against the count
+tables — everything stays in `pyspark.sql.functions`, no Python in the
+hot path.
+
+Scale (100 TB): the bigram count table is one shuffle on (w1, w2) with
+full map-side partial aggregation; scoring re-shuffles the token stream
+on the same key, so both sides hash-partition identically and AQE can
+coalesce. When the model vocabulary is capped (`top-V` words + one OOV
+bucket — the standard KenLM deployment), the count table collapses to
+V^2 worst-case rows and broadcasts, making scoring map-only; that swap
+is a filter on `bigram_counts` output and is noted per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram stream ``(id, w1, w2)``.
+
+    Bigram construction is row-local (zip of the token array with its
+    own tail) — zero shuffle, stays in whole-stage codegen. Documents
+    with fewer than two tokens contribute no rows.
+    """
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    n1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("ts", 1, n1),
+        F.slice(F.col("ts"), 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return toks.select(id_col, F.explode(pairs).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+
+
+def bigram_model(bigrams: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: ``(counts, contexts, vocab)``.
+
+    * counts — ``(w1, w2, c)``: one aggregation, map-side combined.
+    * contexts — ``(w1, cw)``: derived from counts (already collapsed),
+      so the second shuffle moves the distinct-bigram table, not the
+      token stream.
+    * vocab — single row ``(v)``: distinct token count for add-k
+      smoothing, cross-broadcast into scoring.
+
+    100 TB swap: cap to the top-V most frequent w1 contexts and bucket
+    everything else as OOV; counts then broadcasts and scoring becomes
+    map-only.
+    """
+    counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    contexts = counts.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = (
+        bigrams.select(F.col("w1").alias("w"))
+        .union(bigrams.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    return counts, contexts, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Self-scored corpus perplexity proxy: per document, the average
+    negative log-likelihood of its bigrams under the add-k-smoothed
+    model trained on the whole corpus.
+
+    Output: ``(id, n_bigrams, avg_nll)`` — higher avg_nll = less like
+    the corpus = lower quality. Joining the token stream back onto the
+    count tables shuffles on (w1, w2) then (w1); the final per-document
+    average shuffles on the id. All three aggregations are algebraic.
+    """
+    bi = doc_bigrams(docs, text_col, id_col)
+    counts, contexts, vocab = bigram_model(bi)
+    nll = -F.log((F.col("c") + k) / (F.col("cw") + k * F.col("v")))
+    return (
+        bi.join(counts, ["w1", "w2"])
+        .join(contexts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
+def lm_score_against(
+    model_counts: DataFrame,
+    model_contexts: DataFrame,
+    model_vocab: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score NEW documents against a previously trained model (the
+    deployment shape: train once on a trusted slice, gate every
+    incoming batch). Unseen bigrams back off to the smoothing floor
+    k / (cw + k·v); unseen contexts to k / (k·v) — both via left joins
+    with zero-coalesced counts, so out-of-model text scores high
+    instead of erroring.
+    """
+    bi = doc_bigrams(docs, text_col, id_col)
+    joined = (
+        bi.join(model_counts, ["w1", "w2"], "left")
+        .join(model_contexts, ["w1"], "left")
+        .crossJoin(F.broadcast(model_vocab))
+        .select(
+            id_col,
+            F.coalesce("c", F.lit(0.0)).alias("c"),
+            F.coalesce("cw", F.lit(0.0)).alias("cw"),
+            "v",
+        )
+    )
+    nll = -F.log((F.col("c") + k) / (F.col("cw") + k * F.col("v")))
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(nll), 4).alias("avg_nll"),
+    )

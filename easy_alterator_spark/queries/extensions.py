@@ -1432,3 +1432,42 @@ def corpus_snapshot_diff(spark, sf_dir):
          .otherwise(F.col("text")),
     )
     return CD.snapshot_diff(old, new)
+
+
+@query(
+    "doc_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               w AS w2
+        FROM tt QUALIFY w1 IS NOT NULL
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c) AS cw FROM cnt GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w)::DOUBLE AS v FROM tt)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((c + 0.5) / (cw + 0.5 * v))), 4) AS avg_nll
+    FROM bi b JOIN cnt USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def doc_lm_score(spark, sf_dir):
+    """N-gram LM quality gate (CCNet/KenLM shape): per-document average
+    negative log-likelihood under an add-k bigram model trained on the
+    corpus itself — high avg_nll flags gibberish/boilerplate for the
+    quality filter (operators/lm_score.py). Bigram construction is
+    row-local; the model is two algebraic aggregations; scoring
+    re-joins on the same (w1, w2) partitioning."""
+    from ..operators import lm_score as LM
+
+    return LM.lm_score(load_table(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -944,3 +944,60 @@ class TestCorpusSnapshotDiff:
         import re
         for schema in re.findall(r"ReadSchema: (\S+)", plan):
             assert "n_chars" not in schema and "lang" not in schema
+
+
+class TestLmScore:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_self_score_uniform_corpus_is_flat(self, spark):
+        """Identical docs: every bigram has the same count/context, so
+        every doc gets the same avg_nll."""
+        from easy_alterator_spark.operators import lm_score as LM
+
+        docs = self._docs(
+            spark, [(i, "the cat sat on the mat") for i in range(4)]
+        )
+        out = LM.lm_score(docs).collect()
+        assert len(out) == 4
+        assert len({r.avg_nll for r in out}) == 1
+        assert all(r.n_bigrams == 5 for r in out)
+
+    def test_short_docs_yield_no_rows(self, spark):
+        from easy_alterator_spark.operators import lm_score as LM
+
+        docs = self._docs(spark, [(1, "one"), (2, ""), (3, "two words")])
+        out = {r.doc_id for r in LM.lm_score(docs).collect()}
+        assert out == {3}
+
+    def test_score_against_model_backoff(self, spark):
+        """Unseen bigrams/contexts score at the smoothing floor instead
+        of erroring; in-model text scores strictly lower."""
+        import math
+
+        from easy_alterator_spark.operators import lm_score as LM
+
+        train = self._docs(spark, [(i, "a b a b a b") for i in range(3)])
+        counts, contexts, vocab = LM.bigram_model(LM.doc_bigrams(train))
+        new = self._docs(spark, [(10, "a b a b"), (11, "zz qq zz")])
+        out = {
+            r.doc_id: r for r in LM.lm_score_against(
+                counts, contexts, vocab, new
+            ).collect()
+        }
+        assert out[10].avg_nll < out[11].avg_nll
+        # fully-unseen doc sits exactly at the floor: -ln(k/(k*v)) = ln(v)
+        v = vocab.collect()[0].v
+        assert abs(out[11].avg_nll - round(math.log(v), 4)) < 1e-9
+
+    def test_gibberish_scores_above_corpus_text(self, spark):
+        """The quality-gate property: a repeated-corpus doc scores
+        below a unique-token doc under the self-trained model."""
+        from easy_alterator_spark.operators import lm_score as LM
+
+        rows = [(i, "spark builds training corpora at scale") for i in range(5)]
+        rows.append((99, "zxq vbn mlk poi uyt rew"))
+        out = {r.doc_id: r.avg_nll for r in LM.lm_score(
+            self._docs(spark, rows)
+        ).collect()}
+        assert out[99] > out[0]
