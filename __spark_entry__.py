@@ -46,6 +46,9 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 additions / changes
     "doc_lm_score",
+    "doc_sample_stratified",
+    "doc_chunk_overlap",
+    "events_ohlc_daily",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

@@ -296,3 +296,68 @@ def training_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def stratified_topn(
+    df: DataFrame,
+    n: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Exact fixed-SIZE per-stratum sample: the ``n`` rows with the
+    smallest md5(seed:id) in each stratum — the "give me exactly 10k
+    eval docs per language" selection that rate-based sampling can't
+    guarantee. Deterministic and engine-portable like
+    :func:`sample_hash`; changing ``seed`` draws an independent sample.
+
+    One hash-partitioned sort per stratum (row_number window). At
+    100 TB a full per-stratum sort is the bottleneck swap point:
+    two-pass it — approx_percentile of the key at n/|stratum| as a
+    map-side pre-filter, exact rank only over the ~n survivors.
+    """
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def chunk_documents_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking with overlap (stride < chunk size), the
+    RAG/embedding convention that keeps sentences near a boundary
+    visible to both neighboring chunks. Window ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``; windows start while
+    ``i*stride < n_tokens``, so the tail window may be short and empty
+    docs yield no rows.
+
+    Same shape as :func:`chunk_documents`: pure map + explode, output
+    ~ total_tokens/stride rows, zero shuffle.
+    """
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("stride must be in (0, chunk_tokens]")
+    base = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks").cast("double") / stride).cast("int")
+    chunked = base.select(
+        F.col(id_col),
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tok"),
+        F.element_at(piece, 1).alias("first_tok"),
+        F.element_at(piece, -1).alias("last_tok"),
+    )

@@ -603,3 +603,94 @@ def events_value_ranks(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS chunk_id
+          FROM d WHERE len(toks) > 0)
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64)) AS n_tok,
+           toks[chunk_id * 32 + 1] AS first_tok,
+           toks[LEAST(len(toks), chunk_id * 32 + 64)] AS last_tok
+    FROM c
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking with 50% overlap (64-token windows,
+    stride 32) — the RAG/embedding convention; map + explode, no
+    shuffle (operators/sampling.py::chunk_documents_overlap)."""
+    from ..operators import sampling as SA
+
+    return SA.chunk_documents_overlap(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+@query(
+    "doc_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY md5('s0:' || doc_id), doc_id) <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def doc_sample_stratified(spark, sf_dir):
+    """Exact fixed-size per-stratum sample: 20 docs per language by
+    smallest md5(seed:id) — deterministic, engine-portable eval-set
+    selection (operators/sampling.py::stratified_topn; the 100 TB
+    two-pass threshold swap is in its docstring)."""
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return SA.stratified_topn(docs, 20, "lang").orderBy("lang", "doc_id")
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d, ts,
+               event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events WHERE user_id < 20)
+    SELECT user_id, d,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           COUNT(*) AS n_events
+    FROM e GROUP BY user_id, d ORDER BY user_id, d
+    """,
+)
+def events_ohlc_daily(spark, sf_dir):
+    """Time-series downsampling to daily OHLC bars per entity — the
+    metrics/feature-store resample step. One hash aggregation: open and
+    close are min_by/max_by over the composite (ts, event_id) order key
+    (deterministic under same-timestamp ties), so partial aggregates
+    collapse map-side and the shuffle carries <= one row per (user, day,
+    map partition) — no per-key sort at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    key = F.struct("ts", "event_id")
+    return (
+        ev.withColumn("d", F.col("ts").cast("date"))
+        .groupBy("user_id", "d")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "d")
+    )

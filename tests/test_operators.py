@@ -1001,3 +1001,78 @@ class TestLmScore:
             self._docs(spark, rows)
         ).collect()}
         assert out[99] > out[0]
+
+
+class TestStratifiedTopn:
+    def test_exact_size_and_determinism(self, spark):
+        from easy_alterator_spark.operators import sampling as SA
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 3 else "fr") for i in range(60)],
+            "doc_id long, lang string",
+        )
+        a = {(r.doc_id, r.lang) for r in SA.stratified_topn(df, 7, "lang").collect()}
+        b = {(r.doc_id, r.lang) for r in SA.stratified_topn(df, 7, "lang").collect()}
+        assert a == b
+        assert sum(1 for _, l in a if l == "en") == 7
+        assert sum(1 for _, l in a if l == "fr") == 7
+
+    def test_small_stratum_keeps_all(self, spark):
+        from easy_alterator_spark.operators import sampling as SA
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "xx")], "doc_id long, lang string"
+        )
+        out = SA.stratified_topn(df, 10, "lang").collect()
+        assert len(out) == 3
+
+    def test_seed_gives_independent_sample(self, spark):
+        from easy_alterator_spark.operators import sampling as SA
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(200)], "doc_id long, lang string"
+        )
+        a = {r.doc_id for r in SA.stratified_topn(df, 20, "lang", seed="s0").collect()}
+        b = {r.doc_id for r in SA.stratified_topn(df, 20, "lang", seed="s1").collect()}
+        assert len(a) == len(b) == 20
+        assert a != b
+
+
+class TestChunkOverlap:
+    def test_windows_cover_with_overlap(self, spark):
+        from easy_alterator_spark.operators import sampling as SA
+
+        text = " ".join(f"t{i:02d}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = {r.chunk_id: r for r in SA.chunk_documents_overlap(
+            df, chunk_tokens=4, stride=2
+        ).collect()}
+        # windows start at 0,2,4,6,8 -> 5 chunks; last is short (2 toks)
+        assert sorted(out) == [0, 1, 2, 3, 4]
+        assert out[0].first_tok == "t00" and out[0].last_tok == "t03"
+        assert out[1].first_tok == "t02" and out[1].last_tok == "t05"
+        assert out[4].first_tok == "t08" and out[4].last_tok == "t09"
+        assert out[4].n_tok == 2
+
+    def test_stride_equal_chunk_matches_disjoint(self, spark):
+        from easy_alterator_spark.operators import sampling as SA
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, SA.chunk_documents_overlap(
+            df, chunk_tokens=8, stride=8
+        ).collect()))
+        b = sorted(map(tuple, SA.chunk_documents(df, chunk_tokens=8).collect()))
+        assert a == b
+
+    def test_bad_stride_raises(self, spark):
+        import pytest as _pt
+
+        from easy_alterator_spark.operators import sampling as SA
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            SA.chunk_documents_overlap(df, chunk_tokens=4, stride=5)
+        with _pt.raises(ValueError):
+            SA.chunk_documents_overlap(df, chunk_tokens=4, stride=0)
