@@ -63,3 +63,66 @@ def read_as(
     elif schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Raw media ingestion: binaryFile source
+# ---------------------------------------------------------------------------
+
+_KIND_BY_EXT = {
+    "jpg": ("image", "image/jpeg"), "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"), "gif": ("image", "image/gif"),
+    "wav": ("audio", "audio/wav"), "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"), "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None, recursive: bool = True
+):
+    """Raw-file scan via Spark's ``binaryFile`` source: one row per
+    object with (path, modificationTime, length, content). This is the
+    ingestion edge for media lakes — list + read is executor-side and
+    partition-parallel, with NO driver listing loop; ``glob`` prunes at
+    the listing (pathGlobFilter evaluates before any byte is read).
+
+    100 TB note: binaryFile caps at spark.sql.files.maxPartitionBytes
+    per task, so many small objects coalesce into shared tasks while a
+    huge object gets its own; pair with `sources/compact.py` afterward
+    to fix small-file output.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    r = r.option("recursiveFileLookup", "true" if recursive else "false")
+    return r.load(path)
+
+
+def media_from_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary directory -> the engine's media table shape
+    (operators/multimodal.MEDIA_SCHEMA): media_id derived from the
+    file path (xxhash64 — stable under re-listing, independent of
+    listing order), kind/mime from the extension, content + n_bytes
+    from the scan. Pure Column projection over the binaryFile rows;
+    decode/resize/frame-sample stages chain directly on the result.
+    """
+    from pyspark.sql import functions as F
+
+    raw = read_binary_dir(spark, path, glob=glob)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    kind = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (k, m) in _KIND_BY_EXT.items():
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(kind, F.lit("binary")).alias("kind"),
+        mime.alias("mime"),
+        F.col("content"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -74,3 +74,49 @@ def test_json_reads_only_referenced_fields(spark, tmp_path):
     schemas = " ".join(read_schemas(formatted_plan(df)))
     assert "o_orderkey" in schemas and "o_totalprice" in schemas
     assert "o_orderstatus" not in schemas
+
+
+class TestBinaryFileSource:
+    def _mkfiles(self, tmp_path):
+        d = tmp_path / "media"
+        (d / "sub").mkdir(parents=True)
+        (d / "a.png").write_bytes(b"\x89PNG-fake" * 10)
+        (d / "b.wav").write_bytes(b"RIFF-fake" * 20)
+        (d / "sub" / "c.mp4").write_bytes(b"mp4-fake" * 30)
+        (d / "notes.txt").write_bytes(b"not media")
+        return str(d)
+
+    def test_reads_all_files_recursively(self, spark, tmp_path):
+        from easy_alterator_spark.sources.formats import read_binary_dir
+
+        d = self._mkfiles(tmp_path)
+        rows = read_binary_dir(spark, d).collect()
+        assert len(rows) == 4
+        by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+        assert by_name["a.png"].length == 90
+        assert by_name["a.png"].content == b"\x89PNG-fake" * 10
+
+    def test_glob_prunes_at_listing(self, spark, tmp_path):
+        from easy_alterator_spark.sources.formats import read_binary_dir
+
+        d = self._mkfiles(tmp_path)
+        rows = read_binary_dir(spark, d, glob="*.png").collect()
+        assert [r.path.rsplit("/", 1)[-1] for r in rows] == ["a.png"]
+
+    def test_media_table_shape_and_chaining(self, spark, tmp_path):
+        from easy_alterator_spark.operators.multimodal import decode_images
+        from easy_alterator_spark.sources.formats import media_from_binary_dir
+
+        d = self._mkfiles(tmp_path)
+        media = media_from_binary_dir(spark, d)
+        rows = {r.kind: r for r in media.collect()}
+        assert set(rows) == {"image", "audio", "video", "binary"}
+        assert rows["image"].mime == "image/png"
+        assert rows["binary"].mime is None
+        assert all(r.media_id is not None for r in rows.values())
+        # media ids are stable across re-listing
+        again = {r.kind: r.media_id for r in media_from_binary_dir(spark, d).collect()}
+        assert {k: r.media_id for k, r in rows.items()} == again
+        # the decode stage chains directly on the ingested shape
+        feats = decode_images(media.filter(media.kind == "image"))
+        assert feats.count() == 1
