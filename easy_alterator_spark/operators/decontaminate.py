@@ -30,12 +30,12 @@ def _gram_hashes(text: F.Column, n: int) -> F.Column:
     on the set of shared grams, so duplicates inside one doc are
     noise — and dropping them before the explode shrinks the stream.
     """
-    toks = T.tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    # all_shingles builds the gram strings with chained zip_with over
+    # shifted token arrays (one pass), not an index-based transform
+    # that re-evaluates the tokenization per position — see the note
+    # in functions/text.py::all_shingles. Short docs yield [].
+    grams = F.transform(T.all_shingles(text, n), lambda g: F.xxhash64(g))
+    return F.array_distinct(grams)
 
 
 def contaminated_docs(
