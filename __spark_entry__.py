@@ -49,6 +49,11 @@ _PRIORITY = [
     "doc_sample_stratified",
     "doc_chunk_overlap",
     "events_ohlc_daily",
+    "q31_tpch_late_orders",
+    "q32_tpch_returned",
+    "q33_tpch_forecast",
+    "events_transitions",
+    "events_rolling_median",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

@@ -694,3 +694,79 @@ def events_ohlc_daily(spark, sf_dir):
         )
         .orderBy("user_id", "d")
     )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+                 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY event_type, next_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the product-analytics "what happens after X" table).
+    One shuffle to order each user's stream (lead window), then a
+    tiny (type × type) aggregate; the row-probability normalization
+    is a window over the aggregated matrix — at most |types|² rows,
+    driver-scale regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(total), 4).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+@query(
+    "events_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 3) AS med7
+    FROM events WHERE user_id < 10
+    """,
+)
+def events_rolling_median(spark, sf_dir):
+    """Exact rolling median over each user's trailing 7 events — the
+    robust-smoothing twin of events_rolling_7d (means are skew-prone
+    on heavy-tailed values). Spark disallows median as a framed window
+    aggregate, so the frame is materialized with collect_list (<= 7
+    doubles — bounded state) and the median is the sorted-middle
+    interpolation, matching DuckDB's MEDIAN on even counts. One
+    shuffle on user_id; O(frame log frame) per row — constant. At
+    100 TB the swap for LARGE frames is approx_percentile, or the
+    two-heap streaming median in applyInPandasWithState for unbounded
+    ones."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (F.floor(n / 2) + 1).cast("int"))
+    # ROUND to 3 decimals, not 2: the median of 2-decimal values is an
+    # exact multiple of 0.005, so rounding to 2 sits ON the half-way
+    # boundary where Spark (binary HALF_UP) and DuckDB (decimal-repr
+    # rounding) disagree by an ulp; at 3 decimals no boundary is near.
+    med = lo + (hi - lo) / 2.0
+    return ev.select(
+        "event_id", "user_id", F.round(med, 3).alias("med7")
+    )

@@ -757,3 +757,110 @@ def q30(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q31_tpch_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q31(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one line shipped > 60 days
+    after the order date, counted per priority. The correlated EXISTS
+    with an inequality on both tables' columns becomes a left_semi
+    join on orderkey with the date comparison as a join residual —
+    one shuffle on orderkey, then a tiny 5-key aggregate. Semi-join
+    semantics (not inner+distinct) keep multi-line orders from
+    double-counting at any scale.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q32_tpch_returned",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q32(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned items per customer,
+    top 20. The returnflag filter pushes to the lineitem scan (cuts
+    ~3/4 of the fact table before any join); customer broadcasts;
+    lineitem |><| orders shuffles once on orderkey. Top-20 by revenue
+    is TakeOrderedAndProject with a custkey tiebreak.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q33_tpch_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q33(spark, sf_dir):
+    """TPC-H Q6 revenue-change forecast: pure scan + conditional sum,
+    zero joins. All four predicates reach the parquet scan as
+    PushedFilters (year range prunes row groups via min/max stats);
+    the aggregate is a single map-side partial + 1-row reduce — the
+    canonical 'the scan IS the query' plan at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
