@@ -91,3 +91,62 @@ def semantic_dedup(
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semantic_dedup_kernel(
+    vectors: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same contract as :func:`semantic_dedup`, with the within-bucket
+    pair scoring swapped for a per-bucket numpy matmul inside
+    ``applyInPandas`` — the FAISS-style kernel SemDeDup deployments
+    actually run.
+
+    The Column form evaluates one interpreted dot per colliding pair
+    (dim multiplies through a HOF lambda); this form ships each
+    bucket's vectors through Arrow ONCE and scores all pairs with a
+    single BLAS matmul (U @ U.T), then keeps a row iff no smaller-id
+    row in its bucket reaches ``threshold``. At 100 TB buckets are
+    ~constant size (k grows with n), so per-group memory is bounded
+    and the only wide op is the bucket shuffle — identical to the
+    Column form's exchange, with the pair enumeration moved from
+    interpreted expression eval to vectorized C.
+
+    Equality caveat (why the oracle-checked query keeps the Column
+    form): matmul accumulates in SIMD order, so a pair whose cosine
+    sits within ~1e-12 of the threshold can flip vs the sequential
+    sum. tests/test_operators.py pins exact agreement on the test
+    corpus at both sf0.001 and sf0.01.
+    """
+    import pandas as pd
+
+    cents = ivf_centroids(vectors, num_clusters, id_col, vec_col)
+    assigned = vectors.crossJoin(F.broadcast(_centroid_array(cents))).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vv"),
+        _nearest_centroid(F.col("cents"), F.col(vec_col)).alias("bucket"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["vv"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = m / norms[:, None]
+        sim = u @ u.T
+        # strictly-lower-triangle: smaller-id (earlier row) duplicates
+        dup = (np.tril(sim >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {"id": pdf["id"], "bucket": pdf["bucket"], "keep": ~dup}
+        )
+
+    return (
+        assigned.groupBy("bucket")
+        .applyInPandas(prune, "id long, bucket int, keep boolean")
+        .withColumnRenamed("id", id_col)
+    )

@@ -305,9 +305,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     """,
 )
 def dedup_semantic(spark, sf_dir):
-    from ..operators.semantic import semantic_dedup
+    # kernel form: per-bucket numpy matmul in applyInPandas (4.2 s ->
+    # 1.1 s at sf0.1); exact agreement with the Column-expression twin
+    # is pinned at sf0.001/0.01/0.1 in tests (TestSemanticKernel)
+    from ..operators.semantic import semantic_dedup_kernel
 
-    return semantic_dedup(
+    return semantic_dedup_kernel(
         load_table(spark, sf_dir, "embeddings"), num_clusters=8, threshold=0.3
     )
 

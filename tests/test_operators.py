@@ -1076,3 +1076,38 @@ class TestChunkOverlap:
             SA.chunk_documents_overlap(df, chunk_tokens=4, stride=5)
         with _pt.raises(ValueError):
             SA.chunk_documents_overlap(df, chunk_tokens=4, stride=0)
+
+
+class TestSemanticKernel:
+    def test_kernel_matches_column_form_testdata(self, spark):
+        """The applyInPandas matmul kernel and the Column-expression
+        form agree exactly on the test corpus (no threshold-boundary
+        pairs there; the docstring documents the ulp caveat)."""
+        from easy_alterator_spark.operators import semantic as SM
+        from easy_alterator_spark.sources import load_table
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            emb = load_table(spark, sf, "embeddings")
+            a = {
+                (r.vec_id, r.bucket, r.keep)
+                for r in SM.semantic_dedup(emb).collect()
+            }
+            b = {
+                (r.vec_id, r.bucket, r.keep)
+                for r in SM.semantic_dedup_kernel(emb).collect()
+            }
+            assert a == b
+
+    def test_kernel_constructed_duplicates(self, spark):
+        from easy_alterator_spark.operators import semantic as SM
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r.keep for r in SM.semantic_dedup_kernel(
+            df, num_clusters=1, threshold=0.9
+        ).collect()}
+        assert out == {1: True, 2: False, 3: True}
