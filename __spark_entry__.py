@@ -54,6 +54,7 @@ _PRIORITY = [
     "q33_tpch_forecast",
     "events_transitions",
     "events_rolling_median",
+    "search_hybrid_rrf",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

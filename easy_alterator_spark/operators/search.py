@@ -151,3 +151,82 @@ def keyword_search_ranked(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 50,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: fuse the keyword
+    top-m (summed TF-IDF, :func:`keyword_search_ranked`) with the
+    vector top-m (cosine to the ``query_vec_id`` embedding) as
+    sum of 1/(c + rank) over the lists each doc appears in — the
+    fusion Elasticsearch/Vespa ship for BM25+ANN, rank-based so the
+    two scores need no scale calibration.
+
+    Output: (doc_id, kw_rank, vec_rank, rrf) top-k by rrf (ties ->
+    lowest id); absent-from-list ranks are NULL and contribute 0.
+
+    Scale shape: both arms end in TakeOrderedAndProject(m), so the
+    fusion join touches 2m rows regardless of corpus size; the
+    keyword arm cuts the token stream to the query vocabulary
+    map-side, the vector arm is one row-local cosine pass (swap in
+    ivf_topk for an indexed corpus). The query embedding is a one-row
+    broadcast, never a shuffle key.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+
+    kw = (
+        keyword_search_ranked(docs, terms, k=m, id_col=id_col, text_col=text_col)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("kw_rank"),
+        )
+    )
+    qv = embeddings.filter(F.col(emb_id_col) == query_vec_id).select(
+        V.unit(F.col(vec_col)).alias("qv")
+    )
+    vec = (
+        embeddings.crossJoin(F.broadcast(qv))
+        .select(
+            F.col(emb_id_col).alias("doc_id"),
+            # rank on the 4-decimal cosine: raw doubles differ in the
+            # last ulp across engines, which would flip near-tie ranks
+            F.round(V.dot(V.unit(F.col(vec_col)), F.col("qv")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(m)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "kw_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (c + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (c + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k)

@@ -1474,3 +1474,55 @@ def doc_lm_score(spark, sf_dir):
     from ..operators import lm_score as LM
 
     return LM.lm_score(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    q AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q
+           WHERE term IN ('window', 'shuffle', 'broadcast') GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    kws AS (SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(n.n_docs / dfq.df)), 4) AS s
+            FROM tf JOIN dfq USING (term) CROSS JOIN n GROUP BY tf.doc_id),
+    kw AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS kw_rank
+           FROM kws QUALIFY kw_rank <= 50),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+    vs AS (SELECT vec_id AS doc_id,
+                  ROUND(list_dot_product(embedding::DOUBLE[], qv.v)
+                        / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos
+           FROM embeddings CROSS JOIN qv),
+    vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+            FROM vs QUALIFY vec_rank <= 50),
+    fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+               ROUND(COALESCE(1.0 / (60 + kw_rank), 0)
+                     + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+    SELECT doc_id, kw_rank, vec_rank, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the keyword top-50
+    (summed TF-IDF) and the vector top-50 (cosine to embedding #7) —
+    rank-based fusion needs no score calibration; both arms end in
+    TakeOrderedAndProject so the fusion join is 2m rows at any corpus
+    size (operators/search.py::hybrid_search_rrf)."""
+    from ..operators import search as SE
+
+    return SE.hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["window", "shuffle", "broadcast"],
+        query_vec_id=7,
+        k=10,
+        m=50,
+    )

@@ -1111,3 +1111,51 @@ class TestSemanticKernel:
             df, num_clusters=1, threshold=0.9
         ).collect()}
         assert out == {1: True, 2: False, 3: True}
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_arms(self, spark):
+        from easy_alterator_spark.operators.search import hybrid_search_rrf
+
+        docs = spark.createDataFrame(
+            [
+                (1, "shuffle shuffle shuffle"),   # keyword hit only
+                (2, "nothing relevant here"),
+                (3, "broadcast and shuffle notes"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [
+                (1, [0.0, 1.0]),
+                (2, [1.0, 0.0]),   # identical direction to query -> vec rank 1
+                (3, [0.7, 0.7]),
+                (7, [1.0, 0.0]),   # the query vector
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.doc_id: r for r in hybrid_search_rrf(
+            docs, emb, ["shuffle", "broadcast"], query_vec_id=7, k=4, m=3
+        ).collect()}
+        # doc 2: vector arm only; doc 1: keyword arm only; doc 3: both
+        assert out[1].kw_rank is not None and out[1].vec_rank is None
+        assert out[2].vec_rank is not None and out[2].kw_rank is None
+        assert out[3].kw_rank is not None and out[3].vec_rank is not None
+        # fused doc with two mid ranks beats single-arm docs here
+        assert max(out, key=lambda d: out[d].rrf) == 3
+
+    def test_rrf_score_formula(self, spark):
+        from easy_alterator_spark.operators.search import hybrid_search_rrf
+
+        docs = spark.createDataFrame(
+            [(1, "window fns")], "doc_id long, text string"
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (7, [1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = hybrid_search_rrf(docs, emb, ["window"], 7, k=5, m=5).collect()
+        r1 = next(r for r in rows if r.doc_id == 1)
+        # doc 1: kw_rank 1; vec ranks: cos ties at 1.0 -> id asc -> doc1=1
+        assert r1.kw_rank == 1 and r1.vec_rank == 1
+        assert abs(r1.rrf - round(2 / 61.0, 6)) < 1e-12

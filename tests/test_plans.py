@@ -442,3 +442,36 @@ class TestSubstringDedup:
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0
         assert "LeftAnti" in plan
+
+
+class TestNoInterpretedHotLoops:
+    """Guard the HOF-discipline fixes: index-based transform(sequence,
+    i -> f(toks, i)) lambdas re-evaluate their inlined array subtree
+    per POSITION and never enter whole-stage codegen — shingling and
+    phrase search were O(len^2)-interpreted until rewritten. These
+    tests pin the fixed shapes."""
+
+    def test_phrase_search_has_no_lambda(self, spark):
+        from easy_alterator_spark.operators.search import phrase_occurrences
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = formatted_plan(phrase_occurrences(docs, "a b")).lower()
+        assert "lambdafunction" not in plan
+        # regexp_count lowers to size(regexp_extract_all(...))
+        assert "regexp_extract_all" in plan
+
+    def test_shingles_use_zip_with_not_indexed_transform(self, spark):
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.functions.text import all_shingles
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        plan = formatted_plan(
+            docs.select(all_shingles(F.col("text"), 3).alias("s"))
+        ).lower()
+        # zip_with compiles to zip_with(...); the quadratic form shows
+        # as transform(sequence(...), lambda ... slice(...))
+        assert "zip_with" in plan
+        assert "transform(sequence" not in plan.replace(" ", "")
