@@ -55,6 +55,7 @@ _PRIORITY = [
     "events_transitions",
     "events_rolling_median",
     "search_hybrid_rrf",
+    "events_dwell_time",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

@@ -770,3 +770,55 @@ def events_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.round(med, 3).alias("med7")
     )
+
+
+@query(
+    "events_dwell_time",
+    # integer microsecond math on BOTH sides (epoch_us / unix_micros):
+    # casting timestamps to whole seconds truncates vs rounds
+    # differently across engines (see events_rolling_7d note)
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+        FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(gap_us) / 1e6, 2) AS avg_gap_s,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 2) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.9) / 1e6, 2) AS p90_gap_s
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dwell_time(spark, sf_dir):
+    """Time-to-next-event distribution per event type (session dwell /
+    engagement analysis): one lead window per user stream, then a
+    |types|-key aggregate. Gaps are exact integer microseconds
+    (unix_micros) — no truncate-vs-round divergence — and the sums are
+    exact long arithmetic before the final division. Exact percentiles
+    per type are fine at |types| groups; approx_percentile is the
+    100 TB swap (stats_quantiles note)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("gap_us") / 1e6, 2).alias("avg_gap_s"),
+            F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 2).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 2).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )

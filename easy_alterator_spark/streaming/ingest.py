@@ -87,3 +87,81 @@ def run_dedup_ingest(
     q.awaitTermination(timeout)
     q.stop()
     return q
+
+
+def lm_gate_writer(
+    model_counts: DataFrame,
+    model_contexts: DataFrame,
+    model_vocab: DataFrame,
+    out_path: str,
+    max_nll: float,
+):
+    """foreachBatch function for the streaming LM quality gate: score
+    each micro-batch against a PRE-TRAINED bigram model
+    (operators/lm_score.lm_score_against — the train-once /
+    gate-every-batch deployment) and split into accepted docs and
+    rejected (doc_id, avg_nll) evidence, written idempotently per
+    batch.
+
+    The model tables are static DataFrames captured in the closure:
+    counts/contexts join the batch's bigram stream (broadcast-sized
+    under a capped vocabulary — SCALE.md §6), vocab is a one-row
+    broadcast. Unseen text backs off to the smoothing floor, so
+    out-of-model gibberish scores HIGH and is rejected, never
+    admitted by accident.
+
+    Docs too short to score (< 2 tokens) produce no bigrams; they are
+    rejected with a NULL avg_nll (a 100 TB corpus gate drops them —
+    admitting unscoreable input silently is the wrong default).
+    """
+    accept_w = idempotent_batch_writer(f"{out_path}/accepted")
+    reject_w = idempotent_batch_writer(f"{out_path}/rejected")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.lm_score import lm_score_against
+
+        scores = lm_score_against(
+            model_counts, model_contexts, model_vocab, batch_df
+        )
+        scored = batch_df.join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
+        accepted = scored.filter(F.col("avg_nll") <= max_nll).drop("avg_nll")
+        rejected = scored.filter(
+            F.col("avg_nll").isNull() | (F.col("avg_nll") > max_nll)
+        ).select("doc_id", "avg_nll")
+        accept_w(accepted, batch_id)
+        reject_w(rejected, batch_id)
+
+    return gate
+
+
+def run_lm_gate(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    model_counts: DataFrame,
+    model_contexts: DataFrame,
+    model_vocab: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    max_nll: float,
+    timeout: int = 120,
+) -> StreamingQuery:
+    """Drain pending document files through the LM quality gate
+    (availableNow; same replay-safe offsets+idempotent-write contract
+    as run_dedup_ingest)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lm_gate_writer(model_counts, model_contexts, model_vocab, out_path, max_nll)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+    return q

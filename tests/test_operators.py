@@ -1159,3 +1159,42 @@ class TestHybridSearch:
         # doc 1: kw_rank 1; vec ranks: cos ties at 1.0 -> id asc -> doc1=1
         assert r1.kw_rank == 1 and r1.vec_rank == 1
         assert abs(r1.rrf - round(2 / 61.0, 6)) < 1e-12
+
+
+class TestShinglesProperty:
+    def test_zip_with_shingles_match_python_reference(self, spark):
+        """Generative guard on the zip_with shingle rewrite: for random
+        corpora and n in {2,3,5}, the engine's shingle stream equals
+        the straightforward Python sliding window."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.functions.text import all_shingles, tokens
+
+        rng = random.Random(7)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        rows = []
+        for i in range(60):
+            n_tok = rng.randint(0, 12)
+            # mixed whitespace + case to exercise normalization
+            sep = rng.choice([" ", "  ", "\t", " \n "])
+            text = sep.join(
+                rng.choice(vocab).upper() if rng.random() < 0.3 else rng.choice(vocab)
+                for _ in range(n_tok)
+            )
+            rows.append((i, text))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for n in (2, 3, 5):
+            got = {
+                r.doc_id: r.s
+                for r in df.select(
+                    "doc_id", all_shingles(F.col("text"), n).alias("s")
+                ).collect()
+            }
+            for i, text in rows:
+                toks = [t for t in text.lower().strip().split() if t]
+                want = [
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                ]
+                assert got[i] == want, (n, i, text)

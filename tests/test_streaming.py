@@ -330,3 +330,69 @@ class TestDedupIngest:
         }
         assert admitted2 == admitted
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestLmGateIngest:
+    def test_streaming_lm_gate_matches_batch_scores(self, spark, tmp_path):
+        """Documents drained through the streaming LM quality gate must
+        admit exactly the docs the batch scorer admits at the same
+        cutoff; unscoreable (short) docs are rejected with NULL."""
+        import glob
+        import os
+        import shutil
+
+        from easy_alterator_spark.operators.lm_score import (
+            bigram_model,
+            doc_bigrams,
+            lm_score_against,
+        )
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.ingest import run_lm_gate
+
+        docs = load_table(spark, SF, "documents")
+        train = docs.filter(F.col("doc_id") < 30)
+        incoming = docs.filter(F.col("doc_id") >= 30).select("doc_id", "text")
+        # add one unscoreable doc to pin the NULL-reject path
+        incoming = incoming.unionByName(
+            spark.createDataFrame([(9999, "single")], "doc_id long, text string")
+        )
+        counts, contexts, vocab = (
+            df.cache() for df in bigram_model(doc_bigrams(train))
+        )
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        for i, frag in enumerate(
+            (incoming.filter(F.col("doc_id") < 45),
+             incoming.filter(F.col("doc_id") >= 45))
+        ):
+            tmp = str(tmp_path / f"stage{i}")
+            frag.coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{landing}/f{i}.parquet")
+
+        cutoff = 7.5
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_lm_gate(
+            spark, landing, "doc_id long, text string",
+            counts, contexts, vocab, out, ckpt, max_nll=cutoff,
+        )
+
+        accepted = {
+            r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()
+        }
+        rejected = {
+            r.doc_id: r.avg_nll
+            for r in spark.read.parquet(f"{out}/rejected").collect()
+        }
+        batch_scores = {
+            r.doc_id: r.avg_nll
+            for r in lm_score_against(counts, contexts, vocab, incoming).collect()
+        }
+        want_accept = {d for d, s in batch_scores.items() if s <= cutoff}
+        assert accepted == want_accept
+        assert 9999 in rejected and rejected[9999] is None
+        assert accepted.isdisjoint(rejected)
+        assert accepted | set(rejected) == {
+            r.doc_id for r in incoming.collect()
+        }
