@@ -56,6 +56,9 @@ _PRIORITY = [
     "events_rolling_median",
     "search_hybrid_rrf",
     "events_dwell_time",
+    "q34_tpch_volume_shipping",
+    "q35_tpch_market_share",
+    "events_winsorize",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

@@ -822,3 +822,41 @@ def events_dwell_time(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_winsorize",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(LEAST(GREATEST(e.value, c.lo), c.hi), 2) AS clipped,
+           (e.value < c.lo OR e.value > c.hi) AS was_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    WHERE e.user_id < 10
+    """,
+)
+def events_winsorize(spark, sf_dir):
+    """Winsorization: clip each value into its event-type's
+    [p05, p95] band — the robust-features step before model training
+    (heavy tails dominate means and gradients otherwise). The cut
+    table is |types| rows (exact percentiles here; approx_percentile
+    at 100 TB) broadcast back onto the stream, so the data pass is
+    scan + map — the aggregation never touches row payloads twice."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    out = ev.filter(F.col("user_id") < 10).join(F.broadcast(cuts), "event_type")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 2)
+        .alias("clipped"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .alias("was_clipped"),
+    )

@@ -864,3 +864,127 @@ def q33(spark, sf_dir):
             "revenue"
         )
     )
+
+
+@query(
+    "q34_tpch_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q34(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations. The two-nation
+    disjunction can't be split per side (it pairs supplier nation with
+    customer nation), but each side IS prunable to the 2-nation union
+    — supplier and customer broadcast pre-filtered through their
+    nation joins, so the only shuffle is lineitem |><| orders on
+    orderkey; the cross-nation disjunction evaluates as a residual on
+    two broadcast-joined dimension columns.
+    """
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sk")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("ck")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q35_tpch_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q35(spark, sf_dir):
+    """TPC-H Q8 national market share inside one region+part-type
+    slice. Every dimension broadcasts (part pre-filtered to the type,
+    customer pre-joined to its ASIA-region nation, supplier carrying
+    its nation name); lineitem |><| orders on orderkey is the only
+    exchange, and the share is a conditional-sum ratio per year —
+    algebraic, map-side combined.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.join(
+        F.broadcast(r), nat["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("ck"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("ck"), "left_semi"
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("sk")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
