@@ -59,6 +59,8 @@ _PRIORITY = [
     "q34_tpch_volume_shipping",
     "q35_tpch_market_share",
     "events_winsorize",
+    "text_collocations",
+    "dedup_containment",
     "dedup_substring_stats",
     "dedup_substring_drop",
     "doc_quality_filter",

@@ -137,3 +137,44 @@ def lm_score_against(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(nll), 4).alias("avg_nll"),
     )
+
+
+def top_collocations(
+    docs: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over the corpus bigram
+    stream, where N is the total bigram count and c(a)/c(b) are the
+    word's occurrences as left/right context respectively.
+
+    The corpus-analysis staple for finding multi-word expressions
+    ("new york", "machine learning") worth merging before tokenizer
+    training. ``min_count`` drops rare-pair noise (PMI is maximized by
+    hapax pairs). Shapes: the bigram count is one map-combined
+    aggregation; left/right marginals are second-level aggregates of
+    the already-collapsed count table; N is a one-row broadcast; top-k
+    is TakeOrdered — nothing rescans the corpus.
+    """
+    bi = doc_bigrams(docs, text_col, id_col)
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    left = counts.groupBy("w1").agg(F.sum("c").alias("c1"))
+    right = counts.groupBy("w2").agg(F.sum("c").alias("c2"))
+    total = counts.agg(F.sum("c").alias("n"))
+    return (
+        counts.filter(F.col("c") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(F.col("n") * F.col("c") / (F.col("c1") * F.col("c2"))), 4
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -1526,3 +1526,93 @@ def search_hybrid_rrf(spark, sf_dir):
         k=10,
         m=50,
     )
+
+
+@query(
+    "text_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               w AS w2
+        FROM tt QUALIFY w1 IS NOT NULL
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM bi GROUP BY w1, w2),
+    l AS (SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY w1),
+    r AS (SELECT w2, SUM(c) AS c2 FROM cnt GROUP BY w2),
+    n AS (SELECT SUM(c) AS n FROM cnt)
+    SELECT w1, w2, CAST(c AS BIGINT) AS pair_count,
+           ROUND(ln(n.n * c / (c1 * c2)), 4) AS pmi
+    FROM cnt JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    WHERE c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+)
+def text_collocations(spark, sf_dir):
+    """Top-30 collocations by pointwise mutual information over the
+    corpus bigram stream (min pair count 5) — the multi-word-expression
+    miner run before tokenizer training (operators/lm_score.py
+    top_collocations; marginals aggregate the collapsed count table,
+    nothing rescans the corpus)."""
+    from ..operators.lm_score import top_collocations
+
+    return top_collocations(load_table(spark, sf_dir, "documents"), k=30)
+
+
+@query(
+    "dedup_containment",
+    # id-bounded exact form (same discipline as dedup_embedding_cosine):
+    # the scale path reuses the MinHash/LSH candidates with containment
+    # verify instead of Jaccard
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(list_filter(
+                          string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> '')) AS toks
+               FROM documents WHERE doc_id <= 300),
+    p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / LEAST(len(a.toks), len(b.toks)) AS containment
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+    SELECT doc_id_a, doc_id_b, ROUND(containment, 4) AS containment
+    FROM p WHERE containment >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup: pairs where the SMALLER token set is >=90%
+    inside the other — catches quotes/excerpts/supersets that Jaccard
+    misses when lengths differ (|A∩B|/min vs |A∩B|/|A∪B|). Exact over
+    the id<=300 slice; at scale the MinHash band join supplies the
+    candidates and this containment check replaces the Jaccard verify
+    (one array_intersect per candidate, same cost)."""
+    from ..functions import text as T
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 300)
+        .select("doc_id", T.distinct_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb"))
+    cont = F.size(F.array_intersect("ta", "tb")).cast("double") / F.least(
+        F.size("ta"), F.size("tb")
+    )
+    return (
+        a.hint("shuffle_hash")
+        .join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a", "doc_id_b", F.round(cont, 4).alias("containment")
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
