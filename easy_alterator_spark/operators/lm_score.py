@@ -13,8 +13,9 @@ full map-side partial aggregation; scoring re-shuffles the token stream
 on the same key, so both sides hash-partition identically and AQE can
 coalesce. When the model vocabulary is capped (`top-V` words + one OOV
 bucket — the standard KenLM deployment), the count table collapses to
-V^2 worst-case rows and broadcasts, making scoring map-only; that swap
-is a filter on `bigram_counts` output and is noted per function.
+(V+1)^2 worst-case rows and broadcasts, making scoring map-only: that
+swap is implemented as :func:`capped_bigram_model` +
+:func:`lm_score_capped` (broadcast-joins-only, plan-tested).
 """
 
 from __future__ import annotations
@@ -177,4 +178,106 @@ def top_collocations(
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
+    )
+
+
+OOV = "\x00oov"  # impossible token (tokens never contain \x00-prefixed words)
+
+
+def capped_bigram_model(
+    bigrams: DataFrame, top_v: int = 4096
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the deployment-shape model: vocabulary capped to the
+    ``top_v`` most frequent words (by total occurrence in either
+    bigram position, ties -> lexicographic), everything else folded
+    into one OOV bucket.
+
+    The count table is then at most (V+1)^2 rows — broadcastable at
+    any corpus size — so :func:`lm_score_capped` scores with
+    broadcast joins only: the 100 TB corpus pass is scan + map, no
+    shuffle of the token stream at all. The vocab row counts the
+    capped alphabet (V+1 with OOV), keeping add-k smoothing proper.
+    """
+    occ = (
+        bigrams.select(F.col("w1").alias("w"))
+        .unionAll(bigrams.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(top_v)
+        .select("w")
+    )
+    folded = (
+        bigrams.join(
+            F.broadcast(occ.withColumnRenamed("w", "k1")),
+            F.col("w1") == F.col("k1"), "left")
+        .join(
+            F.broadcast(occ.withColumnRenamed("w", "k2")),
+            F.col("w2") == F.col("k2"), "left")
+        .select(
+            F.coalesce("k1", F.lit(OOV)).alias("w1"),
+            F.coalesce("k2", F.lit(OOV)).alias("w2"),
+        )
+    )
+    counts = folded.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    contexts = counts.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = counts.select("w1").union(counts.select("w2")).agg(
+        F.count_distinct("w1").cast("double").alias("v")
+    )
+    return counts, contexts, vocab
+
+
+def lm_score_capped(
+    model_counts: DataFrame,
+    model_contexts: DataFrame,
+    model_vocab: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score documents against a capped-vocabulary model with
+    BROADCAST joins only — the corpus side never shuffles until the
+    per-document average (which groups on the id the bigram stream
+    already carries; at 100 TB that final agg is the only exchange,
+    and it's map-combined).
+
+    Out-of-vocab words fold into the OOV bucket BEFORE the lookups,
+    so every bigram hits the (V+1)^2 table; genuinely-unseen OOV
+    transitions still back off to the smoothing floor.
+    """
+    vocab_words = model_counts.select(F.col("w1").alias("w")).union(
+        model_counts.select(F.col("w2").alias("w"))
+    ).filter(F.col("w") != OOV).distinct()
+    bi = doc_bigrams(docs, text_col, id_col)
+    folded = (
+        bi.join(
+            F.broadcast(vocab_words.withColumnRenamed("w", "k1")),
+            bi["w1"] == F.col("k1"), "left")
+        .join(
+            F.broadcast(vocab_words.withColumnRenamed("w", "k2")),
+            bi["w2"] == F.col("k2"), "left")
+        .select(
+            id_col,
+            F.coalesce("k1", F.lit(OOV)).alias("w1"),
+            F.coalesce("k2", F.lit(OOV)).alias("w2"),
+        )
+    )
+    joined = (
+        folded.join(F.broadcast(model_counts), ["w1", "w2"], "left")
+        .join(F.broadcast(model_contexts), ["w1"], "left")
+        .crossJoin(F.broadcast(model_vocab))
+        .select(
+            id_col,
+            F.coalesce("c", F.lit(0.0)).alias("c"),
+            F.coalesce("cw", F.lit(0.0)).alias("cw"),
+            "v",
+        )
+    )
+    nll = -F.log((F.col("c") + k) / (F.col("cw") + k * F.col("v")))
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(nll), 4).alias("avg_nll"),
     )

@@ -1198,3 +1198,53 @@ class TestShinglesProperty:
                     " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
                 ]
                 assert got[i] == want, (n, i, text)
+
+
+class TestCappedLm:
+    def test_capped_equals_full_when_vocab_fits(self, spark):
+        """With top_v >= |vocab| the capped model IS the full model:
+        identical scores."""
+        from easy_alterator_spark.operators import lm_score as LM
+        from easy_alterator_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        full = {r.doc_id: r.avg_nll for r in LM.lm_score(docs).collect()}
+        c, x, v = LM.capped_bigram_model(LM.doc_bigrams(docs), top_v=10**6)
+        capped = {
+            r.doc_id: r.avg_nll
+            for r in LM.lm_score_capped(c, x, v, docs).collect()
+        }
+        assert capped == full
+
+    def test_oov_folding_scores_everything(self, spark):
+        from easy_alterator_spark.operators import lm_score as LM
+
+        train = spark.createDataFrame(
+            [(i, "common words common words rare" + str(i)) for i in range(4)],
+            "doc_id long, text string",
+        )
+        c, x, v = LM.capped_bigram_model(LM.doc_bigrams(train), top_v=2)
+        new = spark.createDataFrame(
+            [(10, "common words"), (11, "zz qq")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in LM.lm_score_capped(c, x, v, new).collect()}
+        # in-vocab transition scores better than all-OOV text
+        assert out[10].avg_nll < out[11].avg_nll
+        assert out[11].n_bigrams == 1
+
+    def test_capped_scoring_is_broadcast_only(self, spark):
+        """The corpus pass must reach the final per-doc aggregate
+        through broadcast joins only — no SMJ/shuffle join anywhere."""
+        from easy_alterator_spark.operators import lm_score as LM
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+        from easy_alterator_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        c, x, v = (d.cache() for d in LM.capped_bigram_model(
+            LM.doc_bigrams(docs), top_v=256
+        ))
+        plan = formatted_plan(LM.lm_score_capped(c, x, v, docs))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0
+        assert jc["ShuffledHashJoin"] == 0
+        assert jc["BroadcastHashJoin"] >= 4
