@@ -32,11 +32,12 @@ def distinct_tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as ' '-joined strings (sorted distinct set)."""
+    """n-word shingles as ' '-joined strings (sorted distinct set);
+    built on :func:`all_shingles` (zip_with form, see its note).
+    Short docs (< n tokens) fall back to the whole doc as one shingle.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    # short docs (< n tokens): fall back to the whole doc as one shingle
+    sh = all_shingles(text, n)
     return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(sh))).otherwise(
         F.array(F.array_join(toks, " "))
     )
