@@ -44,6 +44,12 @@ _PRIORITY = [
     "q29_tpch_quiet_customers",
     "q30_tpch_disjunctive",
     "pipeline_training_corpus",
+    # round-3 third-wave additions (newest first: never driver-checked)
+    "dedup_keep_best",
+    "corpus_overlap_minhash",
+    "doc_nb_classify",
+    "profile_key_skew",
+    "events_scd2",
     # round-3 additions / changes
     "doc_lm_score",
     "doc_sample_stratified",

@@ -66,3 +66,82 @@ def diff_summary(
     else:
         keys = ["status"]
     return diff.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level overlap estimation (per-source MinHash signatures)
+# ---------------------------------------------------------------------------
+
+# Portable permutation schedule: h31 = md5-derived base hash folded
+# into [0, M); perm i = (A[i]*h31 + B[i]) mod M. M = 2^31 - 1 keeps
+# every intermediate product under 2^62, so the SAME integer math runs
+# overflow-free as Spark Column arithmetic AND DuckDB BIGINT SQL (the
+# engines must agree bit-for-bit for the estimate to hash-match).
+# Constants are fixed literals (Knuth multiplicative + odd offsets) so
+# the oracle SQL can inline them.
+OVERLAP_M = 2147483647
+OVERLAP_AB = tuple(
+    ((2654435761 * (i + 1)) % OVERLAP_M or 1, (40503 * (i + 7) + 11) % OVERLAP_M)
+    for i in range(64)
+)
+
+
+def source_overlap_minhash(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_perm: int = 64,
+) -> DataFrame:
+    """Pairwise token-set overlap BETWEEN corpus slices (sources,
+    crawls, snapshots), estimated from per-slice MinHash signatures:
+    (src_a, src_b, matches, est_jaccard).
+
+    The dataset-composition question ("how much does crawl B repeat
+    crawl A?") needs slice-level Jaccard, not doc-level pairs. Exact
+    slice Jaccard unions every vocabulary; the MinHash form reduces
+    each slice to `num_perm` integers with ONE pass: distinct
+    (slice, token) pairs -> 64 integer permutations of one md5-derived
+    base hash -> per-slice element-wise min (partial agg, map-side
+    combined). The pairwise stage then joins signature rows —
+    #slices² rows of 64 ints, driver-trivial at any corpus size.
+    est_jaccard = matching-slot fraction (standard MinHash estimator;
+    E[est] = J, σ = sqrt(J(1-J)/num_perm) ≈ 0.06 at num_perm=64).
+    """
+    from ..functions import text as T
+
+    if num_perm > len(OVERLAP_AB):
+        raise ValueError(f"num_perm > {len(OVERLAP_AB)} needs a longer schedule")
+    toks = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(T.distinct_tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+    )
+    m = F.lit(OVERLAP_M)
+    base = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % m
+    sig = toks.select(
+        "grp",
+        *[
+            ((F.lit(a) * base + F.lit(b)) % m).alias(f"h{i}")
+            for i, (a, b) in enumerate(OVERLAP_AB[:num_perm])
+        ],
+    ).groupBy("grp").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    ).select("grp", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("src_a"),
+            F.col("b.grp").alias("src_b"),
+            matches.alias("matches"),
+            F.round(matches / num_perm, 4).alias("est_jaccard"),
+        )
+    )

@@ -538,6 +538,42 @@ def _connected_components_star(
     return final
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, kept_doc_id, n_members): the SELECTION step of a
+    near-dup pipeline — one canonical document per cluster, chosen by
+    ``quality`` (max wins, ties break to the smallest id).
+
+    ``dedup_cluster_assign`` answers *which rows are one document*;
+    real pipelines then keep the BEST member (longest, highest quality
+    score, newest crawl), not blindly the min-id one — dropping the
+    cleaner copy because its id is larger is a silent quality loss at
+    corpus scale. Docs untouched by any pair are their own singleton
+    cluster, so the output partitions the input corpus exactly.
+
+    Shape: components over the pair graph (pair-sized, tiny relative
+    to the corpus), one LEFT join of the corpus against the assignment
+    on id, then ONE hash aggregation — ``max_by`` over a (quality, -id)
+    struct, no per-cluster sort. The corpus shuffles once, on the
+    cluster key.
+    """
+    comps = connected_components(pairs)
+    base = docs.select(F.col(id_col).cast("long").alias("did"), quality.alias("q"))
+    assigned = base.join(comps, base["did"] == comps["id"], "left").select(
+        "did", "q", F.coalesce("comp", F.col("did")).alias("cluster_id")
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.max_by("did", F.struct(F.col("q"), (-F.col("did")).alias("nid"))).alias(
+            "kept_doc_id"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup (new batch vs existing corpus)
 # ---------------------------------------------------------------------------

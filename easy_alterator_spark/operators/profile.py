@@ -1,0 +1,55 @@
+"""Key-distribution profiling: the diagnostic a 100 TB join runs
+BEFORE it shuffles.
+
+Every skew mitigation in this repo (`operators/skew.salted_join`, AQE
+skew-join, broadcast promotion) starts from the same question: *how
+hot is the hottest key?* The profiler answers it with one partial-agg
+pass — per-key counts combine map-side, the global totals ride along
+as a broadcast one-row aggregate, and only the top-k rows (a constant)
+ever reach the driver. Profiling 100 TB costs one scan + one
+shuffle-by-key whose reduce side is count-sized, not row-sized.
+
+The output feeds a concrete decision rule, documented with the skew
+module: ``skew_ratio`` ≳ 5-10 on a join key → salt or split that key;
+``share`` of a single key ≳ 1/shuffle-partitions → that task is the
+straggler ceiling no matter how many executors exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Top-``top_k`` hottest values of ``key_col`` with absolute count,
+    corpus share, and skew ratio vs the mean key frequency.
+
+    Columns: key (string), cnt, share (round 6), skew_ratio (round 4).
+    Deterministic under ties (cnt DESC, key ASC). NULL keys count as a
+    key of their own (rendered as the string 'NULL') — a NULL-heavy
+    join column is the most common real-world skew case, and a
+    profiler that silently drops it hides exactly the problem it
+    exists to find.
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("NULL"))
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # one-row global aggregate; broadcast-joined back so share/ratio
+    # stay executor-side (no driver collect in the operator)
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+    )

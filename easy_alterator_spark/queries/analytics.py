@@ -860,3 +860,48 @@ def events_winsorize(spark, sf_dir):
         ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
         .alias("was_clipped"),
     )
+
+
+@query(
+    "events_scd2",
+    # SCD-2 build from a changelog: collapse consecutive duplicate
+    # attribute values per key, then bracket each run with
+    # [valid_from, valid_to); open runs are current
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o
+          WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, event_id)
+                     AS valid_to
+          FROM c)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """,
+)
+def events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2: turn the event changelog into
+    a versioned dimension (one row per distinct run of event_type per
+    user, valid_from/valid_to brackets, open = current). Two window
+    passes over the SAME (user_id, ts, event_id) sort — Catalyst
+    reuses the one sort+exchange; the output is change-sized, the
+    standard CDC-to-warehouse compaction at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

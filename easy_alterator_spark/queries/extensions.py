@@ -1616,3 +1616,160 @@ def dedup_containment(spark, sf_dir):
         )
         .filter(F.col("containment") >= 0.9)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 third wave: cluster selection, corpus overlap, NB classifier,
+# skew profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best",
+    # reachability-closure components (as dedup_cluster_assign), then
+    # the best member per cluster by (distinct-token count DESC, id ASC);
+    # singletons are their own cluster
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION SELECT b, a FROM p),
+    reach(id, comp) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, r.comp FROM e JOIN reach r ON e.dd = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+    allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                    len(d.toks) AS nq
+             FROM d LEFT JOIN comp c USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id, nq,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY nq DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM allc)
+    SELECT cluster_id, doc_id::BIGINT AS kept_doc_id, n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster: quality =
+    distinct-token count (a stand-in for any scorer — textstats
+    quality, LM score), max wins, id breaks ties."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return D.keep_best_per_cluster(
+        docs,
+        D.jaccard_pairs(docs, threshold=0.8),
+        quality=F.size(T.distinct_tokens(F.col("text"))),
+    )
+
+
+def _overlap_oracle(num_perm: int = 64) -> str:
+    """Oracle twin of corpus_diff.source_overlap_minhash: same md5 base
+    hash, same (A[i]*h + B[i]) mod M schedule, inlined as literals."""
+    from ..operators.corpus_diff import OVERLAP_AB, OVERLAP_M
+
+    perms = " UNION ALL ".join(
+        f"SELECT {i} AS i, {a}::BIGINT AS a, {b}::BIGINT AS b"
+        for i, (a, b) in enumerate(OVERLAP_AB[:num_perm])
+    )
+    return f"""
+    WITH t AS (SELECT DISTINCT source AS grp, unnest({_DSET}) AS tok
+               FROM documents),
+    perms AS ({perms}),
+    h AS (SELECT grp, i,
+                 MIN((a * (('0x' || substr(md5(tok), 1, 15))::BIGINT % {OVERLAP_M})
+                      + b) % {OVERLAP_M}) AS mh
+          FROM t CROSS JOIN perms GROUP BY grp, i),
+    m AS (SELECT x.grp AS src_a, y.grp AS src_b,
+                 COUNT(*) FILTER (WHERE x.mh = y.mh) AS matches
+          FROM h x JOIN h y ON x.i = y.i AND x.grp < y.grp
+          GROUP BY 1, 2)
+    SELECT src_a, src_b, matches,
+           ROUND(matches / {num_perm}.0, 4) AS est_jaccard
+    FROM m
+    """
+
+
+@query("corpus_overlap_minhash", oracle=_overlap_oracle())
+def corpus_overlap_minhash(spark, sf_dir):
+    """Slice-level overlap matrix: estimated token-set Jaccard between
+    every pair of sources from 64-slot MinHash signatures — the
+    "how much does crawl B repeat crawl A" dataset-composition table.
+    One pass + one signature-sized join; integer-exact across engines."""
+    from ..operators.corpus_diff import source_overlap_minhash
+
+    return source_overlap_minhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_nb_classify",
+    # multinomial NB with add-1 smoothing; train = doc_id % 5 != 0
+    # (labels = lang), score the held-out fifth; OOV test tokens ignored
+    oracle=f"""
+    WITH train AS (SELECT lang, doc_id, {_DTOKS} AS toks
+                   FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT doc_id, {_DTOKS} AS toks FROM documents WHERE doc_id % 5 = 0),
+    occ AS (SELECT lang, unnest(toks) AS tok FROM train),
+    cnt AS (SELECT lang, tok, COUNT(*) AS c FROM occ GROUP BY lang, tok),
+    ctot AS (SELECT lang, COUNT(*) AS n_tok FROM occ GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM occ),
+    vs AS (SELECT COUNT(*) AS v FROM vocab),
+    prior AS (SELECT lang, ln(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM train))
+                     AS logprior
+              FROM train GROUP BY lang),
+    model AS (SELECT ct.lang, vb.tok,
+                     ln((COALESCE(c.c, 0) + 1)::DOUBLE / (ct.n_tok + vs.v)) AS logp
+              FROM ctot ct CROSS JOIN vocab vb CROSS JOIN vs
+              LEFT JOIN cnt c ON c.lang = ct.lang AND c.tok = vb.tok),
+    tocc AS (SELECT doc_id, unnest(toks) AS tok FROM test),
+    sc AS (SELECT t.doc_id, m.lang,
+                  ANY_VALUE(p.logprior) + SUM(m.logp) AS score
+           FROM tocc t JOIN model m USING (tok) JOIN prior p ON p.lang = m.lang
+           GROUP BY t.doc_id, m.lang),
+    r AS (SELECT doc_id, lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang) AS rn
+          FROM sc)
+    SELECT doc_id, lang AS pred_label, ROUND(score, 3) AS score
+    FROM r WHERE rn = 1
+    """,
+)
+def doc_nb_classify(spark, sf_dir):
+    """Domain/language classification — multinomial Naive Bayes
+    trained on the hash-split 4/5 of the corpus, scoring the held-out
+    fifth. Training is two aggregations; scoring is a broadcast join +
+    one per-doc aggregation (operators/nbayes.py)."""
+    from ..operators import nbayes as NB
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return NB.nb_score(test, NB.nb_model(train))
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (SELECT COALESCE(l_suppkey::VARCHAR, 'NULL') AS key,
+                      COUNT(*) AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM c)
+    SELECT key, cnt, ROUND(cnt / total_rows, 6) AS share,
+           ROUND(cnt * n_keys / total_rows, 4) AS skew_ratio
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, key ASC LIMIT 20
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: the 20 hottest l_suppkey values with
+    share and skew ratio — the pre-shuffle check that decides between
+    plain join / AQE / salted_join (operators/profile.py)."""
+    from ..operators.profile import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_suppkey")

@@ -1,0 +1,175 @@
+"""Round-3 third-wave operators: cluster selection, corpus overlap,
+Naive Bayes classification, key-skew profiling, SCD-2 build.
+
+Value-level semantics on constructed rows; the registered queries'
+engine-vs-DuckDB parity runs in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestKeepBestPerCluster:
+    def test_selection_quality_then_id(self, spark):
+        from easy_alterator_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (4, 7), (10, 1)], "doc_id long, q int"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_id_a long, doc_id_b long"
+        )
+        out = {
+            r["cluster_id"]: (r["kept_doc_id"], r["n_members"])
+            for r in D.keep_best_per_cluster(
+                docs, pairs, quality=F.col("q")
+            ).collect()
+        }
+        # cluster {1,2,3}: max q is 9 shared by 2 and 3 -> min id 2 wins
+        assert out[1] == (2, 3)
+        # untouched docs are singletons keeping themselves
+        assert out[4] == (4, 1)
+        assert out[10] == (10, 1)
+
+    def test_output_partitions_input(self, spark):
+        from easy_alterator_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(i, i) for i in range(1, 8)], "doc_id long, q int"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4), (4, 5)], "doc_id_a long, doc_id_b long"
+        )
+        rows = D.keep_best_per_cluster(docs, pairs, quality=F.col("q")).collect()
+        assert sum(r["n_members"] for r in rows) == 7
+        assert len({r["cluster_id"] for r in rows}) == len(rows)
+
+
+class TestSourceOverlapMinhash:
+    def test_identical_slices_match_fully(self, spark):
+        from easy_alterator_spark.operators.corpus_diff import (
+            source_overlap_minhash,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", "x y z w"), ("b", "x y z w"), ("c", "p q r s")],
+            "source string, text string",
+        )
+        rows = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap_minhash(docs).collect()
+        }
+        assert rows[("a", "b")]["matches"] == 64
+        assert rows[("a", "b")]["est_jaccard"] == 1.0
+        # disjoint vocabularies: expected 0 matching slots
+        assert rows[("a", "c")]["matches"] <= 2
+
+    def test_estimator_tracks_true_jaccard(self, spark):
+        from easy_alterator_spark.operators.corpus_diff import (
+            source_overlap_minhash,
+        )
+
+        # |A∩B| = 20, |A∪B| = 40 -> J = 0.5; 64 slots -> σ ≈ 0.0625
+        a = " ".join(f"t{i}" for i in range(30))
+        b = " ".join(f"t{i}" for i in range(10, 40))
+        docs = spark.createDataFrame(
+            [("a", a), ("b", b)], "source string, text string"
+        )
+        [r] = source_overlap_minhash(docs).collect()
+        assert abs(r["est_jaccard"] - 0.5) < 0.25  # 4σ
+
+
+class TestNaiveBayes:
+    def test_separable_classes_classified(self, spark):
+        from easy_alterator_spark.operators import nbayes as NB
+
+        train = spark.createDataFrame(
+            [
+                ("en", "dog cat dog bird"),
+                ("en", "cat dog fish"),
+                ("fr", "chien chat chien"),
+                ("fr", "chat poisson chien"),
+            ],
+            "lang string, text string",
+        )
+        test = spark.createDataFrame(
+            [(1, "dog cat"), (2, "chien chat")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["pred_label"]
+            for r in NB.nb_score(test, NB.nb_model(train)).collect()
+        }
+        assert out == {1: "en", 2: "fr"}
+
+    def test_model_probabilities_normalize(self, spark):
+        from easy_alterator_spark.operators import nbayes as NB
+
+        train = spark.createDataFrame(
+            [("en", "a b a"), ("fr", "c d")], "lang string, text string"
+        )
+        model = NB.nb_model(train).collect()
+        # per label, sum over the vocab grid of exp(logp) must be 1
+        by_label: dict = {}
+        for r in model:
+            by_label.setdefault(r["label"], []).append(math.exp(r["logp"]))
+        for label, ps in by_label.items():
+            assert abs(sum(ps) - 1.0) < 1e-9, label
+        # priors: 1 doc each of 2 docs
+        priors = {r["label"]: r["logprior"] for r in model}
+        assert abs(priors["en"] - math.log(0.5)) < 1e-12
+
+    def test_oov_tokens_ignored(self, spark):
+        from easy_alterator_spark.operators import nbayes as NB
+
+        train = spark.createDataFrame(
+            [("en", "a b"), ("fr", "c d")], "lang string, text string"
+        )
+        test = spark.createDataFrame(
+            [(1, "a zzz qqq")], "doc_id long, text string"
+        )
+        [r] = NB.nb_score(test, NB.nb_model(train)).collect()
+        assert r["pred_label"] == "en"
+
+
+class TestKeySkewProfile:
+    def test_counts_shares_and_null_key(self, spark):
+        from easy_alterator_spark.operators.profile import key_skew_profile
+
+        df = spark.createDataFrame(
+            [(k,) for k in ["a"] * 6 + ["b"] * 2 + [None] * 2], "k string"
+        )
+        rows = key_skew_profile(df, "k", top_k=10).collect()
+        assert [r["key"] for r in rows] == ["a", "NULL", "b"]
+        top = rows[0]
+        assert top["cnt"] == 6
+        assert top["share"] == 0.6
+        assert top["skew_ratio"] == pytest.approx(6 * 3 / 10)
+
+    def test_top_k_limit_deterministic_under_ties(self, spark):
+        from easy_alterator_spark.operators.profile import key_skew_profile
+
+        df = spark.createDataFrame([(f"k{i % 7}",) for i in range(70)], "k string")
+        rows = key_skew_profile(df, "k", top_k=3).collect()
+        # all counts tie at 10 -> key ascending decides
+        assert [r["key"] for r in rows] == ["k0", "k1", "k2"]
+
+
+class TestScd2:
+    def test_runs_collapse_and_brackets_chain(self, spark):
+        from easy_alterator_spark.queries import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["events_scd2"](spark, "/root/testdata/sf0.001")
+        rows = df.filter(F.col("user_id") == df.select("user_id").first()[0]).orderBy(
+            "valid_from"
+        ).collect()
+        # exactly one open (current) version per user
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["is_current"]
+        # no consecutive duplicate attribute values
+        for a, b in zip(rows, rows[1:]):
+            assert a["event_type"] != b["event_type"]
+            assert a["valid_to"] == b["valid_from"]
