@@ -46,6 +46,8 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
     "dedup_keep_best",
+    "corpus_entropy",
+    "text_boilerplate",
     "corpus_overlap_minhash",
     "doc_nb_classify",
     "profile_key_skew",

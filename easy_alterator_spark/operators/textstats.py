@@ -130,3 +130,80 @@ def min_token_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str
     token set. md5 (not xxhash64) so the DuckDB oracle reproduces it."""
     fp = F.array_min(F.transform(T.distinct_tokens(F.col(text_col)), F.md5))
     return docs.select(F.col(id_col), fp.alias("fp"))
+
+
+def corpus_entropy_by(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-slice lexical-diversity profile: unigram Shannon entropy
+    (bits), vocabulary size, token count, and type-token ratio.
+
+    Entropy is the corpus-health number quality dashboards track per
+    source/crawl: a slice whose entropy collapses is template spam or
+    a scrape loop even when volume looks healthy. Two hash
+    aggregations, both map-side combined: (slice, token) counts, then
+    the per-slice entropy fold  H = log2(N) - Σ c·log2(c) / N  — the
+    algebraic identity avoids materializing p_i = c/N per row first,
+    so the second agg is a plain SUM, mergeable at any parallelism.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    )
+    counts = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    log2 = float(__import__("math").log(2.0))
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "vocab",
+            F.round(
+                (F.log("n_tokens") - F.col("clogc") / F.col("n_tokens")) / log2, 4
+            ).alias("entropy_bits"),
+            F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Template/boilerplate detection: word n-grams present in at
+    least ``min_doc_frac`` of a slice's documents —
+    (source, gram, df, doc_frac).
+
+    Navigation chrome, cookie banners, and license footers repeat
+    VERBATIM across most pages of a site; document-frequency within
+    the slice finds them without any parsing. Shape: per-doc distinct
+    n-gram explode -> (slice, gram) count (map-side combined) ->
+    broadcast per-slice doc totals -> ratio filter. Output is
+    template-sized. The removal step is a broadcast anti-join of this
+    table against the same shingle stream.
+    """
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.explode(T.word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    df_counts = grams.groupBy("grp", "gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # shingles are per-doc distinct, so count == doc frequency
+    totals = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        df_counts.join(F.broadcast(totals), "grp")
+        .withColumn("doc_frac", F.round(F.col("df") / F.col("n_docs"), 4))
+        .filter(F.col("df") >= F.col("n_docs") * min_doc_frac)
+        .select(F.col("grp").alias(group_col), "gram", "df", "doc_frac")
+    )

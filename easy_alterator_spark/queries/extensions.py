@@ -1776,3 +1776,51 @@ def profile_key_skew(spark, sf_dir):
     from ..operators.profile import key_skew_profile
 
     return key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@query(
+    "corpus_entropy",
+    # SUM casts pinned to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT)
+    oracle=f"""
+    WITH tok AS (SELECT source AS grp, unnest({_DTOKS}) AS tok FROM documents),
+    c AS (SELECT grp, tok, COUNT(*) AS c FROM tok GROUP BY grp, tok),
+    a AS (SELECT grp, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS vocab,
+                 SUM(c * ln(c)) AS clogc
+          FROM c GROUP BY grp)
+    SELECT grp AS source, n_tokens, vocab,
+           ROUND((ln(n_tokens) - clogc / n_tokens) / ln(2), 4) AS entropy_bits,
+           ROUND(vocab / n_tokens, 6) AS type_token_ratio
+    FROM a
+    """,
+)
+def corpus_entropy(spark, sf_dir):
+    """Per-source lexical diversity: unigram Shannon entropy, vocab
+    size, type-token ratio (operators/textstats.corpus_entropy_by) —
+    the collapsing-entropy = template-spam detector a corpus dashboard
+    tracks per crawl. Two mergeable aggregations, zero extra passes."""
+    return X.corpus_entropy_by(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id, {_DTOKS} AS t FROM documents),
+    g AS (SELECT source, doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 2
+                 THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+                 ELSE [array_to_string(t, ' ')] END)) AS gram FROM d),
+    c AS (SELECT source, gram, COUNT(*) AS df FROM g GROUP BY source, gram),
+    nn AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT c.source, gram, df, ROUND(df / n_docs, 4) AS doc_frac
+    FROM c JOIN nn USING (source)
+    WHERE df >= n_docs * 0.2
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate detection: word bigrams present in
+    >=20% of a source's documents (operators/textstats.
+    boilerplate_ngrams) — the nav-chrome/footer/template finder; the
+    removal step is a broadcast anti-join of this table."""
+    return X.boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=2, min_doc_frac=0.2
+    )

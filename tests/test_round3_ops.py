@@ -173,3 +173,33 @@ class TestScd2:
         for a, b in zip(rows, rows[1:]):
             assert a["event_type"] != b["event_type"]
             assert a["valid_to"] == b["valid_from"]
+
+
+class TestCorpusEntropy:
+    def test_uniform_vs_degenerate(self, spark):
+        from easy_alterator_spark.operators.textstats import corpus_entropy_by
+
+        docs = spark.createDataFrame(
+            [("u", "a b c d"), ("d", "x x x x")], "source string, text string"
+        )
+        out = {r["source"]: r for r in corpus_entropy_by(docs).collect()}
+        assert out["u"]["entropy_bits"] == pytest.approx(2.0)  # 4 equiprobable
+        assert out["d"]["entropy_bits"] == 0.0  # single token
+        assert out["u"]["type_token_ratio"] == 1.0
+        assert out["d"]["vocab"] == 1 and out["d"]["n_tokens"] == 4
+
+
+class TestBoilerplate:
+    def test_template_bigram_found(self, spark):
+        from easy_alterator_spark.operators.textstats import boilerplate_ngrams
+
+        rows = [("s", i, f"cookie banner unique{i} words{i}") for i in range(10)]
+        rows += [("s", 99, "no template here at all")]
+        docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        out = boilerplate_ngrams(docs, n=2, min_doc_frac=0.5).collect()
+        grams = {r["gram"] for r in out}
+        assert "cookie banner" in grams
+        [cb] = [r for r in out if r["gram"] == "cookie banner"]
+        assert cb["df"] == 10 and cb["doc_frac"] == pytest.approx(10 / 11, abs=1e-4)
+        # per-doc distinct: repeating a gram inside one doc counts once
+        assert all(r["df"] <= 11 for r in out)
