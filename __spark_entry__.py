@@ -46,6 +46,8 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
     "dedup_keep_best",
+    "split_leakage_guard",
+    "dedup_threshold_sweep",
     "corpus_entropy",
     "text_boilerplate",
     "corpus_overlap_minhash",

@@ -361,3 +361,52 @@ def chunk_documents_overlap(
         F.element_at(piece, 1).alias("first_tok"),
         F.element_at(piece, -1).alias("last_tok"),
     )
+
+
+def split_with_leakage_guard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    eval_rate: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, role): deterministic train/eval split where TRAIN
+    members near-duplicating an EVAL member are DROPPED — the leakage
+    guard a benchmark-grade split needs (a hash split alone leaves
+    near-copies of eval documents in train, silently inflating eval).
+
+    role ∈ {'eval', 'train', 'dropped'}. Membership is content-stable:
+    eval = md5-bucket < rate (sampling.hash_bucket), so re-splitting a
+    grown corpus never moves existing docs; the guard drops a train
+    doc when ANY near-dup pair (from whatever pair generator —
+    MinHash-LSH at scale, exact Jaccard in the bounded oracle form)
+    links it to an eval doc. Shape: the pair list is projected to
+    (train_id) under the eval predicate on the OTHER side — pair-sized
+    work — then a broadcast-able left anti-ish join marks the corpus;
+    the corpus itself never self-joins here.
+    """
+    bucket = hash_bucket(F.col(id_col))
+    cut = int(eval_rate * _BUCKETS)
+    is_eval = bucket < cut
+
+    def eval_of(c: str) -> F.Column:
+        return hash_bucket(F.col(c)) < cut
+
+    a, b = "doc_id_a", "doc_id_b"
+    leaky = (
+        pairs.select(F.col(a).alias("t"), F.col(b).alias("o"))
+        .unionByName(pairs.select(F.col(b).alias("t"), F.col(a).alias("o")))
+        .filter(~eval_of("t") & eval_of("o"))
+        .select(F.col("t").alias("leak_id"))
+        .distinct()
+    )
+    role = (
+        F.when(is_eval, "eval")
+        .when(F.col("leak_id").isNotNull(), "dropped")
+        .otherwise("train")
+    )
+    return (
+        docs.join(
+            F.broadcast(leaky), docs[id_col] == leaky["leak_id"], "left"
+        )
+        .select(F.col(id_col), role.alias("role"))
+    )

@@ -1824,3 +1824,82 @@ def text_boilerplate(spark, sf_dir):
     return X.boilerplate_ngrams(
         load_table(spark, sf_dir, "documents"), n=2, min_doc_frac=0.2
     )
+
+
+@query(
+    "split_leakage_guard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    u AS (SELECT a AS t, b AS o FROM p UNION ALL SELECT b, a FROM p),
+    leaky AS (SELECT DISTINCT t FROM u
+              WHERE ('0x' || substr(md5(t::VARCHAR), 1, 4))::INT >= 13107
+                AND ('0x' || substr(md5(o::VARCHAR), 1, 4))::INT < 13107)
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT < 13107
+                THEN 'eval'
+                WHEN doc_id IN (SELECT t FROM leaky) THEN 'dropped'
+                ELSE 'train' END AS role
+    FROM d
+    """,
+)
+def split_leakage_guard(spark, sf_dir):
+    """Train/eval split with near-dup leakage guard
+    (operators/sampling.split_with_leakage_guard): eval = stable md5
+    bucket, train docs near-duplicating any eval doc are dropped.
+    Bounded exact-Jaccard pair form here; MinHash-LSH supplies the
+    pairs at scale (same surface)."""
+    from ..operators.sampling import split_with_leakage_guard
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return split_with_leakage_guard(
+        docs, D.jaccard_pairs(docs, threshold=0.8), eval_rate=0.2
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    # pair-similarity histogram >= 0.5 in 0.05 bins: both engines floor
+    # IDENTICAL doubles (same integer set sizes -> same IEEE division),
+    # so bin membership is engine-stable
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 300),
+    p AS (SELECT len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+    SELECT ROUND(FLOOR(jac * 20) / 20, 2) AS jac_bin, COUNT(*) AS n_pairs
+    FROM p WHERE jac >= 0.5
+    GROUP BY 1
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-sensitivity curve for near-dup dedup: pair counts per
+    0.05 Jaccard bin above 0.5 — the one-pass report that turns 'pick
+    0.8 or 0.9?' into a measured decision (how many pairs appear or
+    vanish per notch). Bounded exact form; at scale the SAME histogram
+    aggregates over MinHash-verified candidate pairs, since every pair
+    above the lowest bin is an LSH candidate at that operating point."""
+    from ..functions import text as T
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 300)
+        .select("doc_id", T.distinct_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    a = d.select(F.col("doc_id").alias("ida"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("idb"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    return (
+        a.hint("shuffle_hash")
+        .join(b, F.col("ida") < F.col("idb"))
+        .select(jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+        .groupBy(F.round(F.floor(F.col("jac") * 20) / 20, 2).alias("jac_bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

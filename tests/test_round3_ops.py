@@ -203,3 +203,47 @@ class TestBoilerplate:
         assert cb["df"] == 10 and cb["doc_frac"] == pytest.approx(10 / 11, abs=1e-4)
         # per-doc distinct: repeating a gram inside one doc counts once
         assert all(r["df"] <= 11 for r in out)
+
+
+class TestLeakageGuard:
+    def test_roles(self, spark):
+        from easy_alterator_spark.operators.sampling import (
+            hash_bucket,
+            split_with_leakage_guard,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 30)], "doc_id long")
+        # find one eval id and one non-eval id under the real predicate
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in docs.select(
+                "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+            ).collect()
+        }
+        cut = int(0.2 * (1 << 16))
+        ev = next(i for i, b in buckets.items() if b < cut)
+        tr1, tr2, tr3 = [i for i, b in buckets.items() if b >= cut][:3]
+        pairs = spark.createDataFrame(
+            [(ev, tr1), (tr2, tr3)], "doc_id_a long, doc_id_b long"
+        )
+        roles = {
+            r["doc_id"]: r["role"]
+            for r in split_with_leakage_guard(docs, pairs, 0.2).collect()
+        }
+        assert roles[ev] == "eval"
+        assert roles[tr1] == "dropped"  # near-dup of an eval doc
+        assert roles[tr2] == "train" and roles[tr3] == "train"  # train-train pair ok
+        assert len(roles) == 29
+
+
+class TestThresholdSweep:
+    def test_bins_sum_and_boundaries(self, spark):
+        from easy_alterator_spark.queries import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["dedup_threshold_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "sweep must be non-vacuous on the smoke corpus"
+        assert all(0.5 <= r["jac_bin"] <= 1.0 for r in rows)
+        assert all(r["n_pairs"] > 0 for r in rows)
