@@ -68,6 +68,14 @@ _PRIORITY = [
     "events_dwell_time",
     "q34_tpch_volume_shipping",
     "q35_tpch_market_share",
+    "q36_tpch_min_cost_supplier",
+    "q37_tpch_profit",
+    "q38_tpch_important_stock",
+    "q39_tpch_top_supplier",
+    "q40_tpch_parts_supplier_cnt",
+    "q41_tpch_small_qty",
+    "q42_tpch_promotion_parts",
+    "q43_tpch_waiting_supplier",
     "events_winsorize",
     "text_collocations",
     "dedup_containment",

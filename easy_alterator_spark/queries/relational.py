@@ -988,3 +988,414 @@ def q35(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3: the remaining canonical TPC-H shapes (Q2, Q9, Q11, Q15, Q16,
+# Q17, Q20, Q21 — on this star schema's columns: no partsupp table, so
+# supply cost/stock proxies come from lineitem; the SHAPES are the
+# point). Q12's conditional-aggregation-after-join shape is already
+# exercised by q28/q31.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_tpch_min_cost_supplier",
+    # Q2 shape: correlated min subquery selecting the cheapest supplier
+    # per part. Cost = MIN(unit price) — min of identical IEEE doubles,
+    # so the equality selection is engine-exact (AVG would not be).
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, n.n_name,
+           ROUND(c.unit_cost, 4) AS min_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 10
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q36(spark, sf_dir):
+    """TPC-H Q2 min-cost supplier. The correlated scalar subquery is a
+    window MIN over the part key — one extra exchange on l_partkey for
+    the per-(part, supplier) cost table, which is partsupp-sized (tiny
+    vs the fact); every dimension broadcasts. At 100 TB the only big
+    exchange is lineitem's partial agg to (part, supp) grain."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    cost = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best")
+    )
+    # fresh loads for the re-join: `s`/`n` already appear inside
+    # `cost`'s lineage and would be ambiguous self-references
+    s2 = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s2), best["l_suppkey"] == s2["s_suppkey"])
+        .join(F.broadcast(n2), s2["s_nationkey"] == n2["n_nationkey"])
+        .select(
+            "p_partkey", "s_name", "n_name", F.round("unit_cost", 4).alias("min_cost")
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q37_tpch_profit",
+    # Q9 shape: profit per (supplier nation, order year) over a
+    # part-name slice; cost proxy = 10% of retail price per unit
+    oracle="""
+    SELECT n.n_name, YEAR(o.o_orderdate)::INT AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q37(spark, sf_dir):
+    """TPC-H Q9 product-type profit. part/supplier/nation broadcast;
+    the lineitem |><| orders join on orderkey is the single exchange,
+    then a tiny (nation × year) aggregate — partial agg collapses
+    virtually everything map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    # prices/discounts are exact 2-decimal data, so the TRUE per-line
+    # profit lives on a 1e-4 grid and group sums land EXACTLY on
+    # half-cent boundaries (…845) — ROUND(…, 2) then ties, and the two
+    # engines' float noise resolves the tie differently. Rounding at
+    # the grid's own 4 decimals has no ties to resolve: the sum is
+    # ~1e-9 from a grid point, 0.5e-4 from any boundary.
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q38_tpch_important_stock",
+    # Q11 shape: per-part inventory value from one nation-slice's
+    # suppliers, kept only above a fraction of the slice total
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey,
+               SUM(l.l_quantity * p.p_retailprice) AS value
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(value, 2) AS value
+    FROM v CROSS JOIN (SELECT SUM(value) AS total, COUNT(*) AS n FROM v) t
+    WHERE value > t.total * 2.0 / t.n
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q38(spark, sf_dir):
+    """TPC-H Q11 important stock. The HAVING-vs-global-total shape:
+    the per-part aggregate is computed once, its one-row grand total
+    is broadcast-crossed back — no second scan, no driver round-trip."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    total = v.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    # scale-free cut (2x the mean per-part value): a fixed fraction of
+    # the grand total empties as the part count grows with SF
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * 2.0 / F.col("n"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), F.round("value", 2).alias("value")
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q39_tpch_top_supplier",
+    # Q15 shape: derived revenue view + scalar max selection (keeps
+    # ties, so no LIMIT nondeterminism)
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q39(spark, sf_dir):
+    """TPC-H Q15 top supplier. The revenue view is computed ONCE; its
+    one-row max is broadcast-crossed back for the equality selection
+    (ties kept) — the classic view-reuse shape without a re-scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q40_tpch_parts_supplier_cnt",
+    # Q16 shape: supplier-count distribution per part attribute cell,
+    # with a NOT-IN supplier exclusion (negative-balance proxy for the
+    # reference's complaints filter)
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9' AND p.p_size <= 15
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q40(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship. The NOT IN is a
+    broadcast LEFT ANTI join (null-safe here: keys are non-null), the
+    distinct count collapses map-side to (cell, suppkey) grain first."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_size") <= 15)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q41_tpch_small_qty",
+    # Q17 shape: correlated per-part average threshold. AVG of
+    # integer-valued doubles is exact (sums < 2^53), so the inequality
+    # is engine-stable.
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q41(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue. The correlated AVG is a
+    window mean over l_partkey on the brand-pruned slice — Spark
+    evaluates it without a self-join (the canonical plan re-scans
+    lineitem); one exchange on l_partkey."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q42_tpch_promotion_parts",
+    # Q20 shape: chained IN subqueries (name-slice parts -> suppliers
+    # who moved > threshold of them in a window -> nation slice)
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AFRICA'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100)
+    ORDER BY s_name
+    """,
+)
+def q42(spark, sf_dir):
+    """TPC-H Q20 potential part promotion. Both IN subqueries become
+    broadcast semi-joins; the grouped HAVING runs at supplier grain
+    (100-row output) before the semi-join, so the supplier table never
+    sees fact-sized data."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    movers = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(movers), s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q43_tpch_waiting_supplier",
+    # Q21 shape: EXISTS (another supplier in the order) + NOT EXISTS
+    # (another supplier shipped later) on finished orders — the
+    # last-to-ship supplier is the one everyone waited for
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    ms AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+           FROM l1 GROUP BY l_orderkey, l_suppkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM ms m
+    JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM ms m2
+                  WHERE m2.l_orderkey = m.l_orderkey
+                    AND m2.l_suppkey <> m.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ms m3
+                      WHERE m3.l_orderkey = m.l_orderkey
+                        AND m3.l_suppkey <> m.l_suppkey
+                        AND m3.ms >= m.ms)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q43(spark, sf_dir):
+    """TPC-H Q21 waiting supplier. Both correlated EXISTS collapse to
+    per-order aggregates computed in ONE pass (max other-supplier
+    shipdate + distinct supplier count), joined back on orderkey —
+    two window functions over one exchange instead of two self-joins
+    of the fact table."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # collapse to (order, supplier) last-ship grain first — both
+    # EXISTS conditions then read off ONE per-order aggregate: the
+    # supplier set at the max shipdate and the distinct-supplier count
+    ms = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
+    )
+    per_order = ms.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("ms").alias("max_ms"),
+        F.collect_set(F.struct("ms", "l_suppkey")).alias("pairs"),
+    )
+    last_suppliers = F.transform(
+        F.filter(F.col("pairs"), lambda p: p["ms"] == F.col("max_ms")),
+        lambda p: p["l_suppkey"],
+    )
+    waiting = (
+        per_order.withColumn("last_suppliers", last_suppliers)
+        .filter((F.col("n_supp") >= 2) & (F.size("last_suppliers") == 1))
+        .select("l_orderkey", F.element_at("last_suppliers", 1).alias("l_suppkey"))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

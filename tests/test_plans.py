@@ -484,3 +484,35 @@ class TestNoInterpretedHotLoops:
         # as transform(sequence(...), lambda ... slice(...))
         assert "zip_with" in plan
         assert "transform(sequence" not in plan.replace(" ", "")
+
+
+class TestTpchThirdWaveShapes:
+    """q36-q43 plan contracts: the closing TPC-H shapes keep their
+    canonical strategies (dims broadcast, no fact self-joins, no
+    cartesian products)."""
+
+    def test_q37_profit_broadcasts_dims_single_fact_join(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["q37_tpch_profit"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        # part/supplier/nation broadcast; only lineitem|><|orders may shuffle
+        assert jc["BroadcastHashJoin"] >= 3
+        assert jc["SortMergeJoin"] + jc["ShuffledHashJoin"] <= 1
+
+    def test_q41_correlated_avg_no_fact_rescan(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["q41_tpch_small_qty"](spark, SF))
+        # the window form reads lineitem ONCE (canonical Q17 re-scans it)
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_q43_waiting_supplier_no_fact_self_join(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["q43_tpch_waiting_supplier"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0
+        # EXISTS/NOT-EXISTS collapsed to aggregates: lineitem scanned once
+        assert plan.count("lineitem.parquet") == 1
