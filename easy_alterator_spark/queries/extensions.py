@@ -1903,3 +1903,46 @@ def dedup_threshold_sweep(spark, sf_dir):
         .groupBy(F.round(F.floor(F.col("jac") * 20) / 20, 2).alias("jac_bin"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query("bpe_train_merges")  # greedy argmax loop — no SQL oracle; value
+# semantics pinned in tests/test_round3_ops.py::TestBpe (hand-computed
+# merge sequence incl. the lexicographic tie-break)
+def bpe_train_merges(spark, sf_dir):
+    """Train a BPE merge table on the corpus (operators/bpe.py): ONE
+    corpus pass to the word-frequency vocab, then vocab-bounded merge
+    rounds (driver loop over ranks; one-row argmax collect per round —
+    the connected-components witness discipline). Round latency here
+    is per-round plan compilation, not data: the same 10 rounds cost
+    the same overhead at 100 TB, plus one corpus-sized aggregate."""
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), num_merges=10)
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    SELECT lang, source, CAST(FLOOR(n_chars / 100) AS INT) AS len_bucket,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY lang, source, len_bucket
+    HAVING COUNT(*) < 5
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (lang, source,
+    length bucket): cells with fewer than k=5 members — the
+    suppression/generalization worklist a privacy review needs before
+    releasing per-slice statistics. One hash aggregation; output is
+    violation-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )

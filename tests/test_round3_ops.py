@@ -247,3 +247,50 @@ class TestThresholdSweep:
         assert rows, "sweep must be non-vacuous on the smoke corpus"
         assert all(0.5 <= r["jac_bin"] <= 1.0 for r in rows)
         assert all(r["n_pairs"] > 0 for r in rows)
+
+
+class TestBpe:
+    def test_merge_sequence_and_tiebreak(self, spark):
+        from easy_alterator_spark.operators.bpe import bpe_segment, bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "banana bandana banana")], "doc_id long, text string"
+        )
+        m = bpe_train(docs, num_merges=3).collect()
+        got = [(r["rank"], r["left"], r["right"], r["freq"]) for r in m]
+        # hand-computed: (a,n) freq 6; then (an,a) beats (b,an) on the
+        # lexicographic tie at freq 3; then (b,an)
+        assert got == [(0, "a", "n", 6), (1, "an", "a", 3), (2, "b", "an", 3)]
+        seg = {
+            r["w"]: r["pieces"]
+            for r in bpe_segment(
+                spark.createDataFrame([("banana",), ("bandana",)], "w string"),
+                [(r["left"], r["right"]) for r in m],
+            ).collect()
+        }
+        assert seg["banana"] == ["ban", "ana"]
+        assert seg["bandana"] == ["ban", "d", "ana"]
+
+    def test_greedy_nonoverlapping_merge(self, spark):
+        from easy_alterator_spark.operators.bpe import bpe_segment
+
+        seg = bpe_segment(
+            spark.createDataFrame([("aaa",)], "w string"), [("a", "a")]
+        ).collect()
+        assert seg[0]["pieces"] == ["aa", "a"]
+
+    def test_early_stop_single_symbols(self, spark):
+        from easy_alterator_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        m = bpe_train(docs, num_merges=5).collect()
+        assert m == []  # no adjacent pairs anywhere -> stops at round 0
+
+
+class TestKAnonymity:
+    def test_small_cells_flagged(self, spark):
+        from easy_alterator_spark.queries import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["privacy_k_anonymity"](spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r["n"] < 5 for r in rows)
