@@ -46,6 +46,8 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
     "dedup_keep_best",
+    "graph_edge_support",
+    "agg_incremental_merge",
     "bpe_train_merges",
     "privacy_k_anonymity",
     "split_leakage_guard",

@@ -1195,3 +1195,42 @@ def lsh_recall_report(
         [(n_true, n_found, round(n_found / n_true, 4) if n_true else None)],
         "n_true bigint, n_found bigint, recall double",
     )
+
+
+def edge_triangle_support(
+    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, support): number of triangles each
+    near-dup edge participates in — |N(a) ∩ N(b)| over the undirected
+    pair graph.
+
+    Why a dedup pipeline wants this: LSH emits occasional spurious
+    edges, and connected components treat every edge as gospel — one
+    bad edge chains two unrelated clusters. True near-dup clusters
+    are clique-ish, so real edges sit in many triangles while a
+    spurious bridge sits in none; dropping support-0 edges before
+    `connected_components` is the standard graph-cleanup step.
+
+    Shape: adjacency sets per node (one agg over the pair-sized edge
+    list), joined back onto edges twice, native array_intersect. All
+    work is pair-graph-sized, never corpus-sized. At extreme degree
+    skew swap in the degree-ordered iterator form; for this graph
+    family (bounded near-dup degree) the set-intersect form is flat.
+    """
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).cast("long").alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).cast("long").alias("b"),
+    ).distinct()
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = und.groupBy("a").agg(F.array_sort(F.collect_set("b")).alias("nbrs"))
+    na = adj.select(F.col("a").alias("ja"), F.col("nbrs").alias("na"))
+    nb = adj.select(F.col("a").alias("jb"), F.col("nbrs").alias("nb"))
+    return (
+        e.join(na, e["a"] == na["ja"])
+        .join(nb, e["b"] == nb["jb"])
+        .select(
+            F.col("a").alias(id_a),
+            F.col("b").alias(id_b),
+            F.size(F.array_intersect("na", "nb")).cast("long").alias("support"),
+        )
+    )

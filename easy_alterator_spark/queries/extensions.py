@@ -1946,3 +1946,78 @@ def privacy_k_anonymity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") < 5)
     )
+
+
+@query(
+    "graph_edge_support",
+    # triangle support per near-dup edge: |N(a) ∩ N(b)| over the
+    # undirected pair graph (the spurious-LSH-edge pruning signal)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    u AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+    adj AS (SELECT a AS node, list(b) AS nbrs FROM u GROUP BY a)
+    SELECT p.a AS doc_id_a, p.b AS doc_id_b,
+           len(list_intersect(x.nbrs, y.nbrs))::BIGINT AS support
+    FROM p JOIN adj x ON x.node = p.a JOIN adj y ON y.node = p.b
+    """,
+)
+def graph_edge_support(spark, sf_dir):
+    """Triangle support per near-dup edge
+    (operators/dedup.edge_triangle_support): real clusters are
+    clique-ish, spurious LSH bridges sit in zero triangles — drop
+    support-0 edges before connected components to stop chain
+    collapses. Pair-graph-sized work only."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return D.edge_triangle_support(D.jaccard_pairs(docs, threshold=0.8))
+
+
+@query(
+    "agg_incremental_merge",
+    # oracle recomputes over the FULL table: the merged partial
+    # aggregates must equal the from-scratch answer exactly
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           MAX(ts) AS latest_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental aggregation maintenance: per-type stats kept as
+    ALGEBRAIC partials (count/sum/min/max/latest), so a delta batch
+    updates the standing aggregate by union + re-aggregate — never a
+    full recompute. Here base (< Jan 20) and delta (>= Jan 20) are
+    aggregated separately and MERGED; the oracle recomputes from
+    scratch and must match exactly. events values are exact 2-decimal
+    data, so ROUND(merged sum, 2) sits on the grid (see q37's
+    half-cent note). This is the batch twin of the streaming running
+    totals — same mergeability contract sketches rely on."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.max("ts").alias("lt"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("s"), 2).alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.max("lt").alias("latest_ts"),
+        )
+    )

@@ -294,3 +294,50 @@ class TestKAnonymity:
         load_all()
         rows = QUERIES["privacy_k_anonymity"](spark, "/root/testdata/sf0.001").collect()
         assert rows and all(r["n"] < 5 for r in rows)
+
+
+class TestTriangleSupport:
+    def test_bridge_vs_clique(self, spark):
+        from easy_alterator_spark.operators import dedup as D
+
+        # triangle {1,2,3} + bridge (3,4) + pendant pair (4,5)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+            "doc_id_a long, doc_id_b long",
+        )
+        sup = {
+            (r["doc_id_a"], r["doc_id_b"]): r["support"]
+            for r in D.edge_triangle_support(pairs).collect()
+        }
+        assert sup[(1, 2)] == 1 and sup[(2, 3)] == 1 and sup[(1, 3)] == 1
+        assert sup[(3, 4)] == 0  # the spurious bridge
+        assert sup[(4, 5)] == 0
+
+
+class TestIncrementalMerge:
+    def test_merge_equals_full(self, spark):
+        from easy_alterator_spark.queries import QUERIES, load_all
+        from easy_alterator_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        load_all()
+        merged = {
+            r["event_type"]: r
+            for r in QUERIES["agg_incremental_merge"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        full = {
+            r["event_type"]: r
+            for r in load_table(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        }
+        assert set(merged) == set(full)
+        for k in full:
+            assert merged[k]["n"] == full[k]["n"]
+            assert merged[k]["sum_value"] == full[k]["sum_value"]
