@@ -45,6 +45,7 @@ _PRIORITY = [
     "q30_tpch_disjunctive",
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
+    "dedup_robust_keep_best",
     "dedup_keep_best",
     "graph_edge_support",
     "agg_incremental_merge",

@@ -129,19 +129,37 @@ def source_overlap_minhash(
     ).groupBy("grp").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
     ).select("grp", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
-    a, b = sig.alias("a"), sig.alias("b")
+    # Pairwise stage WITHOUT a self-join: a non-equi (grp < grp)
+    # self-join plans as a nested-loop join whose two inputs each
+    # re-evaluate the signature subtree — i.e. TWO corpus scans. The
+    # signature table is |slices| rows, so fold it into ONE row and
+    # enumerate pairs with array functions: corpus scanned once,
+    # pair generation is |slices|²-cell driver-free array work.
+    allsig = sig.agg(F.collect_list(F.struct("grp", "sig")).alias("xs"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("xs"),
+                    lambda y: F.struct(x.alias("x"), y.alias("y")),
+                ),
+                lambda p: p["x"]["grp"] < p["y"]["grp"],
+            ),
+        )
+    )
+    pairs = allsig.select(F.explode(pair_arr).alias("p"))
     matches = F.size(
         F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            F.zip_with(
+                F.col("p.x.sig"), F.col("p.y.sig"), lambda x, y: x == y
+            ),
             lambda v: v,
         )
     ).cast("long")
-    return (
-        a.join(b, F.col("a.grp") < F.col("b.grp"))
-        .select(
-            F.col("a.grp").alias("src_a"),
-            F.col("b.grp").alias("src_b"),
-            matches.alias("matches"),
-            F.round(matches / num_perm, 4).alias("est_jaccard"),
-        )
+    return pairs.select(
+        F.col("p.x.grp").alias("src_a"),
+        F.col("p.y.grp").alias("src_b"),
+        matches.alias("matches"),
+        F.round(matches / num_perm, 4).alias("est_jaccard"),
     )

@@ -2021,3 +2021,57 @@ def agg_incremental_merge(spark, sf_dir):
             F.max("lt").alias("latest_ts"),
         )
     )
+
+
+@query(
+    "dedup_robust_keep_best",
+    # end-to-end robust dedup: Jaccard pairs -> drop support-0 edges
+    # (spurious-bridge pruning) -> components over surviving edges ->
+    # best-quality doc per cluster. Same reachability-closure oracle
+    # family, over the PRUNED edge set.
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    u AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+    adj AS (SELECT a AS node, list(b) AS nbrs FROM u GROUP BY a),
+    kept AS (SELECT p.a, p.b FROM p
+             JOIN adj x ON x.node = p.a JOIN adj y ON y.node = p.b
+             WHERE len(list_intersect(x.nbrs, y.nbrs)) > 0),
+    e AS (SELECT a AS s, b AS dd FROM kept UNION SELECT b, a FROM kept),
+    reach(id, comp) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, r.comp FROM e JOIN reach r ON e.dd = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+    allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                    len(d.toks) AS nq
+             FROM d LEFT JOIN comp c USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id, nq,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY nq DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM allc)
+    SELECT cluster_id, doc_id::BIGINT AS kept_doc_id, n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_robust_keep_best(spark, sf_dir):
+    """The production dedup composition in one declarative plan:
+    near-dup pairs -> triangle-support pruning (spurious LSH bridges
+    out) -> connected components -> best-quality canonical doc per
+    cluster. Every stage is pair-graph-sized after the pair
+    generation; at scale the pairs come from the MinHash band join
+    behind the same surface."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    solid = D.edge_triangle_support(pairs).filter(F.col("support") > 0)
+    return D.keep_best_per_cluster(
+        docs, solid, quality=F.size(T.distinct_tokens(F.col("text")))
+    )

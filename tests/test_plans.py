@@ -516,3 +516,53 @@ class TestTpchThirdWaveShapes:
         assert jc["CartesianProduct"] == 0
         # EXISTS/NOT-EXISTS collapsed to aggregates: lineitem scanned once
         assert plan.count("lineitem.parquet") == 1
+
+
+class TestThirdWaveOpShapes:
+    """Plan contracts for the round-3 third-wave operators."""
+
+    def test_nb_score_model_broadcasts(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["doc_nb_classify"](spark, SF))
+        jc = join_counts(plan)
+        # the vocab×classes model joins the exploded token stream
+        # broadcast — the corpus side never shuffles for the join
+        assert jc["BroadcastHashJoin"] >= 1
+        assert jc["CartesianProduct"] == 0
+
+    def test_leakage_guard_no_corpus_self_join(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["split_leakage_guard"](spark, SF))
+        # the pair generation reads documents twice (bounded slice);
+        # the corpus-marking join must be the broadcast of the
+        # pair-derived leak list, not a corpus shuffle
+        assert "BroadcastHashJoin" in plan
+
+    def test_skew_profile_partial_agg_and_limit(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["profile_key_skew"](spark, SF))
+        # top-k never materializes a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_overlap_minhash_signature_sized_join(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["corpus_overlap_minhash"](spark, SF))
+        # pairwise stage joins the per-slice signature aggregates; the
+        # corpus contributes only through the distinct+min aggregation
+        assert join_counts(plan)["CartesianProduct"] == 0
+        assert plan.count("documents.parquet") == 1
+
+    def test_scd2_single_sort_exchange(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["events_scd2"](spark, SF))
+        # both windows share the (user_id; ts, event_id)-compatible
+        # sort: exactly one exchange and one sort in the whole plan
+        tree = [l for l in plan.splitlines() if "+- Exchange" in l or l.strip().startswith("Exchange")]
+        sorts = [l for l in plan.splitlines() if "+- Sort" in l]
+        assert len(tree) == 1, plan
+        assert len(sorts) == 1, plan
