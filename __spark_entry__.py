@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
     "dedup_robust_keep_best",
+    "embedding_quantize_report",
     "dedup_keep_best",
     "graph_edge_support",
     "agg_incremental_merge",

@@ -363,3 +363,68 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("score", 4).alias("score"))
     )
+
+
+def quantize_report_int8(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, n_vectors, mse, max_abs_err): reconstruction-error
+    report for uint8 scalar quantization with global per-dimension
+    [min, max] ranges — the go/no-go table before shipping a 4×
+    compressed embedding store (ANN indexes, retrieval caches).
+
+    Shape: per-dimension ranges via posexplode -> (dim, min, max)
+    aggregate (dims × partitions rows through the exchange, map-side
+    combined), folded to ONE broadcast row; the quantize/dequantize
+    error is then a row-local zip_with against the broadcast range
+    arrays, and the report is one tiny aggregate per label. The
+    vector table is scanned twice (ranges + errors) — at 100 TB
+    persist the 1-row range table and the second pass is the only
+    scan. Quantizer q = floor((v-min)/range*255 + 0.5), deq =
+    min + q*range/255; constant dimensions reconstruct exactly.
+    """
+    dims = vectors.select(
+        F.posexplode(V.as_double(F.col(vec_col))).alias("i", "v")
+    ).groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    ranges = dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("rs")
+    ).select(
+        F.transform("rs", lambda r: r["mn"]).alias("mns"),
+        F.transform("rs", lambda r: r["mx"] - r["mn"]).alias("rngs"),
+    )
+
+    def err(v: F.Column, mn: F.Column, rng: F.Column) -> F.Column:
+        q = F.floor((v - mn) / rng * 255 + F.lit(0.5))
+        deq = mn + q * rng / 255
+        return F.when(rng == 0, F.lit(0.0)).otherwise(v - deq)
+
+    errs = (
+        vectors.crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(label_col).alias("label"),
+            F.zip_with(
+                F.zip_with(
+                    V.as_double(F.col(vec_col)),
+                    F.col("mns"),
+                    lambda v, mn: F.struct(v.alias("v"), mn.alias("mn")),
+                ),
+                F.col("rngs"),
+                lambda p, rng: err(p["v"], p["mn"], rng),
+            ).alias("es"),
+        )
+    )
+    return errs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.avg(
+                F.aggregate(F.col("es"), F.lit(0.0), lambda a, x: a + x * x)
+                / F.size("es")
+            ),
+            9,
+        ).alias("mse"),
+        F.round(F.max(F.array_max(F.transform("es", F.abs))), 6).alias(
+            "max_abs_err"
+        ),
+    )

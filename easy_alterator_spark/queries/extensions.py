@@ -2075,3 +2075,34 @@ def dedup_robust_keep_best(spark, sf_dir):
     return D.keep_best_per_cluster(
         docs, solid, quality=F.size(T.distinct_tokens(F.col("text")))
     )
+
+
+@query(
+    "embedding_quantize_report",
+    # identical float expression order on both sides -> identical
+    # doubles -> identical floor() quantization decisions
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    u AS (SELECT label, vec_id, unnest(emb) AS v,
+                 generate_subscripts(emb, 1) AS i FROM e),
+    r AS (SELECT i, MIN(v) AS mn, MAX(v) - MIN(v) AS rng FROM u GROUP BY i),
+    x AS (SELECT u.label, u.vec_id,
+                 CASE WHEN r.rng = 0 THEN 0.0
+                      ELSE u.v - (r.mn + FLOOR((u.v - r.mn) / r.rng * 255 + 0.5)
+                                  * r.rng / 255) END AS err
+          FROM u JOIN r USING (i)),
+    p AS (SELECT label, vec_id, SUM(err * err) / COUNT(*) AS vm,
+                 MAX(ABS(err)) AS mx
+          FROM x GROUP BY label, vec_id)
+    SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(vm), 9) AS mse,
+           ROUND(MAX(mx), 6) AS max_abs_err
+    FROM p GROUP BY label
+    """,
+)
+def embedding_quantize_report(spark, sf_dir):
+    """uint8 scalar-quantization reconstruction report per label
+    (operators/similarity.quantize_report_int8): global per-dim
+    ranges -> broadcast -> row-local quantize/dequantize error -> one
+    aggregate. The 4x-compression go/no-go table for an embedding
+    store."""
+    return S.quantize_report_int8(load_table(spark, sf_dir, "embeddings"))

@@ -341,3 +341,28 @@ class TestIncrementalMerge:
         for k in full:
             assert merged[k]["n"] == full[k]["n"]
             assert merged[k]["sum_value"] == full[k]["sum_value"]
+
+
+class TestQuantizeReport:
+    def test_constant_dim_exact_and_error_bound(self, spark):
+        from easy_alterator_spark.operators.similarity import quantize_report_int8
+
+        rows = [(i, [float(i % 7), 3.0], i % 2) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = quantize_report_int8(df).collect()
+        assert {r["label"] for r in out} == {0, 1}
+        for r in out:
+            # max error bounded by half a quantization step of the
+            # widest dim (range 6 over 255 steps); constant dim adds 0
+            assert r["max_abs_err"] <= 6 / 255 / 2 + 1e-6  # +1e-6: output rounding
+            assert r["mse"] >= 0
+
+    def test_all_constant_reconstructs_exactly(self, spark):
+        from easy_alterator_spark.operators.similarity import quantize_report_int8
+
+        df = spark.createDataFrame(
+            [(i, [1.5, -2.0], 0) for i in range(5)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        [r] = quantize_report_int8(df).collect()
+        assert r["mse"] == 0.0 and r["max_abs_err"] == 0.0
