@@ -41,8 +41,18 @@ COL_PATTERN = (
 )
 TABLE_PATTERN = r"table\s+(?:if\s+not\s+exists\s+)?`(\w+)\.(\w+)`"
 HIVE_PART_PATTERN = r"partitioned\s+by\s*\(([\w`\s,]+)\)"
-ICE_PART_PATTERN = r"partitioned\s+by\s*\(\s*((?:(?:--[^\n]*)?\s*`[^`]+`\s*,?\s*)+)\)"
-ICE_PART_ENTRY = r"(--[^\n`]*)?\s*`([^`]+)`"
+ICE_PART_PATTERN = (
+    r"partitioned\s+by\s*\(\s*"
+    r"((?:(?:--[^\n]*)?\s*(?:\w+\s*\(\s*(?:\d+\s*,\s*)?)?`[^`]+`\s*\)?\s*,?\s*)+)\)"
+)
+# One Iceberg partition entry: either a plain identity column `col`, or
+# a transform wrapping one — days(`ts`), months/years/hours(`ts`),
+# bucket(16, `id`), truncate(4, `name`). The reference (and round-2
+# versions of this engine) silently mis-parsed transform entries as
+# identity partitions on the inner column — the same silent-gap class
+# as nested column types (SURVEY §1.3); closed here end-to-end.
+# Groups: 1 comment, 2 transform fn, 3 integer arg, 4 column.
+ICE_PART_ENTRY = r"(--[^\n`]*)?\s*(?:(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?)?`([^`]+)`\s*\)?"
 TBLPROP_PATTERN = r"tblproperties\s*\(\s*((?:'[\w.-]+'\s*=\s*'[\w./:=,\- ]*'\s*,?\s*)+)\)"
 TBLPROP_ENTRY = r"'([\w.-]+)'\s*=\s*'([\w./:=,\- ]*)'"
 
@@ -150,18 +160,61 @@ def _parse_hive_partitions(ddl: Column) -> Column:
 
 
 def _parse_iceberg_partitions(ddl: Column) -> Column:
-    """array<struct<field_id,name,commented>>; field ids from 1000 in
-    DDL order (Iceberg partition-field convention)."""
+    """array<struct<field_id,name,commented,transform,expr>>; field ids
+    from 1000 in DDL order (Iceberg partition-field convention).
+
+    ``name`` is the CANONICAL partition-field name Iceberg derives for
+    the transform (ts -> ts_day under days(), id -> id_bucket under
+    bucket(16, id), name -> name_trunc under truncate(4, name)), so
+    the field-id/name diff against metadata.json works unchanged for
+    identity fields and correctly flags transform changes as renames.
+    ``transform`` uses the metadata.json vocabulary (identity, day,
+    month, year, hour, bucket[N], truncate[W]); ``expr`` is the DDL
+    expression to render in ADD PARTITION FIELD."""
     clause = F.regexp_extract(ddl, ICE_PART_PATTERN, 1)
     matches = F.regexp_extract_all(clause, F.lit(ICE_PART_ENTRY), F.lit(0))
-    return F.transform(
-        matches,
-        lambda m, i: F.struct(
+
+    def entry(m: Column, i: Column) -> Column:
+        fn = F.lower(F.regexp_extract(m, ICE_PART_ENTRY, 2))
+        arg = _nullify(F.regexp_extract(m, ICE_PART_ENTRY, 3))
+        col = F.lower(F.regexp_extract(m, ICE_PART_ENTRY, 4))
+        base = (
+            F.when(fn.isin("day", "days"), "day")
+            .when(fn.isin("month", "months"), "month")
+            .when(fn.isin("year", "years"), "year")
+            .when(fn.isin("hour", "hours"), "hour")
+            .when(fn == "bucket", "bucket")
+            .when(fn == "truncate", "truncate")
+            .otherwise("identity")
+        )
+        transform = (
+            F.when(base == "bucket", F.concat(F.lit("bucket["), arg, F.lit("]")))
+            .when(base == "truncate", F.concat(F.lit("truncate["), arg, F.lit("]")))
+            .otherwise(base)
+        )
+        name = (
+            F.when(base == "identity", col)
+            .when(base == "bucket", F.concat(col, F.lit("_bucket")))
+            .when(base == "truncate", F.concat(col, F.lit("_trunc")))
+            .otherwise(F.concat(col, F.lit("_"), base))
+        )
+        expr = (
+            F.when(base == "identity", col)
+            .when(
+                base.isin("bucket", "truncate"),
+                F.concat(fn, F.lit("("), arg, F.lit(", `"), col, F.lit("`)")),
+            )
+            .otherwise(F.concat(fn, F.lit("(`"), col, F.lit("`)")))
+        )
+        return F.struct(
             (i + 1000).alias("field_id"),
-            F.lower(F.regexp_extract(m, ICE_PART_ENTRY, 2)).alias("name"),
+            name.alias("name"),
             F.regexp_extract(m, ICE_PART_ENTRY, 1).startswith("--").alias("commented"),
-        ),
-    )
+            transform.alias("transform"),
+            expr.alias("expr"),
+        )
+
+    return F.transform(matches, entry)
 
 
 def _parse_tblprops(ddl: Column) -> Column:

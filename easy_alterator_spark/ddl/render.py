@@ -119,7 +119,11 @@ def iceberg_alter_statements(entry: dict[str, Any]) -> list[str]:
             f"ALTER TABLE {t} REPLACE PARTITION FIELD {_q(p['old_name'])} WITH {_q(p['new_name'])}"
         )
     for p in parts.get("new", []) or []:
-        stmts.append(f"ALTER TABLE {t} ADD PARTITION FIELD {_q(p['name'])}")
+        # identity fields render as the quoted column; transform fields
+        # render their DDL expression (days(`ts`), bucket(16, `id`))
+        expr = p.get("expr")
+        target = expr if expr and "(" in expr else _q(p["name"])
+        stmts.append(f"ALTER TABLE {t} ADD PARTITION FIELD {target}")
     for name in parts.get("dropped", []) or []:
         stmts.append(f"ALTER TABLE {t} DROP PARTITION FIELD {_q(name)}")
 

@@ -269,7 +269,9 @@ def iceberg_diff(
         )
     )
     pj = (
-        hql_parts.select("table_name", "field_id", F.col("name").alias("name_new"))
+        hql_parts.select(
+            "table_name", "field_id", F.col("name").alias("name_new"), "expr"
+        )
         .join(
             cat_parts.select("table_name", "field_id", F.col("name").alias("name_old")),
             ["table_name", "field_id"],
@@ -282,7 +284,11 @@ def iceberg_diff(
                 F.collect_list(
                     F.when(
                         F.col("name_old").isNull(),
-                        F.struct(F.col("field_id"), F.col("name_new").alias("name")),
+                        F.struct(
+                            F.col("field_id"),
+                            F.col("name_new").alias("name"),
+                            F.col("expr"),
+                        ),
                     )
                 )
             ),

@@ -80,7 +80,7 @@ def _row_to_iceberg_entry(r) -> dict[str, Any]:
         },
         "partition_columns": {
             "new": [
-                {"field_id": p["field_id"], "name": p["name"]}
+                {"field_id": p["field_id"], "name": p["name"], "expr": p["expr"]}
                 for p in (r["part_new"] or [])
             ],
             "dropped": list(r["part_dropped"] or []),

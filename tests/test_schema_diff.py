@@ -334,7 +334,9 @@ class TestIcebergPath:
         assert "compatible" not in cols["updated"]
         # col6_hist is a backfill target, never a new column
         assert "col6_hist" not in [c["name"] for c in cols["new"]]
-        assert e["partition_columns"]["new"] == [{"field_id": 1001, "name": "run_rk"}]
+        assert e["partition_columns"]["new"] == [
+            {"field_id": 1001, "name": "run_rk", "expr": "run_rk"}
+        ]
         assert e["tblprops"]["new"] == {
             "write.merge.mode": "merge-on-read",
             "write.delete.mode": "merge-on-read",
@@ -606,3 +608,113 @@ class TestNestedTypes:
             "map<string, int>",
         ]:
             parse_type_ddl(t)  # raises on malformed
+
+
+class TestIcebergPartitionTransforms:
+    """Transform partition fields (days/bucket/truncate/...) parse and
+    diff end-to-end — the partition-side twin of the nested-type gap:
+    round-2 parsing matched only the inner backticked column, so
+    `days(ts)` diffed as an identity field named ts and produced a
+    false rename against the catalog's ts_day."""
+
+    CAT_SCHEMA = (
+        "table_name string, name string, type string, position int, "
+        "is_partition boolean, field_id int"
+    )
+    TBL_SCHEMA = (
+        "table_name string, table_type string, format string, "
+        "metadata_location string, properties map<string,string>, version_id string"
+    )
+
+    def _diff(self, spark, part_clause, cat_parts):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.diff import iceberg_diff
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/tr.hql",
+                f"CREATE TABLE `tdb.tr` (`ts` timestamp, `id` int, `region` string) "
+                f"USING iceberg PARTITIONED BY ({part_clause});",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [
+                ("tdb.tr", "ts", "timestamptz", 0, False, 1),
+                ("tdb.tr", "id", "int", 1, False, 2),
+                ("tdb.tr", "region", "string", 2, False, 3),
+            ]
+            + cat_parts,
+            self.CAT_SCHEMA,
+        )
+        cat_tables = spark.createDataFrame(
+            [("tdb.tr", "EXTERNAL_TABLE", "ICEBERG", "s3://m", {}, "1")],
+            self.TBL_SCHEMA,
+        )
+        [row] = iceberg_diff(parsed, cat_cols, cat_tables).collect()
+        return row
+
+    def test_parse_canonical_names_and_exprs(self, spark):
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/p.hql",
+                "CREATE TABLE `p.t` (`a` int) USING iceberg PARTITIONED BY "
+                "(days(`ts`), bucket(16, `id`), truncate(4, `name`), `region`, months(`ts`));",
+            )],
+        )
+        [row] = parse_ddl_corpus(corpus).collect()
+        parts = [
+            (p["field_id"], p["name"], p["transform"], p["expr"])
+            for p in row["iceberg_partitions"]
+        ]
+        assert parts == [
+            (1000, "ts_day", "day", "days(`ts`)"),
+            (1001, "id_bucket", "bucket[16]", "bucket(16, `id`)"),
+            (1002, "name_trunc", "truncate[4]", "truncate(4, `name`)"),
+            (1003, "region", "identity", "region"),
+            (1004, "ts_month", "month", "months(`ts`)"),
+        ]
+
+    def test_unchanged_transform_fields_are_not_diffed(self, spark):
+        row = self._diff(
+            spark,
+            "days(`ts`), `region`",
+            [("tdb.tr", "ts_day", "", 0, True, 1000),
+             ("tdb.tr", "region", "", 1, True, 1001)],
+        )
+        assert not row["part_new"] and not row["part_dropped"]
+        assert not row["part_replaced"]
+
+    def test_new_transform_field_carries_render_expr(self, spark):
+        from easy_alterator_spark.ddl.render import iceberg_alter_statements
+
+        row = self._diff(
+            spark,
+            "days(`ts`), bucket(16, `id`)",
+            [("tdb.tr", "ts_day", "", 0, True, 1000)],
+        )
+        assert [(p["name"], p["expr"]) for p in row["part_new"]] == [
+            ("id_bucket", "bucket(16, `id`)")
+        ]
+        entry = {
+            "table_name": "tdb.tr",
+            "partition_columns": {
+                "new": [{"field_id": 1001, "name": "id_bucket", "expr": "bucket(16, `id`)"}]
+            },
+        }
+        stmts = iceberg_alter_statements(entry)
+        assert "ALTER TABLE `tdb`.`tr` ADD PARTITION FIELD bucket(16, `id`)" in stmts
+
+    def test_transform_change_is_replace(self, spark):
+        row = self._diff(
+            spark,
+            "months(`ts`)",
+            [("tdb.tr", "ts_day", "", 0, True, 1000)],
+        )
+        assert [
+            (p["old_name"], p["new_name"]) for p in row["part_replaced"]
+        ] == [("ts_day", "ts_month")]
