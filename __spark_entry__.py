@@ -46,6 +46,8 @@ _PRIORITY = [
     "pipeline_training_corpus",
     # round-3 third-wave additions (newest first: never driver-checked)
     "dedup_robust_keep_best",
+    "search_bm25",
+    "events_anomaly_mad",
     "embedding_quantize_report",
     "dedup_keep_best",
     "graph_edge_support",

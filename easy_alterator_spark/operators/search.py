@@ -230,3 +230,58 @@ def hybrid_search_rrf(
         )
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k)
+
+
+def keyword_search_bm25(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents under Okapi BM25 — the retrieval scorer the
+    plain tf·idf form approximates: tf saturates (k1) and long
+    documents are penalized toward the corpus mean length (b).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·|d|/avgdl)),
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    non-negative form). Same plan discipline as
+    :func:`keyword_search_ranked`: the token stream is cut to the
+    query vocabulary map-side; doc lengths and the corpus aggregate
+    (N, avgdl) are a per-doc projection and a broadcast 1-row
+    aggregate respectively — the only shuffle is the (doc, term) tf
+    aggregation. Output: (doc_id, n_terms, score).
+    """
+    qterms = sorted({t for p in terms for t in _norm_phrase(p)})
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.tokens(F.col(text_col)).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum(idf * sat), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -905,3 +905,46 @@ def events_scd2(spark, sf_dir):
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "events_anomaly_mad",
+    # robust z = |x - median| / (1.4826 * MAD): identical expression
+    # order on both engines -> identical doubles -> identical flags
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.value,
+                   ABS(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND(d.dev / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.dev / (1.4826 * m.mad) > 3.5
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: median/MAD per event type instead of
+    mean/stddev (events_outliers' moment form breaks down when the
+    contamination itself inflates the stddev — MAD has a 50%
+    breakdown point). Two tiny per-type aggregates broadcast back;
+    the data passes are scan + row-local math. Exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    z = F.col("dev") / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (z > 3.5))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
+    )

@@ -2106,3 +2106,45 @@ def embedding_quantize_report(spark, sf_dir):
     aggregate. The 4x-compression go/no-go table for an embedding
     store."""
     return S.quantize_report_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "search_bm25",
+    # constants mirror the Python-folded literals (k1+1 = 2.2,
+    # 1-b = 0.25) and the exact float expression order, so both
+    # engines compute identical doubles
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+    q AS (SELECT doc_id, dl, unnest(t) AS term FROM base),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM q
+           WHERE term IN ('window', 'shuffle', 'broadcast')
+           GROUP BY doc_id, dl, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, n_terms, score FROM (
+      SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,
+             ROUND(SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4)
+                 AS score,
+             ROW_NUMBER() OVER (
+                 ORDER BY SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                              * (tf.tf * 2.2)
+                              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                          DESC, tf.doc_id) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ) WHERE rk <= 20
+    """,
+)
+def search_bm25(spark, sf_dir):
+    """Okapi BM25 top-20 for the query bag (operators/search.
+    keyword_search_bm25): saturated tf + length normalization — the
+    standard retrieval scorer; same map-side query-vocabulary cut and
+    single (doc, term) shuffle as the tf-idf form."""
+    from ..operators import search as SE
+
+    return SE.keyword_search_bm25(
+        load_table(spark, sf_dir, "documents"), ["window", "shuffle", "broadcast"], k=20
+    )
