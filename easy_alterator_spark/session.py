@@ -111,6 +111,15 @@ def get_spark(
         # 16g keeps GC out of the measured path (measured ~1 s/query on
         # dedup_minhash_lsh at sf0.1 vs 8g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 140 registered queries × several codegen stages each overflow
+        # the JVM's default 240 MB reserved code cache in one long
+        # session ("CodeCache is full. Compiler has been disabled"),
+        # after which everything runs interpreted/deoptimized — seen as
+        # a broad ~0.5-1 s/query inflation late in full-suite runs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     if glue:
