@@ -28,52 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order (round 2 left q07-q21 outside its window). Highest-value
-# queries go first: the declared relational inventory, the flagship,
-# anything added or changed this round, then the dedup/similarity/ddl
-# families; long-stable single-purpose text/analytics entries follow.
+# order. Round-4 rotation (VERDICT r3 task 1): CORRECTNESS_r01-r03
+# cover 97 of the registry; the 43 entries the driver has NEVER
+# checked (judge-verified green in r3) cycle into this round's window
+# so the union r01-r04 converges to full coverage. Genuinely new or
+# changed round-4 queries go ahead of them; everything already
+# driver-green trails (order there is cosmetic — _ordered appends the
+# remainder anyway).
 _PRIORITY = [
-    *[f"q{i:02d}" for i in range(1, 22)],  # name-prefix match below
-    "q22_correlated_avg",
-    "q23_tpch_pricing",
-    "q24_tpch_shipping",
-    "q25_tpch_local_supplier",
-    "q26_tpch_large_orders",
-    "q27_tpch_custdist",
-    "q28_tpch_promo",
-    "q29_tpch_quiet_customers",
-    "q30_tpch_disjunctive",
-    "pipeline_training_corpus",
-    # round-3 third-wave additions (newest first: never driver-checked)
-    "dedup_robust_keep_best",
-    "search_bm25",
-    "events_anomaly_mad",
-    "embedding_quantize_report",
-    "dedup_keep_best",
-    "graph_edge_support",
-    "agg_incremental_merge",
-    "bpe_train_merges",
-    "privacy_k_anonymity",
-    "split_leakage_guard",
-    "dedup_threshold_sweep",
-    "corpus_entropy",
-    "text_boilerplate",
-    "corpus_overlap_minhash",
-    "doc_nb_classify",
-    "profile_key_skew",
-    "events_scd2",
-    # round-3 additions / changes
-    "doc_lm_score",
-    "doc_sample_stratified",
-    "doc_chunk_overlap",
-    "events_ohlc_daily",
+    # --- round-4 new / changed (driver must check fresh surface) ---
+    "stream_sessionize",
+    "sim_ann_ivf",          # changed: creep fix (VERDICT task 3)
+    "sim_ann_pq",           # changed: Arrow-batched encode (task 4)
+    "bpe_train_merges",     # changed: driver-side merge loop (task 2)
+    "search_bm25",          # changed: unrounded ordering (ADVICE)
+    "profile_key_skew",     # changed: double-widened skew ratio (ADVICE)
+    "dedup_simhash",        # value-pinned vs md5 twin (task 6)
+    # --- the 43 never-driver-checked entries (r1-r3 union gap) ---
     "q31_tpch_late_orders",
     "q32_tpch_returned",
     "q33_tpch_forecast",
-    "events_transitions",
-    "events_rolling_median",
-    "search_hybrid_rrf",
-    "events_dwell_time",
     "q34_tpch_volume_shipping",
     "q35_tpch_market_share",
     "q36_tpch_min_cost_supplier",
@@ -84,33 +58,38 @@ _PRIORITY = [
     "q41_tpch_small_qty",
     "q42_tpch_promotion_parts",
     "q43_tpch_waiting_supplier",
-    "events_winsorize",
-    "text_collocations",
-    "dedup_containment",
-    "dedup_substring_stats",
-    "dedup_substring_drop",
-    "doc_quality_filter",
-    "doc_training_order",
+    "search_hybrid_rrf",
     "search_phrase",
     "search_ranked",
     "corpus_snapshot_diff",
-    "dedup_semantic",
     "decontaminate_bloom",
-    "doc_chunk_dedup",
-    "sim_ann_pq",
-    "doc_mixture_resample",
-    "events_retention_cohorts",
-    "events_value_ranks",
-    "dedup_edit_distance",
-    "dedup_lsh_recall_audit",
-    "dedup_embedding_lsh_planted",
     "dedup_cluster_assign_star",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_embedding_lsh_planted",
+    "dedup_lsh_recall_audit",
+    "dedup_semantic",
     "dedup_simhash_md5",
-    "dedup_simhash",
-    "events_rolling_7d",
-    "doc_sample_weighted",
-    "doc_chunk_split",
-    # core dedup / similarity / ddl families
+    "dedup_substring_drop",
+    "dedup_substring_stats",
+    "doc_chunk_dedup",
+    "doc_chunk_overlap",
+    "doc_mixture_resample",
+    "doc_quality_filter",
+    "doc_training_order",
+    "events_dwell_time",
+    "events_ohlc_daily",
+    "events_retention_cohorts",
+    "events_rolling_median",
+    "events_transitions",
+    "events_value_ranks",
+    "events_winsorize",
+    "text_collocations",
+    "multimodal_audio_energy",
+    "multimodal_resize",
+    # --- already driver-green (r1-r3); order cosmetic ---
+    *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
+    "pipeline_training_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental",
@@ -119,7 +98,6 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
-    "sim_ann_ivf",
     "sim_ann_ivf_probe2",
     "decontaminate_ngram",
     "doc_sample_split",

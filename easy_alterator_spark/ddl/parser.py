@@ -52,7 +52,11 @@ ICE_PART_PATTERN = (
 # identity partitions on the inner column — the same silent-gap class
 # as nested column types (SURVEY §1.3); closed here end-to-end.
 # Groups: 1 comment, 2 transform fn, 3 integer arg, 4 column.
-ICE_PART_ENTRY = r"(--[^\n`]*)?\s*(?:(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?)?`([^`]+)`\s*\)?"
+# The comment group matches ONLY the marker + whitespace: a greedy
+# `[^\n`]*` would consume '-- days(' up to the backtick and record a
+# commented transform entry as identity on the inner column (wrong
+# canonical name for any consumer of the commented list).
+ICE_PART_ENTRY = r"(--[ \t]*)?(?:(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?)?`([^`]+)`\s*\)?"
 TBLPROP_PATTERN = r"tblproperties\s*\(\s*((?:'[\w.-]+'\s*=\s*'[\w./:=,\- ]*'\s*,?\s*)+)\)"
 TBLPROP_ENTRY = r"'([\w.-]+)'\s*=\s*'([\w./:=,\- ]*)'"
 

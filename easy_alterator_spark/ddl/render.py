@@ -115,8 +115,15 @@ def iceberg_alter_statements(entry: dict[str, Any]) -> list[str]:
 
     parts = entry.get("partition_columns", {}) or {}
     for p in parts.get("replaced", []) or []:
+        # Iceberg's WITH clause takes a partition EXPRESSION: for a
+        # transform-change rename (ts_day -> ts_month) the new field
+        # name is a derived column that does not exist — render the
+        # parsed transform expr (months(`ts`)); identity renames fall
+        # back to the quoted column name.
+        expr = p.get("expr")
+        target = expr if expr and "(" in expr else _q(p["new_name"])
         stmts.append(
-            f"ALTER TABLE {t} REPLACE PARTITION FIELD {_q(p['old_name'])} WITH {_q(p['new_name'])}"
+            f"ALTER TABLE {t} REPLACE PARTITION FIELD {_q(p['old_name'])} WITH {target}"
         )
     for p in parts.get("new", []) or []:
         # identity fields render as the quoted column; transform fields

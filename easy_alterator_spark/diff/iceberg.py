@@ -303,7 +303,12 @@ def iceberg_diff(
                 & F.col("name_new").isNotNull()
                 & (F.col("name_old") != F.col("name_new")),
                 F.struct(
-                    F.col("name_old").alias("old_name"), F.col("name_new").alias("new_name")
+                    F.col("name_old").alias("old_name"),
+                    F.col("name_new").alias("new_name"),
+                    # carry the parsed transform expr: Iceberg's
+                    # REPLACE ... WITH clause needs the expression
+                    # (months(`ts`)), not the derived field name
+                    F.col("expr"),
                 ),
             )
         ).alias("part_replaced"),

@@ -85,7 +85,11 @@ def _row_to_iceberg_entry(r) -> dict[str, Any]:
             ],
             "dropped": list(r["part_dropped"] or []),
             "replaced": [
-                {"old_name": p["old_name"], "new_name": p["new_name"]}
+                {
+                    "old_name": p["old_name"],
+                    "new_name": p["new_name"],
+                    "expr": p["expr"],
+                }
                 for p in (r["part_replaced"] or [])
             ],
         },

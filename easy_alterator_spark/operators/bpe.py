@@ -3,21 +3,23 @@ training-data pipeline runs before any token-budget decision
 (packing, chunking, pricing) can be made with the tokenizer that will
 actually train the model.
 
-Shape discipline: the CORPUS is touched exactly once — one
-explode + hash-aggregate to the (word, count) vocabulary. Every merge
-round after that runs on the vocabulary table, which is
-vocab-bounded (≤ a few million rows at web scale, thousands here) and
-independent of corpus row count; the driver loop is over MERGE RANKS,
-never data, and each round collects exactly one row (the argmax
-pair — same witness discipline as connected_components). Lineage is
-truncated per round with localCheckpoint so 50 rounds don't build a
-50-deep plan.
+Shape discipline (v2, VERDICT r3 task 2): the CORPUS is touched
+exactly once — one explode + hash-aggregate to the (word, count)
+vocabulary. That vocabulary is then collected ONCE (capped at
+``max_vocab`` types by frequency — the same bounded-broadcast fold as
+lm_score's capped_bigram_model) and the merge loop runs entirely
+in-process, the classic Sennrich trainer: incremental pair counts, so
+each round touches only the words that actually contain the merged
+pair. A production 30-50k-merge train is therefore ONE Spark job (the
+corpus aggregate) plus a driver computation over a table that fits in
+driver memory even at 10M types — not tens of thousands of scheduled
+one-row-argmax jobs (the v1 shape this replaces; it scheduled
+2 × num_merges Spark jobs and rebuilt the vocab plan every round).
 
-The pair-merge rewrite is a pure Column fold (F.aggregate with a
-struct accumulator): interpreted per symbol, but the total work is
-vocab × word-length per round — at a 1M-word vocabulary swap the same
-fold body into applyInPandas over the vocab table (Arrow-batched,
-same semantics) as documented on :func:`_merge_pair`.
+``bpe_segment`` stays distributed: the per-word merge fold
+(:func:`_merge_pair`) is a pure Column expression applied to
+vocab-sized tables; a corpus is segmented by joining its vocab's
+segmentation back, never by folding per corpus row.
 
 Semantics match the classic Sennrich et al. BPE trainer: count
 adjacent symbol pairs weighted by word frequency (overlapping
@@ -33,21 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as T
-
-
-def _adjacent_pairs(syms: F.Column) -> F.Column:
-    """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol
-    words). The shifted copy is materialized once per row (zip_with
-    against slice), never via index lambdas — see functions/text.py's
-    HOF note."""
-    shifted = F.concat(
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
-        F.array(F.lit(None).cast("string")),
-    )
-    return F.filter(
-        F.zip_with(syms, shifted, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
-        lambda p: p["b"].isNotNull(),
-    )
 
 
 def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
@@ -103,33 +90,88 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (a, b) — the
+    in-process twin of :func:`_merge_pair` ('aaa' + (a,a) -> [aa, a])."""
+    merged = a + b
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_train(
-    docs: DataFrame, num_merges: int = 20, text_col: str = "text"
+    docs: DataFrame,
+    num_merges: int = 20,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """(rank, left, right, merged, freq): the learned merge table, in
-    training order. Stop early when no adjacent pair remains."""
+    training order. Stops early when no adjacent pair remains.
+
+    One Spark job (the corpus word-frequency aggregate), then the
+    merge loop runs in-process on the collected vocabulary — capped at
+    ``max_vocab`` types by (frequency desc, word) for a deterministic
+    bound. The cap is an approximation with the same contract as
+    lm_score's capped vocabulary: dropped tail types (each rarer than
+    every kept type) stop contributing pair counts. At web scale a
+    10M-type vocab of (word, count) rows is ~hundreds of MB in driver
+    memory; the merge loop updates pair counts incrementally, touching
+    only words that contain the merged pair, so 50k merge rounds are
+    pure driver CPU — zero additional Spark jobs.
+
+    Tie-breaks match the v1 distributed argmax exactly: highest
+    freq, then lexicographically smallest (left, right) — Python tuple
+    compare equals Spark's (desc freq, asc a, asc b) ordering for the
+    code-point strings ``T.tokens`` emits.
+    """
     spark = docs.sparkSession
-    vocab = word_vocab(docs, text_col).select(
-        "cnt", F.split("w", "").alias("syms")
-    ).localCheckpoint()
+    rows = (
+        word_vocab(docs, text_col)
+        .orderBy(F.desc("cnt"), "w")
+        .limit(max_vocab)
+        .collect()
+    )
+    # split("w", "") in the v1 Spark form == list(w): per-code-point
+    vocab: list[tuple[list[str], int]] = [(list(r["w"]), int(r["cnt"])) for r in rows]
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, cnt) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + cnt
+            where.setdefault(p, set()).add(idx)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):
-        top = (
-            vocab.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.desc("freq"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        live = [(p, c) for p, c in counts.items() if c > 0]
+        if not live:
             break
-        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
+        (a, b), freq = min(live, key=lambda kv: (-kv[1], kv[0]))
         merges.append((rank, a, b, a + b, freq))
-        vocab = vocab.select(
-            "cnt", _merge_pair(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        # rewrite ONLY the words that contain (a, b); subtract each
+        # affected word's old pair contributions, merge, re-add.
+        # where[] entries can be stale (pair already merged away) —
+        # the subtract/re-add then nets to zero, which is correct.
+        for idx in where.pop((a, b), set()):
+            syms, cnt = vocab[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) - cnt
+            new_syms = _merge_word(syms, a, b)
+            vocab[idx] = (new_syms, cnt)
+            for i in range(len(new_syms) - 1):
+                p = (new_syms[i], new_syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+                where.setdefault(p, set()).add(idx)
+        counts.pop((a, b), None)
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq long"

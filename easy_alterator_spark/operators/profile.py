@@ -46,8 +46,12 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
             "key",
             "cnt",
             F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            # widen to double BEFORE multiplying: at the 100 TB target
+            # (cnt ~1e12, n_keys ~1e9) the long product silently wraps
+            # 2^63 in non-ANSI Spark and diverges from DuckDB's HUGEINT
             F.round(
-                F.col("cnt") * F.col("n_keys") / F.col("total_rows"), 4
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows"),
+                4,
             ).alias("skew_ratio"),
         )
         .orderBy(F.desc("cnt"), F.asc("key"))

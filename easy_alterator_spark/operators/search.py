@@ -281,7 +281,15 @@ def keyword_search_bm25(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.round(F.sum(idf * sat), 4).alias("score"),
+            F.sum(idf * sat).alias("raw_score"),
         )
     )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    # order by the UNROUNDED sum (mirrors the oracle's ROW_NUMBER
+    # ordering); round only in the projected output — rounding-created
+    # ties near the top-k boundary would otherwise resolve differently
+    # than the oracle's raw-score ranking.
+    return (
+        scored.orderBy(F.col("raw_score").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_terms", F.round("raw_score", 4).alias("score"))
+    )

@@ -1910,11 +1910,10 @@ def dedup_threshold_sweep(spark, sf_dir):
 # merge sequence incl. the lexicographic tie-break)
 def bpe_train_merges(spark, sf_dir):
     """Train a BPE merge table on the corpus (operators/bpe.py): ONE
-    corpus pass to the word-frequency vocab, then vocab-bounded merge
-    rounds (driver loop over ranks; one-row argmax collect per round —
-    the connected-components witness discipline). Round latency here
-    is per-round plan compilation, not data: the same 10 rounds cost
-    the same overhead at 100 TB, plus one corpus-sized aggregate."""
+    corpus pass to the word-frequency vocab, collected once under a
+    documented top-V cap, then the classic in-process Sennrich merge
+    loop with incremental pair counts — a 50k-merge production train
+    is one Spark job plus driver CPU, never a per-round job storm."""
     from ..operators.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), num_merges=10)

@@ -718,3 +718,55 @@ class TestIcebergPartitionTransforms:
         assert [
             (p["old_name"], p["new_name"]) for p in row["part_replaced"]
         ] == [("ts_day", "ts_month")]
+        # ADVICE r3: the replaced struct must carry the parsed transform
+        # expr — the WITH clause needs months(`ts`), not the derived
+        # field name (a column that does not exist)
+        assert [p["expr"] for p in row["part_replaced"]] == ["months(`ts`)"]
+
+    def test_transform_replace_renders_with_expr(self):
+        from easy_alterator_spark.ddl.render import iceberg_alter_statements
+
+        entry = {
+            "table_name": "tdb.tr",
+            "partition_columns": {
+                "replaced": [
+                    {"old_name": "ts_day", "new_name": "ts_month",
+                     "expr": "months(`ts`)"},
+                    # identity rename: no transform — quoted name
+                    {"old_name": "region", "new_name": "geo", "expr": "geo"},
+                ]
+            },
+        }
+        stmts = iceberg_alter_statements(entry)
+        assert (
+            "ALTER TABLE `tdb`.`tr` REPLACE PARTITION FIELD `ts_day` WITH months(`ts`)"
+            in stmts
+        )
+        assert (
+            "ALTER TABLE `tdb`.`tr` REPLACE PARTITION FIELD `region` WITH `geo`"
+            in stmts
+        )
+
+    def test_commented_transform_entry_keeps_canonical_name(self, spark):
+        # ADVICE r3: '-- days(`ts`)' must parse as a commented ts_day
+        # transform entry, not a commented identity 'ts'
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/c.hql",
+                "CREATE TABLE `p.t` (`a` int) USING iceberg PARTITIONED BY "
+                "(`region`, -- days(`ts`),\n--bucket(16, `id`)\n);",
+            )],
+        )
+        [row] = parse_ddl_corpus(corpus).collect()
+        parts = [
+            (p["name"], p["transform"], p["commented"])
+            for p in row["iceberg_partitions"]
+        ]
+        assert parts == [
+            ("region", "identity", False),
+            ("ts_day", "day", True),
+            ("id_bucket", "bucket[16]", True),
+        ]
