@@ -25,6 +25,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_d(a: Column, b: Column) -> Column:
+    """Dot product of two columns ALREADY in array<double> (outputs of
+    :func:`unit` / :func:`as_double`) — skips the per-side re-cast
+    transform, so a pair join's hot loop is ONE zip_with+aggregate
+    pass instead of three array passes."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -505,7 +505,7 @@ def sim_topk_bruteforce(spark, sf_dir):
 )
 def sim_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8)
+    out = S.ivf_topk_arrow(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8)
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
@@ -550,7 +550,7 @@ def sim_ann_ivf(spark, sf_dir):
 )
 def sim_ann_ivf_probe2(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2)
+    out = S.ivf_topk_arrow(emb, query_ids=[0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2)
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
@@ -597,7 +597,7 @@ def sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN: 32x-compressed codes + ADC scoring
     (operators/similarity.py::pq_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+    out = S.pq_topk_arrow(emb, query_ids=[0, 1, 2, 3, 4], k=3)
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 

@@ -132,6 +132,30 @@ def test_ivf_nprobe_recall_monotone(spark, clustered_vectors):
     assert r_all == 1.0  # probing every bucket IS brute force
 
 
+def test_ivf_arrow_equals_column_form(spark, clustered_vectors):
+    """The Arrow deployment form and the Column verify twin must agree
+    pair-for-pair (same centroids, argmax tie-breaks, and 4-decimal
+    scores) — the differential pin that licenses benching the numpy
+    kernel against the SQL-expressible oracle."""
+    from easy_alterator_spark.operators.similarity import ivf_topk, ivf_topk_arrow
+
+    qids = [0, 12, 24, 36, 48]
+    for nprobe in (1, 2):
+        col = {
+            (r["q_id"], r["n_id"], r["rank"], r["score"])
+            for r in ivf_topk(
+                clustered_vectors, qids, k=3, num_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        arrow = {
+            (r["q_id"], r["n_id"], r["rank"], r["score"])
+            for r in ivf_topk_arrow(
+                clustered_vectors, qids, k=3, num_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        assert col == arrow
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (diameter 4 — forces several propagation rounds)
     plus a separate pair and check the min-id labeling."""
@@ -644,6 +668,34 @@ def test_pq_codes_compress_and_are_deterministic(spark, clustered_vectors):
     b = {r["vec_id"]: r["codes"] for r in pq_encode(clustered_vectors, cents).collect()}
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_arrow_equals_column_form(spark, clustered_vectors):
+    """The Arrow deployment kernels must agree with the Column oracle
+    variants: codes bit-for-bit, top-k pair-for-pair at 4 decimals."""
+    from easy_alterator_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+        pq_topk,
+        pq_topk_arrow,
+    )
+
+    cents = pq_codebooks(clustered_vectors, m=8)
+    col = {r["vec_id"]: list(r["codes"]) for r in pq_encode(clustered_vectors, cents).collect()}
+    arr = {r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(clustered_vectors, cents).collect()}
+    assert col == arr
+
+    qids = [0, 6, 12, 18, 24]
+    ct = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in pq_topk(clustered_vectors, qids, k=3, m=8).collect()
+    }
+    at = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in pq_topk_arrow(clustered_vectors, qids, k=3, m=8).collect()
+    }
+    assert ct == at
 
 
 def test_mixture_resample_hits_target_mixture(spark):

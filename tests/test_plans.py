@@ -100,11 +100,29 @@ class TestTrainingDataOps:
 
         plan = formatted_plan(queries["sim_ann_ivf_probe2"](spark, SF))
         jc = join_counts(plan)
-        # probe sets broadcast; bucket assignment is an inline argmax
-        # over the broadcast one-row centroid array (nested-loop with a
-        # single build row, map-only) — the vector table must never be
-        # the shuffled side of ANY join, including the old
-        # assignment-join-back (a SMJ/shuffled-hash of |vectors| rows)
+        # r4 Arrow form: assignment + probe scoring are ONE
+        # mapInPandas scan of the vector table (centroids/queries are
+        # closure state, offline-codebook discipline) — there is no
+        # join at all, and the only exchange is the bounded top-k
+        # window on the ~|queries|-sized pair output. The vector table
+        # must never be the shuffled side of any join.
+        assert "MapInPandas" in plan, plan
+        assert sum(jc.values()) == 0, jc
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_ivf_column_twin_big_side_never_shuffles(self, spark):
+        # the Column-form verify twin keeps the r3 inline-assignment
+        # shape: broadcast probes + broadcast one-row centroid array,
+        # vector table on the streamed side of every join
+        from easy_alterator_spark.operators.similarity import ivf_topk
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+        from easy_alterator_spark.sources import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        plan = formatted_plan(
+            ivf_topk(emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2)
+        )
+        jc = join_counts(plan)
         assert jc["BroadcastHashJoin"] >= 1
         assert jc["BroadcastNestedLoopJoin"] >= 1
         assert jc["SortMergeJoin"] == 0
