@@ -146,17 +146,88 @@ def decimal_compatible(old: str, new: str) -> bool:
     return True
 
 
+# Iceberg-legal primitive promotions INSIDE complex types (spec §
+# Schema Evolution: int->long, float->double, decimal precision
+# widening — narrower than the engine matrices on purpose).
+NESTED_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "int": ("bigint",),
+    "float": ("double",),
+}
+# spelling aliases folded before comparing nested leaf tokens (Spark
+# DDL says bigint where Iceberg metadata says long)
+_NESTED_ALIAS = {"long": "bigint"}
+
+# token split: before/after every structural delimiter, with decimal
+# commas protected first so decimal(10,2) stays one leaf token
+_NESTED_DELIMS = re.compile(r"(?=[<>,:])|(?<=[<>,:])")
+_DECIMAL_PROTECT = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+_DECIMAL_TOKEN = re.compile(r"^decimal\((\d+);(\d+)\)$")
+
+
+def _nested_tokens(t: str) -> list[str]:
+    protected = _DECIMAL_PROTECT.sub(r"decimal(\1;\2)", canon_nested(t))
+    return [tok for tok in _NESTED_DELIMS.split(protected) if tok]
+
+
+def _leaf_token_ok(o: str, n: str) -> bool:
+    o = _NESTED_ALIAS.get(o, o)
+    n = _NESTED_ALIAS.get(n, n)
+    if o == n:
+        return True
+    if n in NESTED_PROMOTIONS.get(o, ()):
+        return True
+    om, nm = _DECIMAL_TOKEN.match(o), _DECIMAL_TOKEN.match(n)
+    if om and nm:  # strict widening — no parse-failure quirk here
+        return int(om.group(2)) == int(nm.group(2)) and int(nm.group(1)) > int(
+            om.group(1)
+        )
+    return False
+
+
+def nested_compatible(old: str, new: str) -> bool:
+    """Element-wise Iceberg-legal widening inside complex types
+    (r3 verdict task 5; the reference cannot parse these at all —
+    divergence documented in SURVEY §3).
+
+    Both canonical type strings are tokenized on the structural
+    delimiters ``< > , :`` (decimal commas protected); the types are
+    compatible iff the token sequences have identical length and every
+    aligned pair is equal (after the long/bigint alias fold) or an
+    Iceberg-legal promotion: int->long(bigint), float->double,
+    decimal(P,S)->decimal(P',S) with P'>P. Identical shape falls out
+    structurally: any arity/nesting difference desynchronizes the
+    delimiter tokens, which never match a promotion. Struct field
+    names therefore must match exactly (renames are a separate
+    operation). Known limitation: a struct FIELD literally named
+    ``int`` renamed to ``bigint`` would alias a promotion — names
+    colliding with promotable type keywords are not disambiguated.
+    """
+    ot, nt = _nested_tokens(old), _nested_tokens(new)
+    return len(ot) == len(nt) and all(
+        _leaf_token_ok(o, n) for o, n in zip(ot, nt)
+    )
+
+
 def is_compatible(old: str, new: str, engine: str = "athena") -> bool:
     """Driver-side compatibility check (matrix ∨ decimal widening).
 
-    Nested complex types are compatible only on exact (normalized)
-    match — i.e. any *detected change* involving array/struct/map is
-    incompatible. Without this guard a struct containing a decimal
-    field would fall into the widening rule's parse-failure-is-
-    compatible quirk and be waved through.
+    Nested complex types: for ``engine="iceberg"`` an element-wise
+    Iceberg-legal widening (:func:`nested_compatible`) classifies
+    ``array<int>`` -> ``array<bigint>`` (and struct-field/map-value
+    promotions) as compatible; everything else involving
+    array/struct/map is incompatible. The athena/hive path stays
+    exact-match-only (conservative), and nested types never reach the
+    decimal widening rule's parse-failure-is-compatible quirk (a
+    struct containing a decimal field would otherwise be waved
+    through).
     """
     if is_nested_type(old) or is_nested_type(new):
-        return False
+        return (
+            engine == "iceberg"
+            and is_nested_type(old)
+            and is_nested_type(new)
+            and nested_compatible(old, new)
+        )
     matrix = COMPATIBILITY[engine]
     if new.upper() in matrix.get(old.upper(), ()):
         return True
@@ -224,10 +295,50 @@ def decimal_compatible_col(old: Column, new: Column) -> Column:
     return F.when(both_parse, widened).otherwise(F.lit(True))
 
 
+def _nested_tokens_col(t: Column) -> Column:
+    protected = F.regexp_replace(
+        canon_nested_col(t), r"decimal\((\d+),\s*(\d+)\)", r"decimal($1;$2)"
+    )
+    return F.filter(
+        F.split(protected, r"(?=[<>,:])|(?<=[<>,:])"), lambda x: x != ""
+    )
+
+
+def _leaf_token_ok_col(o: Column, n: Column) -> Column:
+    for src, dst in _NESTED_ALIAS.items():
+        o = F.when(o == src, dst).otherwise(o)
+        n = F.when(n == src, dst).otherwise(n)
+    promo = F.lit(False)
+    for src, dsts in NESTED_PROMOTIONS.items():
+        promo = promo | ((o == src) & n.isin(*dsts))
+    pat = r"^decimal\((\d+);(\d+)\)$"
+    op, osc = F.regexp_extract(o, pat, 1), F.regexp_extract(o, pat, 2)
+    np_, nsc = F.regexp_extract(n, pat, 1), F.regexp_extract(n, pat, 2)
+    dec = (
+        (op != "")
+        & (np_ != "")
+        & (osc.cast("int") == nsc.cast("int"))
+        & (np_.cast("int") > op.cast("int"))
+    )
+    return (o == n) | promo | dec
+
+
+def nested_compatible_col(old: Column, new: Column) -> Column:
+    """Column twin of :func:`nested_compatible` — same tokenization,
+    same aligned-pair rule, as zip_with + forall (no UDF)."""
+    ot, nt = _nested_tokens_col(old), _nested_tokens_col(new)
+    pairs_ok = F.forall(
+        F.zip_with(ot, nt, lambda o, n: F.coalesce(_leaf_token_ok_col(o, n), F.lit(False))),
+        lambda x: x,
+    )
+    return (F.size(ot) == F.size(nt)) & F.coalesce(pairs_ok, F.lit(False))
+
+
 def is_compatible_col(old: Column, new: Column, engine: str = "athena") -> Column:
     """Pure-Column compatibility classifier: CASE over the (small)
-    matrix ∨ decimal widening. No UDF, no join needed for the common
-    path — Catalyst constant-folds the literal matrix."""
+    matrix ∨ decimal widening ∨ (iceberg only) element-wise nested
+    widening. No UDF, no join needed for the common path — Catalyst
+    constant-folds the literal matrix."""
     matrix = COMPATIBILITY[engine]
     in_matrix = F.lit(False)
     for old_t, news in matrix.items():
@@ -235,12 +346,16 @@ def is_compatible_col(old: Column, new: Column, engine: str = "athena") -> Colum
             in_matrix = in_matrix | (
                 (F.upper(old) == old_t) & F.upper(new).isin(*news)
             )
-    # nested complex types: compatible only on exact match, so any
-    # detected change is incompatible — and must NOT reach the decimal
-    # widening rule (struct<...decimal...> would otherwise hit its
-    # parse-failure-is-compatible quirk)
+    # nested complex types never reach the decimal widening rule
+    # (struct<...decimal...> would hit its parse-failure-is-compatible
+    # quirk); for iceberg they get the element-wise widening check,
+    # for athena/hive any detected nested change stays incompatible
     nested = old.contains("<") | new.contains("<")
     both_decimal = (
         ~nested & F.lower(old).contains("decimal") & F.lower(new).contains("decimal")
     )
-    return ~nested & (in_matrix | (both_decimal & decimal_compatible_col(old, new)))
+    flat_ok = ~nested & (in_matrix | (both_decimal & decimal_compatible_col(old, new)))
+    if engine != "iceberg":
+        return flat_ok
+    both_nested = old.contains("<") & new.contains("<")
+    return flat_ok | (both_nested & nested_compatible_col(old, new))

@@ -747,6 +747,93 @@ class TestIcebergPartitionTransforms:
             in stmts
         )
 
+    def test_nested_widening_end_to_end(self, spark):
+        """array<int> -> array<bigint> (Iceberg-legal element widening)
+        must classify COMPATIBLE on the iceberg path and render
+        ALTER COLUMN ... TYPE; an illegal nested change (int->string
+        inside the array) stays incompatible. r3 verdict task 5."""
+        from easy_alterator_spark.ddl.parser import corpus_from_rows, parse_ddl_corpus
+        from easy_alterator_spark.ddl.render import iceberg_alter_statements
+        from easy_alterator_spark.diff import iceberg_diff
+        from easy_alterator_spark.diff.report import _row_to_iceberg_entry
+
+        corpus = corpus_from_rows(
+            spark,
+            [(
+                "hql/nw.hql",
+                "CREATE TABLE `tdb.nw` (`a` array<bigint>, `b` struct<x:decimal(12,2)>, "
+                "`c` map<string,array<string>>) USING iceberg;",
+            )],
+        )
+        parsed = parse_ddl_corpus(corpus)
+        cat_cols = spark.createDataFrame(
+            [
+                ("tdb.nw", "a", "array<int>", 0, False, 1),
+                ("tdb.nw", "b", "struct<x:decimal(10,2)>", 1, False, 2),
+                ("tdb.nw", "c", "map<string,array<int>>", 2, False, 3),
+            ],
+            self.CAT_SCHEMA,
+        )
+        cat_tables = spark.createDataFrame(
+            [("tdb.nw", "EXTERNAL_TABLE", "ICEBERG", "s3://m", {}, "1")],
+            self.TBL_SCHEMA,
+        )
+        [row] = iceberg_diff(parsed, cat_cols, cat_tables).collect()
+        entry = _row_to_iceberg_entry(row)
+        upd = entry["columns"]["updated"]
+        compat = {c["name"]: c["new_type"] for c in upd.get("compatible", [])}
+        assert compat == {
+            "a": "array<bigint>",
+            "b": "struct<x:decimal(12,2)>",
+        }
+        incompat = [c["name"] for c in upd.get("incompatible", [])]
+        assert incompat == ["c"]  # array<int> -> array<string> is illegal
+        stmts = iceberg_alter_statements(entry)
+        assert (
+            "ALTER TABLE `glue_catalog`.`tdb`.`nw` ALTER COLUMN `a` TYPE array<bigint>"
+            in stmts
+        )
+        assert (
+            "ALTER TABLE `glue_catalog`.`tdb`.`nw` ALTER COLUMN `b` "
+            "TYPE struct<x:decimal(12,2)>" in stmts
+        )
+
+    def test_nested_widening_column_matches_python(self, spark):
+        """Cross-pin: the Column classifier and the driver-side Python
+        twin agree on a grid of nested pairs (both engines)."""
+        from easy_alterator_spark.ddl import types as TY
+        from pyspark.sql import functions as F
+
+        pairs = [
+            ("array<int>", "array<bigint>"),
+            ("array<int>", "array<long>"),
+            ("array<bigint>", "array<int>"),
+            ("array<int>", "array<string>"),
+            ("struct<a:int,b:string>", "struct<a:bigint,b:string>"),
+            ("struct<a:int>", "struct<b:int>"),
+            ("struct<a:int>", "struct<a:int,b:int>"),
+            ("struct<a:decimal(10,2)>", "struct<a:decimal(12,2)>"),
+            ("struct<a:decimal(10,2)>", "struct<a:decimal(12,3)>"),
+            ("map<string,array<struct<k:string,v:int>>>",
+             "map<string,array<struct<k:string,v:bigint>>>"),
+            ("map<string,int>", "map<int,bigint>"),
+            ("array<long>", "array<bigint>"),
+            ("array<float>", "array<double>"),
+            ("int", "bigint"),
+            ("array<int>", "int"),
+        ]
+        df = spark.createDataFrame(pairs, "old string, new string")
+        for engine in ("iceberg", "athena"):
+            got = {
+                (r["old"], r["new"]): r["ok"]
+                for r in df.select(
+                    "old", "new",
+                    TY.is_compatible_col(F.col("old"), F.col("new"), engine).alias("ok"),
+                ).collect()
+            }
+            for o, n in pairs:
+                assert got[(o, n)] == TY.is_compatible(o, n, engine), (engine, o, n)
+
     def test_commented_transform_entry_keeps_canonical_name(self, spark):
         # ADVICE r3: '-- days(`ts`)' must parse as a commented ts_day
         # transform entry, not a commented identity 'ts'
