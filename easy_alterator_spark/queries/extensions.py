@@ -750,6 +750,59 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+@query(
+    "stream_sessionize",
+    # same output contract (and oracle) as events_sessionize — but the
+    # Spark side is the STREAMING path: a file-source readStream over
+    # the same parquet, session_window + watermark, drained to a
+    # memory sink with trigger(availableNow=True). The driver's
+    # rows/hash check therefore gates the actual stream execution, not
+    # the batch plan (r3 verdict task 8).
+    oracle="""
+    WITH m AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m),
+    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 2) AS avg_events,
+           MAX(n_events) AS max_events
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization executed as a Structured Streaming
+    query (streaming/events.py::session_counts): watermarked
+    session_window per user, availableNow trigger, memory sink. The
+    per-user rollup over the drained sessions matches the batch
+    events_sessionize contract, so the DuckDB oracle carries over
+    unchanged; absolute timestamps cancel out of the gap algebra, so
+    the result is timezone-shift invariant (vanilla driver session
+    safe). Sink names are sequenced — the bench's warm+timed re-runs
+    each get a fresh memory table."""
+    from ..streaming.events import read_events_stream, run_to_memory, session_counts
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_sessionize_sink_{_STREAM_SINK_SEQ[0]}"
+    run_to_memory(
+        session_counts(read_events_stream(spark, sf_dir)), name, output_mode="complete"
+    )
+    sess = spark.table(name)
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 2).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
 @query(
     "events_json_extract",
     oracle="""

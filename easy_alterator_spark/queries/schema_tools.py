@@ -159,6 +159,18 @@ def _bulk_fixture(spark, n_tables: int = 500):
     key = (spark.sparkContext.applicationId, n_tables)
     if key in _BULK_CACHE:
         return _BULK_CACHE[key]
+    # LRU-1: a new key means a new session (or fixture size) — evict
+    # everything else and UNPERSIST the evicted DataFrames so executor
+    # storage is released rather than leaked for the process lifetime.
+    # Unpersist can race a stopped session's dead JVM; that eviction
+    # is then a no-op (the storage died with the JVM anyway).
+    for old_key in list(_BULK_CACHE):
+        old_parsed, old_cc, _ = _BULK_CACHE.pop(old_key)
+        for df in (old_parsed, old_cc):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     ddls, cat_cols, cat_tables = [], [], []
     for i in range(n_tables):
         t = f"bulk.t{i:04d}"

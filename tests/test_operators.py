@@ -1252,6 +1252,56 @@ class TestShinglesProperty:
                 assert got[i] == want, (n, i, text)
 
 
+class TestSimhashBitSchedules:
+    def test_xxhash64_and_md5_agree_on_pair_set(self, spark):
+        """Value-pin for the xxhash64 production default (r3 verdict
+        task 6): on a constructed corpus of exact-duplicate groups plus
+        token-disjoint far docs, BOTH bit schedules must produce the
+        same near-dup pair set — the md5 twin carries the DuckDB
+        oracle, so this pin extends its guarantee to the default.
+
+        Exact duplicates have identical token multisets, hence
+        identical SimHash bits (hamming 0) under ANY schedule; the far
+        docs share no tokens and sit far apart under both 64-bit
+        schedules on this fixed corpus."""
+        from easy_alterator_spark.operators import dedup as D
+
+        docs = []
+        # three exact-dup groups (paraphrase-free: identical text)
+        for g, text in enumerate(
+            [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine ten",
+                "lorem ipsum dolor sit amet consectetur adipiscing elit",
+            ]
+        ):
+            docs.append((g * 10, text))
+            docs.append((g * 10 + 1, text))
+        # token-disjoint far docs (distinct vocabularies)
+        for i, text in enumerate(
+            [
+                "zebra yak xylophone walrus vulture umbrella toucan",
+                "quartz pyrite obsidian marble limestone granite flint basalt",
+                "cumulus cirrus stratus nimbus altostratus cirrostratus",
+            ]
+        ):
+            docs.append((100 + i, text))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def pairs(bit_source):
+            return {
+                (r["doc_id_a"], r["doc_id_b"], r["hd"])
+                for r in D.simhash_dedup_pairs(
+                    df, max_hamming=6, bit_source=bit_source
+                ).collect()
+            }
+
+        xx, md = pairs("xxhash64"), pairs("md5")
+        assert xx == md
+        # the pair set is exactly the three planted duplicate pairs
+        assert xx == {(0, 1, 0), (10, 11, 0), (20, 21, 0)}
+
+
 class TestCappedLm:
     def test_capped_equals_full_when_vocab_fits(self, spark):
         """With top_v >= |vocab| the capped model IS the full model:
