@@ -58,6 +58,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched twin of :func:`brute_force_topk` (cosine): the
+    query block is collected once (the small side — it was broadcast
+    in the Column form anyway) and each candidate Arrow batch scores
+    against it as one (n,d)@(d,q) matmul. Same justified pandas-UDF
+    family as the IVF/PQ deployment forms; equality-pinned against the
+    Column form in tests. The candidate table is one map-only scan —
+    identical data movement to the Column form's broadcast join, ~50x
+    less per-element overhead."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.inf
+    Qu = (Q / qn[:, None]).T  # (d, q)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = np.inf
+            S = (X / nrm[:, None]) @ Qu  # (n, q)
+            out = []
+            for j, q_id in enumerate(q_ids):
+                mask = ids != q_id
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(int(mask.sum()), q_id, dtype=np.int64),
+                            "n_id": ids[mask],
+                            "score": S[mask, j],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        score_batches, "q_id long, n_id long, score double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
 def refine_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

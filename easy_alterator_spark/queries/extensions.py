@@ -462,7 +462,7 @@ def dedup_lsh_recall_audit(spark, sf_dir):
 )
 def sim_topk_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    out = S.brute_force_topk_arrow(emb.filter(F.col("vec_id") < 5), emb, k=3)
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 

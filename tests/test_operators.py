@@ -132,6 +132,26 @@ def test_ivf_nprobe_recall_monotone(spark, clustered_vectors):
     assert r_all == 1.0  # probing every bucket IS brute force
 
 
+def test_bruteforce_arrow_equals_column_form(spark, clustered_vectors):
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    q = clustered_vectors.filter(F.col("vec_id").isin([0, 12, 24, 36, 48]))
+    col = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in brute_force_topk(q, clustered_vectors, k=3).collect()
+    }
+    arrow = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in brute_force_topk_arrow(q, clustered_vectors, k=3).collect()
+    }
+    assert col == arrow
+
+
 def test_ivf_arrow_equals_column_form(spark, clustered_vectors):
     """The Arrow deployment form and the Column verify twin must agree
     pair-for-pair (same centroids, argmax tie-breaks, and 4-decimal

@@ -1,0 +1,72 @@
+"""Scale rehearsal: measure the row-count scaling exponents of the
+top-5 expensive operator families on the generated gen1/gen3/gen10
+corpora (tools/gen_scale_corpus.py) and print a table for SCALE.md §8.
+
+exponent between consecutive scales = log(t2/t1) / log(n2/n1);
+~1.0 = linear (band-join collision floor claim holds), >1.3 flagged.
+
+Usage: python tools/scale_rehearsal.py [reps] [prefix]
+prefix: "gen" (collision-floor corpus, 40-word vocab — the driver
+corpus's regime) or "genh" (20k-type zipf vocab — web shingle
+entropy). Run both; the minhash exponent difference IS the finding.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from easy_alterator_spark.queries import QUERIES, load_all
+from easy_alterator_spark.session import get_spark
+
+FAMILIES = [
+    ("dedup_minhash_lsh", "docs"),
+    ("dedup_incremental", "docs"),
+    ("decontaminate_bloom", "docs"),
+    ("sim_ann_ivf", "vecs"),
+    ("dedup_semantic", "vecs"),
+]
+SCALES = [(1, 5000, 2000), (3, 15000, 6000), (10, 50000, 20000)]
+
+
+def main(reps: int = 2, prefix: str = "gen") -> None:
+    load_all()
+    spark = get_spark("scale-rehearsal", master="local[32]")
+    results: dict[str, dict[int, float]] = {}
+    for mult, _, _ in SCALES:
+        sf_dir = f"/root/repo/.scale/{prefix}{mult}"
+        for name, _kind in FAMILIES:
+            q = QUERIES[name]
+            q(spark, sf_dir).collect()  # warm (plan + page cache)
+            best = min(
+                _timed(q, spark, sf_dir) for _ in range(reps)
+            )
+            results.setdefault(name, {})[mult] = best
+            print(f"{prefix}{mult} {name}: {best:.2f}s", flush=True)
+    print("\n| family | rows base | t(1x) | t(3x) | t(10x) | exp 1->3 | exp 3->10 |")
+    print("|---|---|---|---|---|---|---|")
+    for name, kind in FAMILIES:
+        r = results[name]
+        n = {m: (d if kind == "docs" else v) for m, d, v in SCALES}
+        e13 = math.log(r[3] / r[1]) / math.log(n[3] / n[1])
+        e310 = math.log(r[10] / r[3]) / math.log(n[10] / n[3])
+        print(
+            f"| {name} | {n[1]} {kind} | {r[1]:.2f} | {r[3]:.2f} | {r[10]:.2f} "
+            f"| {e13:.2f} | {e310:.2f} |"
+        )
+
+
+def _timed(q, spark, sf_dir) -> float:
+    t = time.time()
+    q(spark, sf_dir).collect()
+    return time.time() - t
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 2,
+        sys.argv[2] if len(sys.argv) > 2 else "gen",
+    )
