@@ -36,14 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green trails (order there is cosmetic — _ordered appends the
 # remainder anyway).
 _PRIORITY = [
-    # --- round-4 new / changed (driver must check fresh surface) ---
-    "stream_sessionize",
-    "sim_ann_ivf",          # changed: creep fix (VERDICT task 3)
-    "sim_ann_pq",           # changed: Arrow-batched encode (task 4)
-    "bpe_train_merges",     # changed: driver-side merge loop (task 2)
-    "search_bm25",          # changed: unrounded ordering (ADVICE)
-    "profile_key_skew",     # changed: double-widened skew ratio (ADVICE)
-    "dedup_simhash",        # value-pinned vs md5 twin (task 6)
+    # --- round-4 new / changed (driver must check fresh surface).
+    # Slots are budgeted so the 43 never-checked entries below ALL fit
+    # in the 50-entry window (r01-r04 union = full oracle coverage);
+    # changed-but-already-driver-green entries verified via
+    # tools/driver_sim this round (bpe_train_merges, profile_key_skew)
+    # yield their slots to that goal.
+    "stream_sessionize",        # NEW: streaming path (task 8)
+    "dedup_minhash_df_pruned",  # NEW: DF shingle pruning (SCALE §11)
+    "sim_ann_ivf",              # changed: Arrow form (tasks 3)
+    "sim_ann_pq",               # changed: Arrow ADC (task 4)
+    "sim_topk_bruteforce",      # changed: Arrow form
+    "search_bm25",              # changed: unrounded ordering (ADVICE)
+    "dedup_simhash",            # value-pinned vs md5 twin (task 6)
     # --- the 43 never-driver-checked entries (r1-r3 union gap) ---
     "q31_tpch_late_orders",
     "q32_tpch_returned",

@@ -226,6 +226,8 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
+    df_prune: float | None = None,
+    min_set: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact word-set Jaccard.
 
@@ -274,6 +276,37 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("id"),
         F.transform(T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hset"),
     )
+    if df_prune is not None:
+        # Document-frequency shingle pruning (the template-heavy-corpus
+        # mitigation documented in SCALE.md §4/§11): tokens appearing
+        # in more than df_prune of docs carry no near-dup signal (they
+        # are boilerplate/template mass) but generate the band
+        # collisions that make collision-floor corpora quadratic —
+        # drop them BEFORE hashing/banding. Jaccard semantics then
+        # apply to the PRUNED sets (recall traded explicitly; audit
+        # with dedup_lsh_recall_audit). Costs one extra token-stream
+        # shuffle (the df aggregate) + one re-agg — both corpus passes
+        # a production pipeline already budgets for (CCNet/Dolma run
+        # exactly this DF pass). Docs whose sets prune to empty are
+        # excluded (Jaccard undefined; matches the 0/0 oracle NULL).
+        toks = hs.select("id", F.explode("hset").alias("h"))
+        n_docs = hs.agg(F.count(F.lit(1)).alias("n_docs"))
+        keep = (
+            toks.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.lit(df_prune) * F.col("n_docs"))
+            .select("h")
+        )
+        hs = (
+            toks.join(keep, "h")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("h")).alias("hset"))
+        )
+    if min_set > 1:
+        # tiny sets make Jaccard degenerate (two docs sharing one rare
+        # token are "identical"); standard floor after DF pruning
+        hs = hs.filter(F.size("hset") >= min_set)
     # group identical token sets; the group key IS the set
     groups = hs.repartition("hset").groupBy("hset").agg(
         F.array_sort(F.collect_list("id")).alias("members")

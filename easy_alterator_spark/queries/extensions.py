@@ -153,6 +153,72 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
+_SALT_SQL = " || ' s'||doc_id||'a s'||doc_id||'b s'||doc_id||'c'" \
+    " || ' s'||doc_id||'d s'||doc_id||'e s'||doc_id||'f'"
+
+
+@query(
+    "dedup_minhash_df_pruned",
+    # Planted-twin construction (the dedup_embedding_lsh_planted
+    # pattern): the synthetic corpus is ITSELF the template-heavy case
+    # (every token sits at df~0.78 — pure boilerplate mass, the
+    # collision floor measured in SCALE.md §11), so 25 duplicate pairs
+    # are planted whose copies share 6 rare salt tokens. DF pruning at
+    # 0.5 drops the boilerplate vocabulary entirely; the planted pairs
+    # survive on their rare-token sets (>= the 5-token floor) with
+    # Jaccard exactly 1.0, and the quadratic collision mass vanishes.
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    salt AS (SELECT doc_id, text{_SALT_SQL} AS text FROM base WHERE doc_id < 25),
+    corpus AS (SELECT doc_id, text FROM base
+               UNION ALL SELECT doc_id + 1000000, text FROM salt
+               UNION ALL SELECT doc_id + 2000000, text FROM salt),
+    d AS (SELECT doc_id, {_DSET} AS toks FROM corpus),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    keep AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM x GROUP BY tok), n
+             WHERE df <= 0.5 * n_docs),
+    p AS (SELECT doc_id, list(tok) AS toks
+          FROM x JOIN keep USING (tok) GROUP BY doc_id HAVING COUNT(*) >= 5)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_minhash_df_pruned(spark, sf_dir):
+    """MinHash-LSH with document-frequency shingle pruning — the
+    production mitigation for template-heavy / collision-floor corpora
+    (SCALE.md §4/§11): tokens in more than ``df_prune`` of docs are
+    boilerplate mass that generates band collisions without near-dup
+    signal; dropping them (plus a min-5-token set floor) collapses the
+    candidate volume from quadratic to output-sized. Jaccard applies
+    to the PRUNED sets — recall traded explicitly, audited by
+    dedup_lsh_recall_audit. Costs two extra uniform-key token-stream
+    shuffles (the DF pass a CCNet/Dolma-style pipeline already runs);
+    the banded plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salt_parts = []
+    for j in "abcdef":
+        salt_parts += [F.lit(" s"), F.col("doc_id").cast("string"), F.lit(j)]
+    salted = docs.filter(F.col("doc_id") < 25).select(
+        "doc_id", F.concat(F.col("text"), *salt_parts).alias("text")
+    )
+    corpus = (
+        docs.unionByName(
+            salted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            salted.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return D.minhash_dedup_pairs(
+        corpus, threshold=0.9, df_prune=0.5, min_set=5
+    )
+
+
 @query(
     "dedup_embedding_lsh",
     oracle="""

@@ -394,3 +394,49 @@ class TestBulkFixtureCacheEviction:
         ST._BULK_CACHE.clear()
         for df in (p2, cc2):
             df.unpersist()
+
+
+class TestDfPrunedMinhash:
+    def test_pruning_reveals_planted_pairs(self, spark):
+        """Boilerplate tokens (df=1.0) drown near-dup signal: without
+        pruning every doc pair exceeds the threshold; with DF pruning
+        only the planted rare-token pairs survive, each at jac 1.0."""
+        from easy_alterator_spark.operators import dedup as D
+
+        rows = []
+        boiler = "the quick brown fox jumps over the lazy dog again"
+        for i in range(20):
+            rows.append((i, boiler))
+        # two planted pairs sharing 6 rare tokens each
+        for g in (0, 1):
+            salt = " ".join(f"r{g}{j}" for j in "abcdef")
+            rows.append((100 + g * 10, boiler + " " + salt))
+            rows.append((101 + g * 10, boiler + " " + salt))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        unpruned = D.minhash_dedup_pairs(df, threshold=0.9).count()
+        assert unpruned >= 20 * 19 / 2  # boilerplate floods the output
+
+        got = {
+            (r["doc_id_a"], r["doc_id_b"], r["jac"])
+            for r in D.minhash_dedup_pairs(
+                df, threshold=0.9, df_prune=0.5, min_set=5
+            ).collect()
+        }
+        assert got == {(100, 101, 1.0), (110, 111, 1.0)}
+
+    def test_min_set_floor_drops_degenerate_sets(self, spark):
+        """Docs whose pruned sets fall below min_set produce no pairs
+        (tiny-set Jaccard is degenerate by construction)."""
+        from easy_alterator_spark.operators import dedup as D
+
+        rows = [(i, "common words everywhere always") for i in range(10)]
+        rows += [(50, "common words everywhere always rare1"),
+                 (51, "common words everywhere always rare1")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # pruned sets are {rare1} (size 1) -> min_set=2 kills them
+        out = D.minhash_dedup_pairs(df, threshold=0.9, df_prune=0.5, min_set=2)
+        assert out.count() == 0
+        # min_set=1 lets the single-rare-token pair through at jac 1.0
+        out1 = D.minhash_dedup_pairs(df, threshold=0.9, df_prune=0.5, min_set=1)
+        assert {(r["doc_id_a"], r["doc_id_b"]) for r in out1.collect()} == {(50, 51)}
