@@ -92,6 +92,17 @@ _PRIORITY = [
     "text_collocations",
     "multimodal_audio_energy",
     "multimodal_resize",
+    # --- round-4 NEW queries, deliberately AFTER the 50-slot window:
+    # displacing any of the 43 above would break the r01-r04 union
+    # converging to full coverage of the r3-era registry. These six
+    # are driver_sim-verified green at sf0.01 this round (see
+    # COVERAGE.md §round-4) and rotate into round 5's window.
+    "join_skew_salted",
+    "cdc_merge_upsert",
+    "profile_columns",
+    "index_postings",
+    "events_rolling_distinct",
+    "stream_dedup_exact",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

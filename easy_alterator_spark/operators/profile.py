@@ -57,3 +57,50 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column data profile in ONE scan: null count, distinct
+    count, numeric min/max (rounded 4) — long format, one output row
+    per profiled column.
+
+    All per-column aggregates live in a single ``agg`` so the input is
+    read once; multiple exact ``count_distinct`` columns plan as one
+    Expand (row stream duplicated per distinct column) feeding one
+    partial+final aggregate — a deliberate rows×k trade for a single
+    pass. At 100 TB that Expand is the cost to watch: set
+    ``exact_distinct=False`` and the profile switches to
+    ``approx_count_distinct`` (HyperLogLog++, mergeable, no Expand),
+    which is what a production profiler runs on full-corpus sweeps;
+    the exact form is the oracle-checkable contract.
+    """
+    aggs: list[F.Column] = []
+    for c in cols:
+        col = F.col(c)
+        nd = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(F.when(col.isNull(), F.lit(1))).alias(f"{c}__nulls"),
+            nd.alias(f"{c}__distinct"),
+            F.round(F.min(col.cast("double")), 4).alias(f"{c}__min"),
+            F.round(F.max(col.cast("double")), 4).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -293,3 +293,46 @@ def keyword_search_bm25(
         .limit(k)
         .select("doc_id", "n_terms", F.round("raw_score", 4).alias("score"))
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    max_postings: int = 10,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index over the corpus: per term, document frequency
+    and a CAPPED ordered posting list (the first ``max_postings`` doc
+    ids) — the build step behind phrase/keyword probing at scale.
+
+    The posting cap is enforced BEFORE collection: a row_number window
+    per term ranks postings by doc id, and ``collect_list`` gathers
+    only ranks <= cap (collect_list drops the null branch of the
+    ``when``), so no executor ever materializes a hot term's full
+    posting array — with a million-document stopword term, an uncapped
+    ``collect_set`` is an OOM. The window and the groupBy share the
+    (term) partitioning, so Catalyst plans ONE exchange for both.
+    Full (uncapped) posting storage at scale is a bucketed table
+    keyed by term hash instead — see build_phrase_postings.
+    """
+    from pyspark.sql import Window
+
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = postings.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_postings, F.col("doc_id"))
+                )
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -60,3 +60,40 @@ def gap_fill_daily(
         F.last("sv", ignorenulls=True).over(w).alias("filled"),
         F.col("sv").isNull().alias("is_gap"),
     )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "event_type",
+    days: int = 7,
+) -> DataFrame:
+    """Per-row trailing-``days`` distinct count of ``val_col`` within
+    each key: engagement breadth ("distinct event types this user
+    touched in the last week"), the windowed-cardinality feature
+    behind churn/quality models.
+
+    Spark's range window has no COUNT(DISTINCT), so the distinct set
+    is materialized per frame with ``collect_set().over(range)`` and
+    sized — correct, and bounded by the per-frame cardinality of
+    ``val_col`` (small for categorical features; do NOT point this at
+    a high-cardinality value column, that is what sketch columns are
+    for). The frame is anchored on exact integer microseconds
+    (``unix_micros``), not a seconds cast — second-truncation would
+    shift frame edges for sub-second timestamps and diverge from
+    timestamp-interval arithmetic. One shuffle on (key); the sort
+    inside each key is the window's own.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-days * 86_400 * 1_000_000, 0)
+    )
+    return events.select(
+        key_col,
+        ts_col,
+        val_col,
+        F.size(F.collect_set(val_col).over(w)).alias(f"n_distinct_{days}d"),
+    )

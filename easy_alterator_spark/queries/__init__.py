@@ -53,7 +53,7 @@ def query(
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import analytics, extensions, relational, schema_tools  # noqa: F401
+    from . import analytics, extensions, relational, scaleops, schema_tools  # noqa: F401
 
 
 __all__ = ["QUERIES", "ORACLES", "NO_BENCH", "query", "load_all"]

@@ -1,0 +1,229 @@
+"""Scale-first warehouse operators, round 4: salted skew joins, CDC
+changelog merge, one-pass column profiling, inverted-index build,
+windowed distinct cardinality, and streaming exact dedup.
+
+Each query pairs a Spark operator whose PLAN is the point (the shape
+that survives a 100x scale-up) with a DuckDB oracle that restates the
+same contract in portable SQL. The salted join and the streaming
+dedup are semantically identical to their plain forms — the oracle IS
+the plain form, which is exactly the property that makes the scale
+variant safe to deploy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import cdc as C
+from ..operators import search as SR
+from ..operators import skew as K
+from ..operators import timeseries as TS
+from ..operators.profile import column_profile
+from ..sources import load_table
+from . import query
+
+# mirrors functions/text.py::tokens for the inverted-index oracle
+_DTOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_name, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Per-supplier revenue through an EXPLICITLY SALTED join
+    (operators/skew.py::salted_join, salt=8): the supplier side is
+    replicated 8x, lineitem scattered by a deterministic row hash, and
+    the join key becomes (l_suppkey, __salt) — one hot supplier's rows
+    spread over 8 tasks instead of melting one. The oracle is the
+    PLAIN join: salting must be invisible in the result, visible only
+    in the plan (shuffle-hash hint keeps the salted exchange in the
+    plan so the contract under test is the skew-resilient shape, not a
+    broadcast that would bypass it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = K.salted_join(li, sup.hint("shuffle_hash"), on="l_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # round at the price grid's own 4 decimals, not 2: group sums
+        # of 2-decimal × 2-decimal terms land exactly on half-cent
+        # boundaries, where the two engines' float noise breaks the
+        # ROUND(…, 2) tie differently (same pinning as q37's profit)
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+    chg AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'),
+    last AS (SELECT * FROM chg WHERE rn = 1)
+    SELECT b.o_orderkey, b.o_custkey,
+           ROUND(b.o_totalprice, 2) AS o_totalprice, 'base' AS src
+    FROM base b ANTI JOIN last l ON b.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2), 'upsert'
+    FROM last WHERE op <> 'D'
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics as a batch dataflow
+    (operators/cdc.py::apply_changelog): orders before 1997-07-01 are
+    the base snapshot; later orders replay as a changelog (status 'F'
+    = delete, else upsert, order date as the sequence). Latest change
+    wins per key; the base side joins against a BROADCAST key set, so
+    the 100 TB side is scanned once and never shuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-07-01").cast("timestamp")
+    payload = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = orders.filter(F.col("o_orderdate") < cut).select(*payload)
+    chg = orders.filter(F.col("o_orderdate") >= cut).select(
+        *payload,
+        F.col("o_orderdate").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    merged = C.apply_changelog(
+        base, chg, key_cols=["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "src",
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(*) FILTER (l_quantity IS NULL) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity::DOUBLE), 4) AS min_val,
+           ROUND(MAX(l_quantity::DOUBLE), 4) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*) FILTER (l_extendedprice IS NULL),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice::DOUBLE), 4),
+           ROUND(MAX(l_extendedprice::DOUBLE), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*) FILTER (l_discount IS NULL),
+           COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount::DOUBLE), 4),
+           ROUND(MAX(l_discount::DOUBLE), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*) FILTER (l_suppkey IS NULL),
+           COUNT(DISTINCT l_suppkey),
+           ROUND(MIN(l_suppkey::DOUBLE), 4),
+           ROUND(MAX(l_suppkey::DOUBLE), 4)
+    FROM lineitem
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """One-scan data profiler (operators/profile.py::column_profile):
+    nulls / exact distinct / min / max for four lineitem columns in a
+    single aggregate (the multi-distinct Expand is the documented
+    single-pass trade; ``exact_distinct=False`` swaps in HLL for
+    full-corpus sweeps)."""
+    return column_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_suppkey"],
+    )
+
+
+@query(
+    "index_postings",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({_DTOKS})) AS term
+        FROM documents),
+    g AS (SELECT term, COUNT(*) AS df,
+                 (list(doc_id ORDER BY doc_id))[1:10] AS postings
+          FROM t GROUP BY term)
+    SELECT term, df, postings FROM g WHERE df >= 2
+    """,
+)
+def index_postings(spark, sf_dir):
+    """Inverted-index build (operators/search.py::build_inverted_index):
+    per term, document frequency and the first 10 postings in doc-id
+    order. The cap is enforced BEFORE collection via a row_number
+    window sharing the groupBy's (term) exchange — no executor ever
+    holds a hot term's full posting array."""
+    return SR.build_inverted_index(
+        load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
+    )
+
+
+@query(
+    "events_rolling_distinct",
+    oracle="""
+    SELECT user_id, ts, event_type,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS n_distinct_7d
+    FROM events
+    """,
+)
+def events_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct event types per user
+    (operators/timeseries.py::rolling_distinct): windowed cardinality
+    via collect_set over an exact-microsecond range frame — the
+    engagement-breadth feature; one (user) shuffle, per-frame state
+    bounded by the categorical cardinality."""
+    return TS.rolling_distinct(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup: the events stream deduplicated on
+    (user_id, event_type) with ``dropDuplicates`` under an
+    availableNow trigger, then rolled up to distinct users per type —
+    the result the batch DISTINCT computes, produced by the streaming
+    state store. ``dropDuplicates`` keeps unbounded key state (exact
+    at any arrival order); the production unbounded-stream variant is
+    ``dropDuplicatesWithinWatermark`` (state pruned to the watermark
+    horizon), value-pinned against this exact form in
+    tests/test_streaming.py. Sink names are sequenced so bench re-runs
+    get fresh memory tables."""
+    from ..streaming.events import read_events_stream, run_to_memory
+    from .extensions import _STREAM_SINK_SEQ
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
+    dedup = read_events_stream(spark, sf_dir).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    run_to_memory(dedup, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

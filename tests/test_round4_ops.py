@@ -1,0 +1,239 @@
+"""Round-4 operators: CDC changelog merge, one-pass column profile,
+capped inverted index, rolling distinct cardinality, salted-join
+query plan shape.
+
+Value-level semantics on constructed rows; engine-vs-DuckDB parity
+for the registered queries runs in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+class TestApplyChangelog:
+    def _data(self, spark):
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        # k=1: update then delete (delete is latest -> row disappears)
+        # k=2: two updates (latest wins)
+        # k=4: insert of a new key
+        chg = spark.createDataFrame(
+            [
+                (1, "a2", 1, "U"),
+                (1, "a3", 2, "D"),
+                (2, "b2", 1, "U"),
+                (2, "b3", 2, "U"),
+                (4, "d", 1, "U"),
+            ],
+            "k long, v string, seq long, op string",
+        )
+        return base, chg
+
+    def test_latest_wins_delete_and_insert(self, spark):
+        from easy_alterator_spark.operators.cdc import apply_changelog
+
+        base, chg = self._data(spark)
+        out = apply_changelog(base, chg, ["k"], "seq", "op")
+        got = {r["k"]: (r["v"], r["src"]) for r in out.collect()}
+        assert got == {
+            2: ("b3", "upsert"),  # latest update wins
+            3: ("c", "base"),  # untouched base row
+            4: ("d", "upsert"),  # new key inserted
+        }  # k=1 deleted
+
+    def test_shuffled_anti_join_same_result(self, spark):
+        from easy_alterator_spark.operators.cdc import apply_changelog
+
+        base, chg = self._data(spark)
+        a = apply_changelog(base, chg, ["k"], "seq", "op")
+        b = apply_changelog(
+            base, chg, ["k"], "seq", "op", broadcast_changelog=False
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_seq_tie_broken_by_key_deterministically(self, spark):
+        from easy_alterator_spark.operators.cdc import latest_per_key
+
+        chg = spark.createDataFrame(
+            [(1, "x", 5, "U"), (1, "y", 5, "U")],
+            "k long, v string, seq long, op string",
+        )
+        # equal seq: row_number orders by (seq DESC, k ASC) — both rows
+        # tie on the full sort key, so Spark picks a partition-stable
+        # first; the contract here is just that exactly ONE survives
+        assert latest_per_key(chg, ["k"], "seq").count() == 1
+
+    def test_base_side_broadcast_anti_join(self, spark):
+        from easy_alterator_spark.operators.cdc import apply_changelog
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        base, chg = self._data(spark)
+        plan = formatted_plan(apply_changelog(base, chg, ["k"], "seq", "op"))
+        # the 100 TB side must anti-join against a BROADCAST key set
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestColumnProfile:
+    def test_exact_profile_values(self, spark):
+        from easy_alterator_spark.operators.profile import column_profile
+
+        df = spark.createDataFrame(
+            [(1.0, None), (2.5, 5), (2.5, 5), (None, 7)],
+            "x double, y int",
+        )
+        got = {
+            r["column_name"]: (
+                r["n_nulls"],
+                r["n_distinct"],
+                r["min_val"],
+                r["max_val"],
+            )
+            for r in column_profile(df, ["x", "y"]).collect()
+        }
+        assert got == {"x": (1, 2, 1.0, 2.5), "y": (1, 2, 5.0, 7.0)}
+
+    def test_approx_mode_runs_without_expand(self, spark):
+        from easy_alterator_spark.operators.profile import column_profile
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        df = spark.range(100).select(
+            F.col("id").cast("double").alias("x"), (F.col("id") % 7).alias("y")
+        )
+        prof = column_profile(df, ["x", "y"], exact_distinct=False)
+        got = {r["column_name"]: r["n_distinct"] for r in prof.collect()}
+        assert got["x"] == pytest.approx(100, rel=0.1)
+        assert got["y"] == pytest.approx(7, rel=0.1)
+        # HLL path must not plan the multi-distinct Expand
+        assert "Expand" not in formatted_plan(prof)
+
+
+class TestInvertedIndex:
+    def test_cap_and_df(self, spark):
+        from easy_alterator_spark.operators.search import build_inverted_index
+
+        docs = spark.createDataFrame(
+            [(i, "common " + ("rare" if i == 3 else "x")) for i in range(5)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["term"]: (r["df"], r["postings"])
+            for r in build_inverted_index(docs, max_postings=2).collect()
+        }
+        # df counts ALL docs; postings capped to the 2 smallest ids
+        assert got["common"] == (5, [0, 1])
+        assert got["rare"] == (1, [3])
+        assert got["x"] == (4, [0, 1])
+
+    def test_min_df_filters(self, spark):
+        from easy_alterator_spark.operators.search import build_inverted_index
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a")], "doc_id long, text string"
+        )
+        terms = {
+            r["term"] for r in build_inverted_index(docs, min_df=2).collect()
+        }
+        assert terms == {"a"}
+
+    def test_window_and_group_share_one_exchange(self, spark):
+        import re
+
+        from easy_alterator_spark.operators.search import build_inverted_index
+        from easy_alterator_spark.plans.audit import formatted_plan
+        from easy_alterator_spark.sources import load_table
+
+        idx = build_inverted_index(load_table(spark, SF, "documents"))
+        # row_number window (term) + groupBy (term): ONE exchange total
+        # (count detail-section nodes — the tree lists each node twice)
+        plan = formatted_plan(idx)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+class TestRollingDistinct:
+    def test_trailing_window_counts(self, spark):
+        from easy_alterator_spark.operators.timeseries import rolling_distinct
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(days):
+            return t0 + datetime.timedelta(days=days)
+
+        ev = spark.createDataFrame(
+            [
+                (1, at(0), "a"),
+                (1, at(3), "b"),
+                (1, at(7), "c"),   # exactly 7d after t0: t0 included
+                (1, at(10.5), "a"),  # window [3.5, 10.5]: c,a
+                (2, at(0), "z"),
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = rolling_distinct(ev)
+        got = {
+            (r["user_id"], r["ts"]): r["n_distinct_7d"] for r in out.collect()
+        }
+        assert got[(1, at(0))] == 1
+        assert got[(1, at(3))] == 2
+        assert got[(1, at(7))] == 3  # boundary inclusive, like SQL RANGE
+        assert got[(1, at(10.5))] == 2  # b at day 3 aged out of [3.5, 10.5]
+        assert got[(2, at(0))] == 1
+
+    def test_frame_is_exact_microseconds(self, spark):
+        from easy_alterator_spark.operators.timeseries import rolling_distinct
+
+        t0 = datetime.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, t0, "a"),
+                # one microsecond beyond the 7-day frame: excluded
+                (1, t0 + datetime.timedelta(days=7, microseconds=1), "b"),
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r["event_type"]: r["n_distinct_7d"]
+            for r in rolling_distinct(ev).collect()
+        }
+        assert got["b"] == 1
+
+
+class TestSaltedJoinQueryPlan:
+    def test_salted_shuffle_join_not_broadcast(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["join_skew_salted"](spark, SF))
+        # the contract under test is the skew-resilient shape: a
+        # shuffled join keyed on (l_suppkey, __salt), not a broadcast
+        assert "__salt" in plan
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] == 0
+        assert jc["ShuffledHashJoin"] + jc["SortMergeJoin"] >= 1
+
+
+class TestStreamDedupQuery:
+    def test_stream_equals_batch_distinct(self, spark, queries):
+        batch = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n_users"))
+        )
+        got = {
+            r["event_type"]: r["n_users"]
+            for r in queries["stream_dedup_exact"](spark, SF).collect()
+        }
+        want = {r["event_type"]: r["n_users"] for r in batch.collect()}
+        assert got == want
