@@ -227,3 +227,53 @@ def stream_dedup_exact(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "hierarchy_bom_rollup",
+    oracle="""
+    WITH RECURSIVE bom(anc, node, price) AS (
+        SELECT p_partkey, p_partkey, p_retailprice FROM part
+        UNION ALL
+        SELECT b.anc, c.p_partkey, c.p_retailprice
+        FROM bom b JOIN part c
+          ON CAST(FLOOR(c.p_partkey / 2.0) AS BIGINT) = b.node
+         AND c.p_partkey >= 1)
+    SELECT anc AS p_partkey, COUNT(*) AS subtree_parts,
+           ROUND(SUM(price), 2) AS subtree_price
+    FROM bom GROUP BY anc HAVING COUNT(*) >= 16
+    """,
+)
+def hierarchy_bom_rollup(spark, sf_dir):
+    """Bill-of-materials explosion via Spark 4's WITH RECURSIVE: parts
+    form a synthetic binary assembly tree (parent = floor(key/2) —
+    the schema has no real hierarchy, the derivation is the documented
+    fixture), and the recursion enumerates every (ancestor,
+    descendant) pair to roll up subtree size and cost for assemblies
+    of >= 16 parts. Each recursion level executes as one join stage
+    over the PREVIOUS level's frontier, so work is O(edges × depth)
+    and depth is log2(n) here — the shape recursive SQL is right for
+    (bounded-depth hierarchies: BOM, org charts, folder trees).
+    Unbounded/cyclic closures are NOT this tool: Spark recursion is
+    UNION ALL-only (no fixpoint dedup), which is why connected
+    components ship as iterative min-label / star-contraction
+    DataFrame ops (operators/dedup.py) instead. Exact same-SQL oracle;
+    integer parent math via FLOOR(x / 2.0) is bit-identical in both
+    engines (exact in double far below 2^52).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        WITH RECURSIVE bom(anc, node, price) AS (
+            SELECT p_partkey, p_partkey, p_retailprice FROM {part}
+            UNION ALL
+            SELECT b.anc, c.p_partkey, c.p_retailprice
+            FROM bom b JOIN {part} c
+              ON CAST(FLOOR(c.p_partkey / 2.0) AS BIGINT) = b.node
+             AND c.p_partkey >= 1)
+        SELECT anc AS p_partkey, COUNT(*) AS subtree_parts,
+               ROUND(SUM(price), 2) AS subtree_price
+        FROM bom GROUP BY anc HAVING COUNT(*) >= 16
+        """,
+        part=part,
+    )

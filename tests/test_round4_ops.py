@@ -237,3 +237,30 @@ class TestStreamDedupQuery:
         }
         want = {r["event_type"]: r["n_users"] for r in batch.collect()}
         assert got == want
+
+
+class TestRecursiveCte:
+    def test_bom_rollup_depth_and_membership(self, spark, queries):
+        # 8-part tree rooted at 0: node 7's ancestors are 3, 1, 0
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(8)], "p_partkey long, p_retailprice double"
+        )
+        out = spark.sql(
+            """
+            WITH RECURSIVE bom(anc, node) AS (
+                SELECT p_partkey, p_partkey FROM {p}
+                UNION ALL
+                SELECT b.anc, c.p_partkey FROM bom b JOIN {p} c
+                  ON CAST(FLOOR(c.p_partkey / 2.0) AS BIGINT) = b.node
+                 AND c.p_partkey >= 1)
+            SELECT anc, COUNT(*) AS n FROM bom GROUP BY anc
+            """,
+            p=df,
+        )
+        got = {r["anc"]: r["n"] for r in out.collect()}
+        # tree: 0 -> 1 -> {2,3}, 2 -> {4,5}, 3 -> {6,7}
+        assert got == {0: 8, 1: 7, 2: 3, 3: 3, 4: 1, 5: 1, 6: 1, 7: 1}
+
+    def test_registered_query_runs(self, spark, queries):
+        rows = queries["hierarchy_bom_rollup"](spark, SF).collect()
+        assert rows and all(r["subtree_parts"] >= 16 for r in rows)
