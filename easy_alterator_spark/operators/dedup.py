@@ -1267,3 +1267,107 @@ def edge_triangle_support(
             F.size(F.array_intersect("na", "nb")).cast("long").alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact set-similarity join (AllPairs / PPJoin core)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) with word-set Jaccard >= threshold — EXACT
+    recall without the O(n²) pair space, via prefix filtering
+    (Chaudhuri et al. 2006; Bayardo AllPairs 2007; PPJoin 2008).
+
+    Mechanism: order every token globally rare-first (ascending
+    document frequency, token text as tiebreak). A set of size s and a
+    partner with Jaccard >= t must share >= ceil(t/(1+t)·(s_a+s_b))
+    tokens; combined with the size bound t·s_a <= s_b <= s_a/t that
+    overlap is >= ceil(t·s), so if two sets share NO token among each
+    one's first (s - ceil(t·s) + 1) ordered tokens they CANNOT reach
+    the threshold. Candidates are therefore pairs sharing a PREFIX
+    token — generated by exploding only prefixes and self-joining on
+    the token (equi-join, never a cartesian) — then the size bound
+    prunes in-join and exact Jaccard verifies on the full sets.
+
+    vs MinHash-LSH: no recall loss to spend (LSH misses true pairs
+    with s-curve probability; this misses none), at the cost of
+    rare-first prefixes concentrating on LOW-df tokens — so unlike
+    MinHash its candidate volume collapses on boilerplate-heavy
+    corpora (hot tokens land deep past every prefix) and grows where
+    corpora share rare vocabulary. The two are complementary; both
+    are bucketed equi-joins at scale.
+
+    Shuffles: token-df aggregate, order-join on token, per-doc
+    regroup, candidate self-join on prefix token, verify join — all
+    key-partitioned, no stage carries more than the exploded prefix
+    stream (≈ (1-t)·corpus tokens).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks")
+    )
+    stream = toks.select("id", F.explode("toks").alias("tok"))
+    dfreq = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per doc: tokens re-sorted rare-first; prefix = s - ceil(t*s) + 1
+    ordered = (
+        stream.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            # GetArrayStructFields (native), not an interpreted
+            # transform() lambda — HOF discipline (SCALE.md §9)
+            F.array_sort(F.collect_list(F.struct("df", "tok")))
+            .getField("tok")
+            .alias("otoks")
+        )
+        .withColumn("s", F.size("otoks"))
+        # round t·s to the 1e-6 grid BEFORE ceil: IEEE noise on exact
+        # products (0.9·10 -> 9.000000000000002) would otherwise ceil
+        # UP, shortening the prefix and silently losing recall — a
+        # longer prefix is always safe, a shorter one never is
+        .withColumn(
+            "plen",
+            F.col("s")
+            - F.ceil(F.round(threshold * F.col("s"), 6)).cast("int")
+            + 1,
+        )
+    )
+    pref = ordered.select(
+        "id", "s", F.explode(F.slice("otoks", 1, F.col("plen"))).alias("tok")
+    )
+    a = pref.select(
+        F.col("id").alias("doc_id_a"), F.col("s").alias("sa"), "tok"
+    )
+    b = pref.select(
+        F.col("id").alias("doc_id_b"), F.col("s").alias("sb"), "tok"
+    )
+    cand = (
+        a.join(
+            b,
+            (a["tok"] == b["tok"])
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            # size bound: jac >= t forces t·max(sa,sb) <= min(sa,sb);
+            # epsilon guards the exact-grid boundary against IEEE
+            # noise over-pruning true pairs (loose by 1e-9 = safe)
+            & (F.col("sb") >= threshold * F.col("sa") - 1e-9)
+            & (F.col("sa") >= threshold * F.col("sb") - 1e-9),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("doc_id_a"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("id").alias("doc_id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
+    )

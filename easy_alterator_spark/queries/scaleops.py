@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import cdc as C
+from ..operators import dedup as D
 from ..operators import search as SR
 from ..operators import skew as K
 from ..operators import timeseries as TS
@@ -276,4 +277,33 @@ def hierarchy_bom_rollup(spark, sf_dir):
         FROM bom GROUP BY anc HAVING COUNT(*) >= 16
         """,
         part=part,
+    )
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents),
+    ds AS (SELECT doc_id, list_distinct(raw) AS toks FROM d)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """EXACT-recall set-similarity self-join over the FULL corpus via
+    prefix filtering (operators/dedup.py::prefix_filter_pairs,
+    AllPairs/PPJoin): rare-first global token order, per-set prefix of
+    length s - ceil(0.9·s) + 1, candidates from an equi-join on shared
+    prefix tokens with the size bound pruning in-join, exact Jaccard
+    verify. The oracle is the brute-force O(n²) join — identical
+    output is the exactness claim (MinHash-LSH trades recall for the
+    s-curve; this trades nothing and prunes via rarity instead).
+    Unbounded corpus input: unlike dedup_ngram_jaccard's id<=200
+    bound, this form's pair space is the prefix-token join, not n²."""
+    return D.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
     )

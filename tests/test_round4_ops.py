@@ -264,3 +264,45 @@ class TestRecursiveCte:
     def test_registered_query_runs(self, spark, queries):
         rows = queries["hierarchy_bom_rollup"](spark, SF).collect()
         assert rows and all(r["subtree_parts"] >= 16 for r in rows)
+
+
+class TestPrefixFilter:
+    def test_equals_bruteforce_on_corpus(self, spark):
+        from easy_alterator_spark.operators.dedup import (
+            jaccard_pairs,
+            prefix_filter_pairs,
+        )
+        from easy_alterator_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        exact = sorted(map(tuple, jaccard_pairs(docs, 0.8).collect()))
+        pruned = sorted(map(tuple, prefix_filter_pairs(docs, 0.8).collect()))
+        assert pruned == exact and len(exact) > 0
+
+    def test_exact_grid_threshold_no_recall_loss(self, spark):
+        from easy_alterator_spark.operators.dedup import prefix_filter_pairs
+
+        # 10-token sets sharing 9: jac = 9/11 ≈ 0.818 < 0.9;
+        # identical 10-token sets: jac = 1.0. t·s = 0.9·10 sits exactly
+        # on the integer grid — the ceil-rounding guard's worst case.
+        base = " ".join(f"w{i}" for i in range(10))
+        near = " ".join(f"w{i}" for i in range(9)) + " zz"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, near)], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jac"]
+            for r in prefix_filter_pairs(docs, 0.9).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_candidate_join_is_equi_not_cartesian(self, spark):
+        from easy_alterator_spark.operators.dedup import prefix_filter_pairs
+        from easy_alterator_spark.plans.audit import formatted_plan
+        from easy_alterator_spark.sources import load_table
+
+        plan = formatted_plan(
+            prefix_filter_pairs(load_table(spark, SF, "documents"), 0.9)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
