@@ -105,6 +105,7 @@ _PRIORITY = [
     "stream_dedup_exact",
     "hierarchy_bom_rollup",
     "dedup_prefix_filter",
+    "graph_pagerank",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

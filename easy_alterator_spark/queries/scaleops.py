@@ -307,3 +307,53 @@ def dedup_prefix_filter(spark, sf_dir):
     return D.prefix_filter_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.9
     )
+
+
+def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL (DuckDB forbids neither, but
+    recursive-CTE aggregation rules vary; unrolling is portable and
+    keeps the oracle a single static string per registration)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"r{i} AS (SELECT e.dd AS node, "
+            f"(1 - {damping}) / ANY_VALUE(nn.n) + {damping} * "
+            f"SUM(r.rank / deg.dg) AS rank "
+            f"FROM e JOIN {prev} r ON e.s = r.node "
+            f"JOIN deg ON deg.s = e.s CROSS JOIN nn GROUP BY e.dd)"
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents
+               WHERE doc_id <= 200),
+    ds AS (SELECT doc_id, list_distinct(raw) AS toks FROM d),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION ALL SELECT b, a FROM p),
+    deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT s AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT node AS doc_id, ROUND(rank, 6) AS pr FROM {prev}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup pair graph (bounded doc
+    subset; operators/graph.py::pagerank, 10 power-iteration rounds,
+    d=0.85): ranks documents by duplication-neighborhood embeddedness
+    — a canonical-selection signal beside quality scores. The driver
+    loop builds ONE lazy plan (two key-partitioned shuffles per
+    round, zero driver data movement); the oracle is the SAME power
+    iteration unrolled to ten SQL aggregates — exact to 6 decimals,
+    pinning iteration count, damping, degree normalization, and the
+    no-dangling-mass contract."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    pr = pagerank(D.jaccard_pairs(docs, threshold=0.8))
+    return pr.select(F.col("node").alias("doc_id"), "pr")

@@ -306,3 +306,38 @@ class TestPrefixFilter:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPageRank:
+    def test_star_graph_ranks(self, spark):
+        from easy_alterator_spark.operators.graph import pagerank
+
+        # star: 0 connected to 1,2,3 (undirected). Symmetry: leaves
+        # equal; center > leaf; total mass = 1 every iteration.
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "doc_id_a long, doc_id_b long"
+        )
+        got = {r["node"]: r["pr"] for r in pagerank(pairs, iters=10).collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[0] > got[1]
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+    def test_two_node_fixed_point(self, spark):
+        from easy_alterator_spark.operators.graph import pagerank
+
+        # K2: uniform 1/2 is the exact fixed point at any damping
+        pairs = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+        got = {r["node"]: r["pr"] for r in pagerank(pairs, iters=3).collect()}
+        assert got == {1: 0.5, 2: 0.5}
+
+    def test_checkpoint_path_same_values(self, spark):
+        from easy_alterator_spark.operators.graph import pagerank
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (0, 3)], "doc_id_a long, doc_id_b long"
+        )
+        plain = sorted(map(tuple, pagerank(pairs, iters=6).collect()))
+        ckpt = sorted(
+            map(tuple, pagerank(pairs, iters=6, checkpoint_every=2).collect())
+        )
+        assert plain == ckpt
