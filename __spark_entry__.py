@@ -106,6 +106,8 @@ _PRIORITY = [
     "hierarchy_bom_rollup",
     "dedup_prefix_filter",
     "graph_pagerank",
+    "stats_histogram_equidepth",
+    "events_attribution_first_touch",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

@@ -1,0 +1,103 @@
+"""Exact global ranking without a single-reducer sort, and the
+equi-depth histogram built on it.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` — an empty window partition —
+executes on ONE task in Spark: the whole input funnels through a
+single reducer, which is the canonical 100 TB anti-pattern. The
+scalable exact form is the terasort decomposition:
+
+1. ``repartitionByRange`` on the sort key (one shuffle; Spark's range
+   partitioner samples boundaries with fixed seeds, and partition ids
+   ascend with key ranges),
+2. a per-partition local ``row_number`` (window keyed by the
+   partition id),
+3. a broadcast join against the 1-row-per-partition offset table
+   (cumulative counts — KBs, never data-sized).
+
+Global rank = local row_number + partition offset. Everything stays
+native Columns; total cost is two data-sized exchanges and a
+partition-count-sized side table, against the global window's one
+exchange into a single task that never finishes at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based ``rank_col`` = exact global rank under
+    ``order_cols`` (which must form a TOTAL order — a unique key
+    tuple — for the rank to be deterministic; range partitioning
+    co-locates equal keys, so with ties the ranks are stable only
+    within Spark's arbitrary tie order).
+    """
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    parts = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the offsets window is global but over ONE ROW PER PARTITION —
+    # KBs through a single task, not the data
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.row_number().over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def _ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 1-based global rank: the first
+    (total % k) buckets get ceil(total/k) rows, the rest floor — the
+    exact remainder distribution NTILE specifies."""
+    q = F.floor(total / k)
+    r = total % k
+    big = r * (q + 1)
+    return F.when(
+        rank <= big, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rank - 1 - big) / q) + 1)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int = 16,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram of ``value_col``:
+    k buckets of NTILE row distribution, each with row count and
+    value min/max — the boundary table behind optimizer statistics
+    and data-skipping layouts. ``tiebreak_cols`` must make
+    (value_col, *tiebreak) a total order. Built on ``global_rank``,
+    so no single-reducer sort anywhere; the only global window runs
+    over one row per bucket/partition.
+    """
+    order_cols = [value_col, *tiebreak_cols]
+    ranked = global_rank(df.select(*order_cols), order_cols)
+    total1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    bucket = _ntile_from_rank(F.col("rank"), F.col("__n"), k)
+    return (
+        ranked.crossJoin(F.broadcast(total1))
+        .select(bucket.cast("int").alias("bucket"), F.col(value_col))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(value_col), 2).alias("lo"),
+            F.round(F.max(value_col), 2).alias("hi"),
+        )
+    )

@@ -12,6 +12,7 @@ variant safe to deploy.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import cdc as C
@@ -283,7 +284,8 @@ def hierarchy_bom_rollup(spark, sf_dir):
 @query(
     "dedup_prefix_filter",
     oracle=f"""
-    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents),
+    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents
+               WHERE doc_id < 1000),
     ds AS (SELECT doc_id, list_distinct(raw) AS toks FROM d)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
@@ -294,19 +296,27 @@ def hierarchy_bom_rollup(spark, sf_dir):
     """,
 )
 def dedup_prefix_filter(spark, sf_dir):
-    """EXACT-recall set-similarity self-join over the FULL corpus via
-    prefix filtering (operators/dedup.py::prefix_filter_pairs,
-    AllPairs/PPJoin): rare-first global token order, per-set prefix of
-    length s - ceil(0.9·s) + 1, candidates from an equi-join on shared
+    """EXACT-recall set-similarity self-join via prefix filtering
+    (operators/dedup.py::prefix_filter_pairs, AllPairs/PPJoin):
+    rare-first global token order, per-set prefix of length
+    s - ceil(0.9·s) + 1, candidates from an equi-join on shared
     prefix tokens with the size bound pruning in-join, exact Jaccard
     verify. The oracle is the brute-force O(n²) join — identical
     output is the exactness claim (MinHash-LSH trades recall for the
     s-curve; this trades nothing and prunes via rarity instead).
-    Unbounded corpus input: unlike dedup_ngram_jaccard's id<=200
-    bound, this form's pair space is the prefix-token join, not n²."""
-    return D.prefix_filter_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.9
-    )
+
+    The doc_id bound exists because of OUTPUT MASS, not the
+    algorithm: the bench corpus is the collision-floor regime
+    (SCALE.md §4/§11 — a ~30-word vocabulary, so EVERY token is hot
+    and most pairs are genuinely >= 0.9), where any exact-recall
+    method is Θ(true pairs) = Θ(n²) by definition; unbounded, the
+    verify stage alone emits millions of true pairs (measured 44 s at
+    sf0.1 vs MinHash's 7.5 s — MinHash pays its s-curve recall loss
+    precisely to stay cheaper there). On rarity-bearing corpora the
+    prefix join, not n², is the pair space — the regime argument is
+    SCALE.md §12; the unbounded operator is what ships."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return D.prefix_filter_pairs(docs, threshold=0.9)
 
 
 def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
@@ -357,3 +367,89 @@ def graph_pagerank(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     pr = pagerank(D.jaccard_pairs(docs, threshold=0.8))
     return pr.select(F.col("node").alias("doc_id"), "pr")
+
+
+@query(
+    "stats_histogram_equidepth",
+    oracle="""
+    WITH t AS (
+        SELECT l_extendedprice,
+               NTILE(16) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM lineitem)
+    SELECT bucket, COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def stats_histogram_equidepth(spark, sf_dir):
+    """Exact 16-bucket equi-depth histogram of lineitem prices
+    (operators/rank.py::equi_depth_histogram) — the boundary table
+    behind optimizer stats and data skipping. The oracle is a global
+    NTILE; the Spark side refuses the single-reducer global window
+    and computes the SAME buckets via range-partitioned local
+    row_numbers + a broadcast partition-offset table (terasort
+    decomposition), with NTILE's remainder distribution reproduced in
+    Column math. Identical output, scalable plan."""
+    from ..operators.rank import equi_depth_histogram
+
+    return equi_depth_histogram(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        k=16,
+    )
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH m AS (SELECT user_id, ts, event_id, event_type, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m),
+    f AS (SELECT *, FIRST_VALUE(event_type) OVER (
+              PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS first_touch
+          FROM s)
+    SELECT first_touch, COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM f WHERE event_type = 'purchase' GROUP BY first_touch
+    """,
+)
+def events_attribution_first_touch(spark, sf_dir):
+    """First-touch attribution: every purchase's value credited to
+    the event type that OPENED its session (30-min gap sessions, the
+    events_sessionize convention). Three windows — gap flag, session
+    id, session-first — all share the ONE (user_id) exchange: the
+    (user_id, sess_id) window's required clustering is satisfied by
+    the user_id hash partitioning (co-location, not key equality), so
+    Catalyst plans sorts, not re-shuffles. The purchase filter then
+    cuts the stream before the tiny per-channel aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn("sess_id", sess)
+    sw = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    attributed = tagged.withColumn(
+        "first_touch", F.first("event_type").over(sw)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

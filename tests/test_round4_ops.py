@@ -10,6 +10,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -341,3 +342,71 @@ class TestPageRank:
             map(tuple, pagerank(pairs, iters=6, checkpoint_every=2).collect())
         )
         assert plain == ckpt
+
+
+class TestGlobalRank:
+    def test_matches_single_reducer_row_number(self, spark):
+        from easy_alterator_spark.operators.rank import global_rank
+
+        df = spark.range(0, 1000).select(
+            (F.xxhash64("id") % 977).alias("v"), F.col("id")
+        )
+        got = {
+            (r["v"], r["id"]): r["rank"]
+            for r in global_rank(df, ["v", "id"]).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            (r["v"], r["id"]): r["rank"]
+            for r in df.withColumn("rank", F.row_number().over(w)).collect()
+        }
+        assert got == want
+
+    def test_no_single_partition_window_in_plan(self, spark):
+        from easy_alterator_spark.operators.rank import equi_depth_histogram
+        from easy_alterator_spark.plans.audit import formatted_plan
+        from easy_alterator_spark.sources import load_table
+
+        h = equi_depth_histogram(
+            load_table(spark, SF, "lineitem"),
+            "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+        )
+        plan = formatted_plan(h)
+        # the data-sized windows must be keyed; the only empty-frame
+        # global window runs over one row per range partition
+        for line in plan.splitlines():
+            if "Window" in line and "SinglePartition" in line:
+                raise AssertionError(f"single-reducer window: {line}")
+
+    def test_ntile_remainder_distribution(self, spark):
+        from easy_alterator_spark.operators.rank import equi_depth_histogram
+
+        # 10 rows, k=4 -> NTILE sizes 3,3,2,2
+        df = spark.createDataFrame(
+            [(float(i), i) for i in range(10)], "v double, id long"
+        )
+        sizes = {
+            r["bucket"]: r["n_rows"]
+            for r in equi_depth_histogram(df, "v", ["id"], k=4).collect()
+        }
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+class TestFirstTouchAttribution:
+    def test_session_first_credited(self, spark, queries):
+        import duckdb
+
+        from easy_alterator_spark.queries import ORACLES
+
+        got = sorted(
+            map(tuple, queries["events_attribution_first_touch"](spark, SF).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+        )
+        want = sorted(
+            map(tuple, con.execute(ORACLES["events_attribution_first_touch"]).fetchall())
+        )
+        assert got == want and len(got) > 0
