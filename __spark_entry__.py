@@ -108,6 +108,7 @@ _PRIORITY = [
     "graph_pagerank",
     "stats_histogram_equidepth",
     "events_attribution_first_touch",
+    "eval_lang_id_report",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

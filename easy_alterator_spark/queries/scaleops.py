@@ -453,3 +453,56 @@ def events_attribution_first_touch(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "eval_lang_id_report",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DTOKS} AS toks FROM documents),
+    pr AS (SELECT lang AS gold,
+                  CASE WHEN en_cnt >= es_cnt AND en_cnt >= de_cnt AND en_cnt > 0 THEN 'en'
+                       WHEN es_cnt >= de_cnt AND es_cnt > 0 THEN 'es'
+                       WHEN de_cnt > 0 THEN 'de'
+                       ELSE 'und' END AS pred
+           FROM (SELECT lang,
+                        len(list_filter(toks, x -> list_contains(['the','is','and'], x))) AS en_cnt,
+                        len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS es_cnt,
+                        len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS de_cnt
+                 FROM t)),
+    cm AS (SELECT gold, pred, COUNT(*) AS n FROM pr GROUP BY gold, pred),
+    g AS (SELECT gold AS cls, SUM(n) AS support FROM cm GROUP BY 1),
+    p AS (SELECT pred AS cls, SUM(n) AS pred_total FROM cm GROUP BY 1),
+    tp AS (SELECT gold AS cls, SUM(n) AS tp FROM cm WHERE gold = pred GROUP BY 1),
+    r AS (SELECT cls, COALESCE(support, 0) AS support,
+                 COALESCE(pred_total, 0) AS pred_total,
+                 COALESCE(tp.tp, 0) AS tp
+          FROM g FULL OUTER JOIN p USING (cls) LEFT JOIN tp USING (cls))
+    SELECT cls, support, pred_total, tp,
+           ROUND(CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END, 4) AS precision,
+           ROUND(CASE WHEN support > 0 THEN tp / support ELSE 0.0 END, 4) AS recall,
+           ROUND(CASE WHEN (CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
+                         + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END) > 0
+                      THEN 2.0 * (CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
+                               * (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END)
+                           / ((CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
+                              + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END))
+                      ELSE 0.0 END, 4) AS f1
+    FROM r
+    """,
+)
+def eval_lang_id_report(spark, sf_dir):
+    """Per-class classification report (support / precision / recall /
+    F1) of the heuristic language-ID against the corpus's gold lang
+    labels (operators/evalmetrics.py::classification_report over
+    textstats.lang_id). One corpus-sized aggregate builds the
+    confusion matrix; everything after is classes²-sized algebra —
+    the model-quality rollup runs WHERE the predictions live instead
+    of exporting per-doc predictions. Classes are the union of gold
+    and predicted labels (never-predicted and hallucinated classes
+    both appear)."""
+    from ..operators import textstats as X
+    from ..operators.evalmetrics import classification_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("doc_id", "lang").join(X.lang_id(docs), "doc_id")
+    return classification_report(pred, "lang", "pred_lang")
