@@ -1,13 +1,17 @@
 """Scale-first warehouse operators, round 4: salted skew joins, CDC
 changelog merge, one-pass column profiling, inverted-index build,
-windowed distinct cardinality, and streaming exact dedup.
+windowed distinct cardinality, streaming exact dedup, recursive-CTE
+hierarchy rollup, prefix-filter exact similarity join, PageRank,
+terasort-decomposed global rank / equi-depth histogram, first-touch
+attribution, and classification-report metrics.
 
 Each query pairs a Spark operator whose PLAN is the point (the shape
 that survives a 100x scale-up) with a DuckDB oracle that restates the
-same contract in portable SQL. The salted join and the streaming
-dedup are semantically identical to their plain forms — the oracle IS
-the plain form, which is exactly the property that makes the scale
-variant safe to deploy.
+same contract in portable SQL. Several oracles are deliberately the
+NAIVE form — plain join for the salted join, brute-force O(n²) for
+the prefix filter, global NTILE for the histogram, batch DISTINCT
+for the streaming dedup: identical output against the naive contract
+is exactly the property that makes the scale variant safe to deploy.
 """
 
 from __future__ import annotations
