@@ -109,6 +109,8 @@ _PRIORITY = [
     "stats_histogram_equidepth",
     "events_attribution_first_touch",
     "eval_lang_id_report",
+    "events_window_dedup",
+    "events_conversion_latency",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

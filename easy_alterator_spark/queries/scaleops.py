@@ -510,3 +510,92 @@ def eval_lang_id_report(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pred = docs.select("doc_id", "lang").join(X.lang_id(docs), "doc_id")
     return classification_report(pred, "lang", "pred_lang")
+
+
+@query(
+    "events_window_dedup",
+    oracle="""
+    WITH t AS (SELECT user_id, event_type, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM t
+    WHERE prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 300
+    GROUP BY event_type
+    """,
+)
+def events_window_dedup(spark, sf_dir):
+    """Ingestion-time debounce: drop an event when the SAME
+    (user, type) fired within the preceding 5 minutes — the batch
+    twin of `dropDuplicatesWithinWatermark`'s bounded-window dedup
+    semantics (double-click suppression, retry collapse). One lag
+    window on the (user, type) key, second-granularity gap (the
+    events_sessionize convention: cast-long diff == date_diff
+    'second'), then a tiny per-type rollup. Note the chained-debounce
+    subtlety this contract pins: the lag is against the previous RAW
+    event, not the previous KEPT one — a burst every 4 minutes keeps
+    only its first event under kept-anchored semantics but only
+    suppresses pairwise here; raw-anchored is the form that needs no
+    iteration and matches the streaming state-store behavior."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("long")).over(w)
+    kept = ev.withColumn("__gap", F.col("ts").cast("long") - prev).filter(
+        F.col("__gap").isNull() | (F.col("__gap") > 300)
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id),
+    lat AS (SELECT s.user_id,
+                   date_diff('second', s.signup_ts, p.first_purchase_ts) AS sec
+            FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(sec, 0.5), 2) AS p50_sec,
+           ROUND(quantile_cont(sec, 0.9), 2) AS p90_sec,
+           ROUND(AVG(sec), 2) AS avg_sec
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark, sf_dir):
+    """Signup→purchase conversion latency: per user, first signup to
+    first subsequent purchase; exact p50/p90/mean over converted
+    users. Two keyed aggregates + one join — the funnel-latency
+    rollup growth dashboards run. Exact interpolated percentiles via
+    `percentile` (the exact form; `approx_percentile` is the 100 TB
+    swap, same call shape) — DuckDB's quantile_cont twin pins the
+    interpolation convention."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase_ts")
+            - F.unix_timestamp("signup_ts")
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("sec", F.lit(0.5)), 2).alias("p50_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
+        F.round(F.avg("sec"), 2).alias("avg_sec"),
+    )
