@@ -476,3 +476,30 @@ class TestDatasetWriter:
         one = spark.read.parquet(rows[0]["file_path"]).select("v").collect()
         vs = [r["v"] for r in one]
         assert vs == sorted(vs)
+
+
+class TestEventsDebounce:
+    def test_raw_anchored_burst_semantics(self, spark, queries):
+        import datetime
+
+        from easy_alterator_spark.queries import QUERIES
+
+        # bursts every 4 min: raw-anchored lag suppresses each event
+        # pairwise (every gap = 240s <= 300) so ONLY the first is kept
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + datetime.timedelta(minutes=4 * i), 1, "click", 0.0, "{}")
+            for i in range(4)
+        ] + [(99, t0 + datetime.timedelta(hours=2), 1, "click", 0.0, "{}")]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        prev = F.lag(F.col("ts").cast("long")).over(w)
+        kept = ev.withColumn(
+            "__gap", F.col("ts").cast("long") - prev
+        ).filter(F.col("__gap").isNull() | (F.col("__gap") > 300))
+        ids = sorted(r["event_id"] for r in kept.collect())
+        assert ids == [0, 99]
