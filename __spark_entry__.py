@@ -111,6 +111,7 @@ _PRIORITY = [
     "eval_lang_id_report",
     "events_window_dedup",
     "events_conversion_latency",
+    "privacy_erasure_audit",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

@@ -599,3 +599,74 @@ def events_conversion_latency(spark, sf_dir):
         F.round(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
         F.round(F.avg("sec"), 2).alias("avg_sec"),
     )
+
+
+@query(
+    "privacy_erasure_audit",
+    oracle="""
+    WITH subj AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+    SELECT 'events' AS table_name,
+           (SELECT COUNT(*) FROM events) AS rows_before,
+           (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT user_id FROM subj)) AS rows_erased,
+           (SELECT COUNT(*) FROM events
+            WHERE user_id NOT IN (SELECT user_id FROM subj)
+              AND user_id IN (SELECT user_id FROM subj)) AS remaining_subject_rows
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT user_id FROM subj)),
+           0
+    UNION ALL
+    SELECT 'customer',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT user_id FROM subj)),
+           0
+    """,
+)
+def privacy_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten propagation audit: a deterministic
+    synthetic request list (subjects = user_id % 97 == 0, standing in
+    for the erasure queue) swept across every table keyed by that
+    subject (events.user_id, orders.o_custkey, customer.c_custkey).
+    Per table: rows before, rows the erasure removes (broadcast
+    semi-join — the subject list is always broadcast-small), and the
+    post-erasure subject-row count recomputed FROM the erased frame
+    (anti-join then semi-join) — structurally zero, but the audit
+    EXECUTES the check rather than asserting it, which is the point
+    of an audit. At scale each table is one scan; the erased frames
+    are what a MERGE DELETE would commit per table."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    subj = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    bsubj = F.broadcast(subj)
+
+    def audit(df, key, name):
+        erased = df.join(bsubj, df[key] == subj["user_id"], "left_anti")
+        return (
+            df.agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(
+                df.join(bsubj, df[key] == subj["user_id"], "left_semi").agg(
+                    F.count(F.lit(1)).alias("rows_erased")
+                )
+            )
+            .crossJoin(
+                erased.join(
+                    bsubj, erased[key] == subj["user_id"], "left_semi"
+                ).agg(F.count(F.lit(1)).alias("remaining_subject_rows"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_erased",
+                F.col("remaining_subject_rows").cast("int").alias(
+                    "remaining_subject_rows"
+                ),
+            )
+        )
+
+    return (
+        audit(ev, "user_id", "events")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(audit(customer, "c_custkey", "customer"))
+    )
