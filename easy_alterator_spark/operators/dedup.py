@@ -64,16 +64,49 @@ def jaccard_pairs(
 
     O(n²) join — callers must bound the input (or feed LSH candidates
     through :func:`verify_jaccard` instead).
+
+    Pair-evaluation cost discipline (this feeds nine registered
+    queries — clustering, pagerank, edge support, keep-best — so the
+    per-pair constant matters): tokens are xxhash64'd up front so the
+    n² comparisons run on fixed-width longs instead of strings (same
+    collision-odds argument as :func:`minhash_dedup_pairs`,
+    ≈ n²/2⁶⁴ per doc); the exact size bound
+    t·max(sa,sb) <= min(sa,sb) prunes each pair with an integer
+    compare before any array work; and |A ∪ B| = sa + sb − |A ∩ B|
+    makes the survivors cost ONE array_intersect, not
+    intersect + union.
     """
     toks = docs.select(
-        F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"),
+        F.transform(
+            T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("toks"),
     )
-    a = toks.select(F.col("id").alias("doc_id_a"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("id").alias("doc_id_b"), F.col("toks").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(F.array_union("ta", "tb"))
+    a = toks.select(
+        F.col("id").alias("doc_id_a"),
+        F.col("toks").alias("ta"),
+        F.size("toks").alias("sa"),
+    )
+    b = toks.select(
+        F.col("id").alias("doc_id_b"),
+        F.col("toks").alias("tb"),
+        F.size("toks").alias("sb"),
+    )
+    size_ok = (
+        F.least(F.col("sa"), F.col("sb")).cast("double")
+        # epsilon keeps IEEE noise on the exact grid from over-pruning
+        # true pairs (loose by 1e-9 = safe, same guard as the prefix
+        # filter's size bound)
+        >= F.lit(threshold) * F.greatest(F.col("sa"), F.col("sb")) - 1e-9
+    )
     return (
-        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
-        .withColumn("jac", jac)
+        a.join(b, (F.col("doc_id_a") < F.col("doc_id_b")) & size_ok)
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
         .filter(F.col("jac") >= threshold)
         .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
     )
@@ -1205,9 +1238,24 @@ def lsh_recall_report(
     recall (1-(1-t^r)^b, ~1 at t=0.9 with 16x4 bands). Run per ingest
     batch; alert when measured recall drops below the theory line —
     the cheap canary for tokenization drift, banding bugs, or skew.
+
+    The slice is materialized ONCE via an eager localCheckpoint
+    (sample_size rows — the fixed audit budget): without it the
+    corpus-wide md5-sort-limit subtree is recomputed by both the
+    exact and the LSH branch, and the truth and audit counts fold
+    into one aggregation job (a left join counting matches) instead
+    of two actions that each recompute the exact pair set. Checkpoint
+    rather than collect+createDataFrame: a driver-built LocalRelation
+    invites Catalyst's ConvertToLocalRelation to constant-fold the
+    whole tokenize→minhash expression tree interpreted on the driver
+    (measured 15 s vs 1 s on the 300-doc slice).
     """
+    spark = docs.sparkSession
+    proj = docs.select(F.col(id_col), F.col(text_col))
     sample = (
-        docs.orderBy(F.md5(F.col(id_col).cast("string"))).limit(sample_size)
+        proj.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_size)
+        .localCheckpoint(eager=True)
     )
     exact = jaccard_pairs(
         sample, threshold=threshold, id_col=id_col, text_col=text_col
@@ -1219,11 +1267,19 @@ def lsh_recall_report(
         text_col=text_col,
         num_perm=num_perm,
         bands=bands,
-    ).select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
-    hit = exact.join(found, ["a", "b"], "left_semi")
-    n_true = exact.count()
-    n_found = hit.count()
-    spark = docs.sparkSession
+    ).select(F.col("doc_id_a").alias("fa"), F.col("doc_id_b").alias("fb"))
+    n_true, n_found = (
+        exact.join(
+            found,
+            (F.col("a") == F.col("fa")) & (F.col("b") == F.col("fb")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("fa").alias("n_found"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
         [(n_true, n_found, round(n_found / n_true, 4) if n_true else None)],
         "n_true bigint, n_found bigint, recall double",
@@ -1303,25 +1359,46 @@ def prefix_filter_pairs(
     corpora share rare vocabulary. The two are complementary; both
     are bucketed equi-joins at scale.
 
-    Shuffles: token-df aggregate, order-join on token, per-doc
+    Tokens are xxhash64'd up front, so every downstream stage — the
+    df aggregate, the global order, the prefix equi-join, the exact
+    verify — runs on fixed-width longs instead of strings (same
+    rationale and collision-odds argument as
+    :func:`minhash_dedup_pairs`: ≈ n²/2⁶⁴ per doc). The global
+    rare-first order is (df, hash) — any total order with df primary
+    preserves the prefix-filter guarantee.
+
+    Candidate discipline mirrors the banded minhash join: each prefix
+    row carries its doc's full PREFIX slice (≤ (1-t)·s + 1 tokens)
+    position-tagged, and the join's first-matching-token condition
+    (`~arrays_overlap` over the earlier-prefix slices — valid because
+    both docs order tokens by the same global key) emits every pair
+    exactly once, replacing a `distinct()` that would shuffle hot-token
+    pairs once per shared prefix token. Jaccard then needs only ONE
+    `array_intersect` per candidate: |A ∪ B| = sa + sb − |A ∩ B| with
+    the sizes already riding the candidate row.
+
+    Shuffles: token-df aggregate, order-join on token hash, per-doc
     regroup, candidate self-join on prefix token, verify join — all
     key-partitioned, no stage carries more than the exploded prefix
     stream (≈ (1-t)·corpus tokens).
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"), T.distinct_tokens(F.col(text_col)).alias("toks")
+    hs = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("hset"),
     )
-    stream = toks.select("id", F.explode("toks").alias("tok"))
-    dfreq = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stream = hs.select("id", F.explode("hset").alias("h"))
+    dfreq = stream.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # per doc: tokens re-sorted rare-first; prefix = s - ceil(t*s) + 1
     ordered = (
-        stream.join(dfreq, "tok")
+        stream.join(dfreq, "h")
         .groupBy("id")
         .agg(
             # GetArrayStructFields (native), not an interpreted
             # transform() lambda — HOF discipline (SCALE.md §9)
-            F.array_sort(F.collect_list(F.struct("df", "tok")))
-            .getField("tok")
+            F.array_sort(F.collect_list(F.struct("df", "h")))
+            .getField("h")
             .alias("otoks")
         )
         .withColumn("s", F.size("otoks"))
@@ -1337,36 +1414,54 @@ def prefix_filter_pairs(
         )
     )
     pref = ordered.select(
-        "id", "s", F.explode(F.slice("otoks", 1, F.col("plen"))).alias("tok")
+        "id",
+        "s",
+        F.slice("otoks", 1, F.col("plen")).alias("ptoks"),
+        F.posexplode(F.slice("otoks", 1, F.col("plen"))).alias("pos", "h"),
     )
     a = pref.select(
-        F.col("id").alias("doc_id_a"), F.col("s").alias("sa"), "tok"
+        F.col("id").alias("doc_id_a"),
+        F.col("s").alias("sa"),
+        F.col("ptoks").alias("pa"),
+        F.col("pos").alias("pos_a"),
+        "h",
     )
     b = pref.select(
-        F.col("id").alias("doc_id_b"), F.col("s").alias("sb"), "tok"
+        F.col("id").alias("doc_id_b"),
+        F.col("s").alias("sb"),
+        F.col("ptoks").alias("pb"),
+        F.col("pos").alias("pos_b"),
+        "h",
     )
-    cand = (
-        a.join(
-            b,
-            (a["tok"] == b["tok"])
-            & (F.col("doc_id_a") < F.col("doc_id_b"))
-            # size bound: jac >= t forces t·max(sa,sb) <= min(sa,sb);
-            # epsilon guards the exact-grid boundary against IEEE
-            # noise over-pruning true pairs (loose by 1e-9 = safe)
-            & (F.col("sb") >= threshold * F.col("sa") - 1e-9)
-            & (F.col("sa") >= threshold * F.col("sb") - 1e-9),
-        )
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
+    # first-matching-token: a token h' shared by both docs and globally
+    # earlier than h sits earlier in BOTH prefix arrays (same global
+    # order), so overlap of the earlier-prefix slices ⇔ the pair was
+    # already emitted at h' — each pair survives exactly once, no
+    # distinct() shuffle of hot-token-duplicated pairs.
+    first_tok = ~F.arrays_overlap(
+        F.slice(F.col("pa"), 1, F.col("pos_a")),
+        F.slice(F.col("pb"), 1, F.col("pos_b")),
     )
-    ta = toks.select(F.col("id").alias("doc_id_a"), F.col("toks").alias("ta"))
-    tb = toks.select(F.col("id").alias("doc_id_b"), F.col("toks").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
+    cand = a.join(
+        b,
+        (a["h"] == b["h"])
+        & (F.col("doc_id_a") < F.col("doc_id_b"))
+        # size bound: jac >= t forces t·max(sa,sb) <= min(sa,sb);
+        # epsilon guards the exact-grid boundary against IEEE
+        # noise over-pruning true pairs (loose by 1e-9 = safe)
+        & (F.col("sb") >= threshold * F.col("sa") - 1e-9)
+        & (F.col("sa") >= threshold * F.col("sb") - 1e-9)
+        & first_tok,
+    ).select("doc_id_a", "doc_id_b", "sa", "sb")
+    ta = hs.select(F.col("id").alias("doc_id_a"), F.col("hset").alias("ha"))
+    tb = hs.select(F.col("id").alias("doc_id_b"), F.col("hset").alias("hb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
     )
     return (
         cand.join(ta, "doc_id_a")
         .join(tb, "doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
         .withColumn("jac", jac)
         .filter(F.col("jac") >= threshold)
         .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))

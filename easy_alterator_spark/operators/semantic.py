@@ -150,3 +150,77 @@ def semantic_dedup_kernel(
         .applyInPandas(prune, "id long, bucket int, keep boolean")
         .withColumnRenamed("id", id_col)
     )
+
+
+def semantic_contaminated(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(train id, nearest eval id, cos) for every training vector whose
+    embedding is >= ``threshold`` cosine to ANY evaluation vector —
+    SEMANTIC benchmark decontamination (paraphrase leakage that the
+    n-gram scrub in operators/decontaminate.py cannot see; cf. the
+    contamination audits in GPT-4/Llama reports, which pair lexical
+    n-gram checks with embedding-similarity checks).
+
+    100 TB posture mirrors the n-gram decontaminator: the benchmark
+    side is always tiny (thousands of eval items), so it is collected
+    ONCE into a (m, dim) float64 matrix and shipped in the task
+    closure; the 100 TB training side is mapInPandas — each Arrow
+    batch scores against the whole eval matrix with one BLAS matmul
+    and emits only hits. No shuffle at any scale; cost is one
+    training-corpus scan.
+
+    Determinism: scores are computed as dot / (|t|·|e|) in float64 —
+    the same expression a SQL engine evaluates — and the nearest eval
+    id breaks exact ties toward the SMALLEST eval id (eval rows are
+    sorted by id, numpy argmax takes the first maximum). Matmul SIMD
+    reordering can flip a pair within ~1e-12 of the threshold; the
+    oracle-checked query pins agreement on the test corpus.
+    """
+    import numpy as np
+
+    eval_rows = (
+        evalset.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .collect()
+    )
+    eval_ids = np.array([r[0] for r in eval_rows], dtype=np.int64)
+    em = np.stack([np.asarray(r[1], dtype=np.float64) for r in eval_rows])
+    enorm = np.linalg.norm(em, axis=1)
+    enorm[enorm == 0.0] = 1.0
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            tnorm = np.linalg.norm(m, axis=1)
+            tnorm[tnorm == 0.0] = 1.0
+            cos = (m @ em.T) / np.outer(tnorm, enorm)
+            best = cos.argmax(axis=1)
+            best_cos = cos[np.arange(len(m)), best]
+            hit = best_cos >= threshold
+            if not hit.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[hit],
+                    "eval_vec_id": eval_ids[best[hit]],
+                    "cos": best_cos[hit],
+                }
+            )
+
+    out_schema = f"{id_col} long, eval_vec_id long, cos double"
+    return (
+        train.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, out_schema)
+        .select(id_col, "eval_vec_id", F.round("cos", 4).alias("cos"))
+    )

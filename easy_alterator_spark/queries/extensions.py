@@ -1050,6 +1050,58 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "doc_pack_efficiency",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, len({_DTOKS})::BIGINT AS n_tokens
+               FROM documents WHERE doc_id < 300),
+    c AS (SELECT lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    p AS (SELECT lang, n_tokens, ((cum - n_tokens) // 512)::BIGINT AS pack_id
+          FROM c)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS tokens,
+           COUNT(DISTINCT pack_id)::BIGINT AS packs_used,
+           ROUND(SUM(n_tokens)::DOUBLE / (COUNT(DISTINCT pack_id) * 512), 4)
+             AS utilization,
+           SUM(CEIL(n_tokens / 512.0))::BIGINT AS naive_seqs,
+           ROUND(1.0 - COUNT(DISTINCT pack_id)::DOUBLE
+                 / SUM(CEIL(n_tokens / 512.0)), 4) AS packing_saving
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_pack_efficiency(spark, sf_dir):
+    """Batch-construction audit over the packer's output: per-language
+    token utilization of 512-token packs vs the naive one-doc-per-
+    (padded)-sequence baseline — the %-of-FLOPs-wasted-on-padding
+    number a training-data pipeline reports before committing a batch
+    layout. Pure aggregation over pack_sequences (one window + one
+    groupBy), no extra scan."""
+    from ..operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    packed = SP.pack_sequences(docs, budget=512, partition_col="lang")
+    packs = F.countDistinct("pack_id").cast("long")
+    naive = F.sum(F.ceil(F.col("n_tokens") / 512.0)).cast("long")
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            packs.alias("packs_used"),
+            F.round(
+                F.sum("n_tokens").cast("double") / (packs * 512), 4
+            ).alias("utilization"),
+            naive.alias("naive_seqs"),
+            F.round(1.0 - packs.cast("double") / naive, 4).alias(
+                "packing_saving"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "dedup_incremental",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents)
@@ -1201,6 +1253,43 @@ def decontaminate_bloom(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return DC.bloom_contaminated_docs(train, bench, n=4)
+
+
+@query(
+    "decontaminate_semantic",
+    # Cosine in DOUBLE as dot/(|t|·|e|) — the exact expression the
+    # Arrow kernel evaluates; nearest eval vector breaks exact ties
+    # toward the smallest eval id on both engines.
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e AS (SELECT vec_id AS eval_id, emb AS ev FROM v WHERE vec_id % 20 = 0),
+    t AS (SELECT vec_id, emb FROM v WHERE vec_id % 20 <> 0),
+    sc AS (SELECT t.vec_id, e.eval_id,
+                  list_dot_product(t.emb, e.ev)
+                    / (sqrt(list_dot_product(t.emb, t.emb))
+                       * sqrt(list_dot_product(e.ev, e.ev))) AS cos
+           FROM t CROSS JOIN e),
+    best AS (SELECT vec_id, eval_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, eval_id) AS rn
+             FROM sc)
+    SELECT vec_id, eval_id AS eval_vec_id, ROUND(cos, 4) AS cos
+    FROM best WHERE rn = 1 AND cos >= 0.35
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC benchmark decontamination: training vectors within
+    0.35 cosine of any eval vector (every 20th id = the held-out
+    benchmark) — catches paraphrase leakage the n-gram scrub misses.
+    Eval matrix broadcast in-closure, training side map-only Arrow
+    matmul, hits-only output (operators/semantic.py
+    ::semantic_contaminated)."""
+    from ..operators.semantic import semantic_contaminated
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return semantic_contaminated(train, evalset, threshold=0.35)
 
 
 @query(

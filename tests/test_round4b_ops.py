@@ -1,0 +1,123 @@
+"""Round-4 second wave: semantic decontamination, pack-efficiency
+audit, and the hashed-token jaccard_pairs rewrite.
+
+Value-level semantics on constructed rows; engine-vs-DuckDB parity
+for the registered queries runs in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSemanticContaminated:
+    def _frames(self, spark):
+        # eval 0 = x-axis, eval 20 = y-axis; train 1 aligned with eval 0,
+        # train 2 aligned with eval 20 (slightly off-axis), train 3
+        # orthogonal-ish to both (45° in z), train 4 the zero vector.
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (20, [0.0, 1.0, 0.0]),
+            (1, [2.0, 0.0, 0.0]),
+            (2, [0.1, 1.0, 0.0]),
+            (3, [0.0, 0.0, 5.0]),
+            (4, [0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df.filter(F.col("vec_id") % 20 == 0), df.filter(
+            F.col("vec_id") % 20 != 0
+        )
+
+    def test_hits_and_nearest(self, spark):
+        from easy_alterator_spark.operators.semantic import semantic_contaminated
+
+        evalset, train = self._frames(spark)
+        out = {
+            r["vec_id"]: (r["eval_vec_id"], r["cos"])
+            for r in semantic_contaminated(train, evalset, threshold=0.5).collect()
+        }
+        assert out[1] == (0, 1.0)
+        ev, cos = out[2]
+        assert ev == 20 and cos == round(1.0 / math.sqrt(1.01), 4)
+        # train 3 max cosine is 0 (< threshold), train 4 is the zero
+        # vector (norm guard -> cos 0): both absent, hits-only output
+        assert 3 not in out and 4 not in out
+
+    def test_tie_breaks_to_smallest_eval_id(self, spark):
+        from easy_alterator_spark.operators.semantic import semantic_contaminated
+
+        spark_df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (20, [1.0, 0.0]),  # identical eval vectors -> exact tie
+                (1, [3.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        evalset = spark_df.filter(F.col("vec_id") % 20 == 0)
+        train = spark_df.filter(F.col("vec_id") % 20 != 0)
+        rows = semantic_contaminated(train, evalset, threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0]["eval_vec_id"] == 0
+
+
+class TestPackEfficiency:
+    def test_hand_computed(self, spark):
+        from easy_alterator_spark.operators import sampling as SP
+
+        # one lang, budget 10: docs of 6, 6, 9 tokens ->
+        # cum-starts 0, 6, 12 -> packs 0, 0, 1 -> 2 packs used;
+        # naive = ceil(6/10)+ceil(6/10)+ceil(9/10) = 3 sequences
+        docs = spark.createDataFrame(
+            [(1, "en", "a b c d e f"), (2, "en", "g h i j k l"),
+             (3, "en", "m n o p q r s t u")],
+            "doc_id long, lang string, text string",
+        )
+        packed = SP.pack_sequences(docs, budget=10, partition_col="lang")
+        agg = (
+            packed.groupBy("lang")
+            .agg(
+                F.countDistinct("pack_id").alias("packs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum(F.ceil(F.col("n_tokens") / 10.0)).alias("naive"),
+            )
+            .collect()[0]
+        )
+        assert (agg["packs"], agg["tokens"], agg["naive"]) == (2, 21, 3)
+
+
+class TestJaccardPairsHashed:
+    def test_matches_string_set_jaccard(self, spark):
+        from easy_alterator_spark.operators.dedup import jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the cat sat on a mat"),
+                (3, "completely different words here"),
+                (4, ""),  # empty set: jaccard undefined, never paired
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jac"]
+            for r in jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        # sets {the,cat,sat,on,mat} vs {the,cat,sat,on,a,mat}: 5/6
+        assert got[(1, 2)] == round(5 / 6, 4)
+        assert (1, 3) not in got and (2, 3) not in got
+        assert not any(4 in p for p in got)
+
+    def test_size_bound_is_exact(self, spark):
+        from easy_alterator_spark.operators.dedup import jaccard_pairs
+
+        # sizes 10 vs 9 at t=0.9: bound 0.9*10=9 <= 9 keeps the pair;
+        # a subset pair with jac exactly 9/10 = 0.9 must survive
+        a = " ".join(f"w{i}" for i in range(10))
+        b = " ".join(f"w{i}" for i in range(9))
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        rows = jaccard_pairs(docs, threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0]["jac"] == 0.9
