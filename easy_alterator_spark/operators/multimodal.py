@@ -399,3 +399,34 @@ def audio_features(
         .select("media_id", "content")
         .mapInPandas(energy, AUDIO_FEATURES_SCHEMA)
     )
+
+
+def exact_media_dedup(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    min_copies: int = 2,
+) -> DataFrame:
+    """(fingerprint, n_copies, canonical_id) for every group of
+    byte-identical media blobs — exact dedup over an opaque binary
+    column, the first pass every multimodal ingest runs before any
+    decode (identical files are the dominant duplication mode in
+    crawled media; catching them needs no image library at all).
+
+    Same shape as the text exact-dedup: fingerprint = md5 of the raw
+    bytes (32-hex, the shuffle key stays 32 bytes however large the
+    blob), one hash-groupBy, canonical = smallest id. The default
+    ``min_copies=2`` emits only duplicate groups (duplication-sized
+    output); ``min_copies=1`` returns the full fingerprint inventory
+    (the persisted artifact an incremental media ingest probes). At 100 TB the scan reads ONLY the fingerprint
+    column when the source layout stores blobs in a separate parquet
+    column chunk (column pruning does the rest).
+    """
+    return (
+        media.groupBy(F.md5(F.col(content_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col(id_col)).alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )

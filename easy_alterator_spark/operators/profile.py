@@ -104,3 +104,55 @@ def column_profile(
         ]
     )
     return wide.select(F.inline(rows))
+
+
+def distribution_psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline: str,
+    bin_width: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution for
+    every ``group_col`` slice vs the ``baseline`` slice — the standard
+    ingestion drift monitor (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted; banking scorecard convention, applied to corpus
+    intake).
+
+    PSI = Σ_bins (p - q) · ln(p / q) over fixed-width value bins,
+    with the ε-floor convention on empty bins so the sum is defined
+    when one side misses a bin. Everything is one partial+final
+    aggregate over (slice, bin) — at 100 TB the shuffle carries one
+    row per (slice, bin), the output one row per slice. Run per
+    ingest batch against a persisted baseline histogram; alert on the
+    0.25 line before a drifted source poisons the mixture.
+    """
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) / bin_width).alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("tot"))
+    frac = counts.join(totals, "grp").select(
+        "grp", "bin", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    base = frac.filter(F.col("grp") == baseline).select(
+        "bin", F.col("p").alias("q")
+    )
+    rest = frac.filter(F.col("grp") != baseline)
+    # explicit (slice × bin) grid over the global bin union: a bin
+    # held by only one side still contributes via the ε floor, and a
+    # bin empty on BOTH sides contributes exactly 0 — so the grid can
+    # safely be the union (tiny: |slices| × |bins| rows, broadcast)
+    grid = rest.select("grp").distinct().crossJoin(
+        binned.select("bin").distinct()
+    )
+    joined = grid.join(rest, ["grp", "bin"], "left").join(base, "bin", "left")
+    p = F.coalesce(F.col("p"), F.lit(0.0)) + eps
+    q = F.coalesce(F.col("q"), F.lit(0.0)) + eps
+    return (
+        joined.groupBy("grp")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"))
+        .select(F.col("grp").alias(group_col), "psi")
+    )

@@ -1987,6 +1987,75 @@ def profile_key_skew(spark, sf_dir):
 
 
 @query(
+    "profile_drift_psi",
+    # ε floor and the (slice × global-bin-union) grid exactly as the
+    # operator computes them; bins empty on both sides contribute 0.
+    oracle="""
+    WITH b AS (SELECT source AS grp, FLOOR(n_chars / 50) AS bin
+               FROM documents),
+    c AS (SELECT grp, bin, COUNT(*)::DOUBLE AS n FROM b GROUP BY grp, bin),
+    t AS (SELECT grp, SUM(n) AS tot FROM c GROUP BY grp),
+    f AS (SELECT c.grp, c.bin, c.n / t.tot AS p FROM c JOIN t USING (grp)),
+    base AS (SELECT bin, p AS q FROM f WHERE grp = 'src0'),
+    grid AS (SELECT g.grp, bb.bin
+             FROM (SELECT DISTINCT grp FROM f WHERE grp <> 'src0') g
+             CROSS JOIN (SELECT DISTINCT bin FROM b) bb),
+    j AS (SELECT grid.grp,
+                 COALESCE(f.p, 0) + 1e-6 AS p,
+                 COALESCE(base.q, 0) + 1e-6 AS q
+          FROM grid
+          LEFT JOIN f ON f.grp = grid.grp AND f.bin = grid.bin
+          LEFT JOIN base ON base.bin = grid.bin)
+    SELECT grp AS source, ROUND(SUM((p - q) * LN(p / q)), 4) AS psi
+    FROM j GROUP BY grp
+    """,
+)
+def profile_drift_psi(spark, sf_dir):
+    """Ingestion drift monitor: Population Stability Index of the
+    doc-length distribution for every source vs the src0 baseline
+    (operators/profile.py::distribution_psi). One (slice, bin)-keyed
+    partial+final aggregate — per-batch cost is histogram-sized at
+    any corpus size; alert at the 0.25 convention line."""
+    from ..operators.profile import distribution_psi
+
+    return distribution_psi(
+        load_table(spark, sf_dir, "documents"),
+        value_col="n_chars",
+        group_col="source",
+        baseline="src0",
+        bin_width=50,
+    )
+
+
+@query(
+    "multimodal_exact_dedup",
+    # The only multimodal query with a cross-engine oracle: bytes are
+    # derived from documents.text (UTF-8) so DuckDB can rebuild the
+    # binary column; the operator itself takes ANY binary column
+    # (binaryFile-ingested images included, operators/multimodal.py).
+    oracle="""
+    SELECT md5(text) AS fingerprint, COUNT(*)::BIGINT AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def multimodal_exact_dedup(spark, sf_dir):
+    """Byte-identical media dedup over an opaque binary column
+    (operators/multimodal.py::exact_media_dedup). min_copies=1 keeps
+    the full fingerprint inventory so the cross-engine check pins
+    binary md5 parity on EVERY blob, not just the (scale-dependent)
+    duplicate groups; production ingest runs the min_copies=2 form."""
+    from ..operators.multimodal import exact_media_dedup
+
+    media = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return exact_media_dedup(
+        media, content_col="content", id_col="doc_id", min_copies=1
+    )
+
+
+@query(
     "corpus_entropy",
     # SUM casts pinned to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT)
     oracle=f"""

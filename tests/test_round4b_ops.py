@@ -121,3 +121,49 @@ class TestJaccardPairsHashed:
         )
         rows = jaccard_pairs(docs, threshold=0.9).collect()
         assert len(rows) == 1 and rows[0]["jac"] == 0.9
+
+
+class TestDistributionPsi:
+    def test_identical_and_shifted_slices(self, spark):
+        from easy_alterator_spark.operators.profile import distribution_psi
+
+        rows = []
+        # baseline: 50 values in bin 0, 50 in bin 1
+        rows += [("base", v) for v in [10] * 50 + [60] * 50]
+        # same: identical histogram -> psi ~ 0
+        rows += [("same", v) for v in [10] * 50 + [60] * 50]
+        # shift: all mass in bin 2 -> large psi
+        rows += [("shift", v) for v in [110] * 100]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = {
+            r["source"]: r["psi"]
+            for r in distribution_psi(
+                df, "n_chars", "source", baseline="base", bin_width=50
+            ).collect()
+        }
+        assert set(out) == {"same", "shift"}
+        assert abs(out["same"]) < 1e-3
+        # hand value: p=(eps,eps,1+eps), q=(.5+eps,.5+eps,eps);
+        # psi = 2*(eps-.5-eps)*ln(eps/(.5+eps)) + (1+eps-eps)*ln((1+eps)/eps)
+        import math
+
+        eps = 1e-6
+        expect = 2 * (eps - (0.5 + eps)) * math.log(eps / (0.5 + eps)) + (
+            1 + eps - eps
+        ) * math.log((1 + eps) / eps)
+        assert out["shift"] == round(expect, 4)
+
+
+class TestExactMediaDedup:
+    def test_groups_and_inventory(self, spark):
+        from easy_alterator_spark.operators.multimodal import exact_media_dedup
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"aa")), (2, bytearray(b"aa")), (3, bytearray(b"bb"))],
+            "media_id long, content binary",
+        )
+        dups = exact_media_dedup(media).collect()
+        assert len(dups) == 1
+        assert (dups[0]["n_copies"], dups[0]["canonical_id"]) == (2, 1)
+        inv = exact_media_dedup(media, min_copies=1).collect()
+        assert len(inv) == 2
