@@ -112,6 +112,12 @@ _PRIORITY = [
     "events_window_dedup",
     "events_conversion_latency",
     "privacy_erasure_audit",
+    # second wave (driver_sim-verified green at sf0.01 AND sf0.1):
+    "decontaminate_semantic",
+    "doc_pack_efficiency",
+    "profile_drift_psi",
+    "multimodal_exact_dedup",
+    "search_eval_metrics",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

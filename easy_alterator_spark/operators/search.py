@@ -240,6 +240,7 @@ def keyword_search_bm25(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_rank: bool = False,
 ) -> DataFrame:
     """Top-k documents under Okapi BM25 — the retrieval scorer the
     plain tf·idf form approximates: tf saturates (k1) and long
@@ -288,6 +289,20 @@ def keyword_search_bm25(
     # ordering); round only in the projected output — rounding-created
     # ties near the top-k boundary would otherwise resolve differently
     # than the oracle's raw-score ranking.
+    if with_rank:
+        from pyspark.sql import Window
+
+        # top-k FIRST via orderBy+limit (distributed TakeOrdered), so
+        # the rank window — a 1-task global sort by construction —
+        # only ever sees k rows, never the corpus-sized score table
+        topk = scored.orderBy(F.col("raw_score").desc(), F.col("doc_id")).limit(k)
+        w = Window.orderBy(F.col("raw_score").desc(), F.col("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "doc_id",
+            "n_terms",
+            F.round("raw_score", 4).alias("score"),
+            "rank",
+        )
     return (
         scored.orderBy(F.col("raw_score").desc(), F.col("doc_id"))
         .limit(k)
@@ -335,4 +350,92 @@ def build_inverted_index(
             ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)
+    )
+
+
+def ranking_metrics(
+    runs: DataFrame,
+    truth: DataFrame,
+    k: int = 20,
+    query_col: str = "q_term",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked run against graded
+    relevance judgments: MRR, nDCG@k (linear gain), recall@k — the
+    offline eval loop every retrieval stack (and every RAG data
+    pipeline) runs before swapping rankers.
+
+    ``runs``: (query, doc, rank) with rank 1-based within each query;
+    ``truth``: (query, doc, rel) with rel > 0 for relevant docs.
+    Linear-gain DCG (gain = rel, discount = log2(rank+1)) rather than
+    the 2^rel form — graded tf-style judgments make exponential gain
+    overflow-prone and both conventions are standard (TREC uses
+    either; the convention is pinned here and in the oracle).
+
+    Shape: one (query, doc)-keyed join of the k·|queries|-row run
+    against the judgments, one window over the judgments for the
+    ideal ordering, two (query)-keyed aggregates — every stage is
+    keyed by query, nothing is corpus-sized after the judgment join.
+    Queries with no relevant docs report ndcg/recall 0 (idcg = 0
+    guard), mrr 0.
+    """
+    from pyspark.sql import Window
+
+    r = runs.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rank_col).alias("rk"),
+    ).filter(F.col("rk") <= k)
+    t = truth.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rel_col).alias("rel"),
+    ).filter(F.col("rel") > 0)
+    joined = r.join(t, ["q", "d"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0.0))
+    )
+    got = joined.groupBy("q").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rk") + 1)).alias("dcg"),
+        F.max(
+            F.when(F.col("rel") > 0, 1.0 / F.col("rk")).otherwise(0.0)
+        ).alias("mrr"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("hits"),
+    )
+    iw = Window.partitionBy("q").orderBy(F.col("rel").desc(), F.col("d"))
+    ideal = (
+        t.withColumn("irk", F.row_number().over(iw))
+        .groupBy("q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("irk") <= k,
+                    F.col("rel") / F.log2(F.col("irk") + 1),
+                ).otherwise(0.0)
+            ).alias("idcg"),
+            F.count(F.lit(1)).alias("n_rel"),
+        )
+    )
+    return (
+        got.join(ideal, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            F.round("mrr", 4).alias("mrr"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.col("dcg") / F.col("idcg"),
+                ).otherwise(0.0),
+                4,
+            ).alias("ndcg"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                    F.col("hits") / F.col("n_rel"),
+                ).otherwise(0.0),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy(query_col)
     )

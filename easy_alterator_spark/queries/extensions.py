@@ -2424,3 +2424,87 @@ def search_bm25(spark, sf_dir):
     return SE.keyword_search_bm25(
         load_table(spark, sf_dir, "documents"), ["window", "shuffle", "broadcast"], k=20
     )
+
+
+@query(
+    "search_eval_metrics",
+    # Relevance judgments: rel = tf for docs mentioning the term >= 2
+    # times (strong relevance), so MRR/recall are non-vacuous against
+    # a ranker that retrieves every tf >= 1 doc. Linear-gain DCG; rank
+    # ties broken by doc_id in both engines.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+    q AS (SELECT doc_id, dl, unnest(t) AS term FROM base),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM q
+           WHERE term IN ('window', 'join', 'scan')
+           GROUP BY doc_id, dl, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (SELECT tf.term, tf.doc_id,
+                      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                          AS score
+               FROM tf JOIN df USING (term) CROSS JOIN stats s),
+    runk AS (SELECT term, doc_id, rk FROM (
+               SELECT term, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY term
+                                         ORDER BY score DESC, doc_id) AS rk
+               FROM scored) WHERE rk <= 20),
+    truth AS (SELECT term, doc_id, tf::DOUBLE AS rel FROM tf WHERE tf >= 2),
+    j AS (SELECT r.term, r.rk, COALESCE(t.rel, 0) AS rel
+          FROM runk r LEFT JOIN truth t
+            ON t.term = r.term AND t.doc_id = r.doc_id),
+    got AS (SELECT term, SUM(rel / log2(rk + 1)) AS dcg,
+                   MAX(CASE WHEN rel > 0 THEN 1.0 / rk ELSE 0 END) AS mrr,
+                   SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+            FROM j GROUP BY term),
+    ideal AS (SELECT term,
+                     SUM(CASE WHEN irk <= 20
+                         THEN rel / log2(irk + 1) ELSE 0 END) AS idcg,
+                     COUNT(*) AS n_rel
+              FROM (SELECT term, doc_id, rel,
+                           ROW_NUMBER() OVER (PARTITION BY term
+                                              ORDER BY rel DESC, doc_id)
+                             AS irk
+                    FROM truth)
+              GROUP BY term)
+    SELECT g.term AS q_term, ROUND(g.mrr, 4) AS mrr,
+           ROUND(CASE WHEN COALESCE(i.idcg, 0) > 0
+                 THEN g.dcg / i.idcg ELSE 0 END, 4) AS ndcg,
+           ROUND(CASE WHEN COALESCE(i.n_rel, 0) > 0
+                 THEN g.hits::DOUBLE / i.n_rel ELSE 0 END, 4) AS recall
+    FROM got g LEFT JOIN ideal i USING (term) ORDER BY q_term
+    """,
+)
+def search_eval_metrics(spark, sf_dir):
+    """Offline retrieval eval (operators/search.py::ranking_metrics):
+    MRR / nDCG@20 / recall@20 of per-term BM25 runs against graded
+    tf >= 2 relevance judgments — the metric loop that gates ranker
+    swaps. Run lists are k-sized per query before any metric math."""
+    from ..functions import text as T
+    from ..operators import search as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["window", "join", "scan"]
+    runs = None
+    for t in terms:
+        r = SE.keyword_search_bm25(docs, [t], k=20, with_rank=True).select(
+            F.lit(t).alias("q_term"), "doc_id", "rank"
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    truth = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 2)
+        .select(
+            F.col("term").alias("q_term"),
+            "doc_id",
+            F.col("tf").cast("double").alias("rel"),
+        )
+    )
+    return SE.ranking_metrics(runs, truth, k=20)

@@ -167,3 +167,45 @@ class TestExactMediaDedup:
         assert (dups[0]["n_copies"], dups[0]["canonical_id"]) == (2, 1)
         inv = exact_media_dedup(media, min_copies=1).collect()
         assert len(inv) == 2
+
+
+class TestRankingMetrics:
+    def test_hand_computed(self, spark):
+        from easy_alterator_spark.operators.search import ranking_metrics
+
+        # q1: ranked [d1, d2, d3]; relevant: d2 (rel 2), d3 (rel 1),
+        #     d9 (rel 3, never retrieved).
+        # dcg  = 2/log2(3) + 1/log2(4) = 2/1.58496 + 0.5
+        # idcg = 3/log2(2) + 2/log2(3) + 1/log2(4)
+        # mrr = 1/2; recall = 2/3
+        runs = spark.createDataFrame(
+            [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 1, 1)],
+            "q_term string, doc_id long, rank int",
+        )
+        truth = spark.createDataFrame(
+            [("q1", 2, 2.0), ("q1", 3, 1.0), ("q1", 9, 3.0)],
+            "q_term string, doc_id long, rel double",
+        )
+        out = {r["q_term"]: r for r in ranking_metrics(runs, truth, k=20).collect()}
+        dcg = 2 / math.log2(3) + 1 / math.log2(4)
+        idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+        assert out["q1"]["mrr"] == 0.5
+        assert out["q1"]["ndcg"] == round(dcg / idcg, 4)
+        assert out["q1"]["recall"] == round(2 / 3, 4)
+        # q2 has no judged-relevant docs at all: all metrics 0
+        assert (out["q2"]["mrr"], out["q2"]["ndcg"], out["q2"]["recall"]) == (
+            0.0, 0.0, 0.0,
+        )
+
+    def test_k_cutoff(self, spark):
+        from easy_alterator_spark.operators.search import ranking_metrics
+
+        runs = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)], "q_term string, doc_id long, rank int"
+        )
+        truth = spark.createDataFrame(
+            [("q", 2, 1.0)], "q_term string, doc_id long, rel double"
+        )
+        # k=1 cuts the run before the relevant doc at rank 2
+        out = ranking_metrics(runs, truth, k=1).collect()[0]
+        assert (out["mrr"], out["ndcg"], out["recall"]) == (0.0, 0.0, 0.0)
