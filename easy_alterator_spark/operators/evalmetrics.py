@@ -74,3 +74,51 @@ def classification_report(
         F.round(rec, 4).alias("recall"),
         F.round(f1, 4).alias("f1"),
     )
+
+
+def cohens_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
+    """One-row (n, po, pe, kappa): Cohen's kappa of predictions vs
+    gold — chance-corrected agreement, the number that exposes a
+    classifier coasting on class imbalance (a 95%-majority-class
+    corpus gives accuracy 0.95 to a constant predictor; kappa gives
+    it 0.0).
+
+    po = observed agreement (accuracy), pe = Σ_cls (gold marginal ×
+    pred marginal) / n² (chance agreement), kappa = (po − pe) /
+    (1 − pe); the degenerate pe = 1 case (both raters constant)
+    reports 0.0 by convention. Same scale shape as the report: ONE
+    corpus-sized aggregate builds the confusion matrix, everything
+    after is classes²-sized algebra. po/pe are rounded for display;
+    kappa is computed from the unrounded values.
+    """
+    cm = confusion_matrix(df, gold_col, pred_col)
+    s = cm.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("double")
+        .alias("agree"),
+    )
+    g = cm.groupBy(F.col("gold").alias("cls")).agg(
+        F.sum("n").cast("double").alias("sup")
+    )
+    p = cm.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("double").alias("pt")
+    )
+    m = (
+        g.join(p, "cls", "full_outer")
+        .select(
+            F.coalesce("sup", F.lit(0.0)).alias("sup"),
+            F.coalesce("pt", F.lit(0.0)).alias("pt"),
+        )
+        .agg(F.sum(F.col("sup") * F.col("pt")).alias("pep"))
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("pep") / (F.col("n") * F.col("n"))
+    return s.crossJoin(m).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round(
+            F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)).otherwise(0.0), 4
+        ).alias("kappa"),
+    )

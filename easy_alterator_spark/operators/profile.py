@@ -156,3 +156,39 @@ def distribution_psi(
         .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"))
         .select(F.col("grp").alias(group_col), "psi")
     )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bin_width: int = 50
+) -> DataFrame:
+    """(bin, n) fixed-width histogram of ``value_col`` — the persisted
+    baseline artifact the drift monitors compare against (tiny: one
+    row per occupied bin, whatever the corpus size)."""
+    return (
+        df.select(F.floor(F.col(value_col) / bin_width).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_between(
+    cur_hist: DataFrame, base_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """One-row (psi) between two (bin, n) histograms — the pairwise
+    core of :func:`distribution_psi`, for the streaming case where the
+    baseline is a PERSISTED histogram and the current side is a
+    micro-batch. Same ε-floor convention; bins empty on both sides
+    contribute 0, so the join can be a plain full outer on bin.
+    Histogram-sized work only."""
+    c = cur_hist.groupBy().agg(F.sum("n").alias("ct")).crossJoin(
+        cur_hist
+    ).select("bin", (F.col("n").cast("double") / F.col("ct")).alias("p"))
+    b = base_hist.groupBy().agg(F.sum("n").alias("bt")).crossJoin(
+        base_hist
+    ).select("bin", (F.col("n").cast("double") / F.col("bt")).alias("q"))
+    p = F.coalesce(F.col("p"), F.lit(0.0)) + eps
+    q = F.coalesce(F.col("q"), F.lit(0.0)) + eps
+    return (
+        c.join(b, "bin", "full")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"))
+    )

@@ -513,6 +513,56 @@ def eval_lang_id_report(spark, sf_dir):
 
 
 @query(
+    "eval_kappa",
+    # same lang-id prediction CTE as eval_lang_id_report; kappa from
+    # UNROUNDED po/pe, display columns rounded 4, pe=1 degenerate -> 0
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DTOKS} AS toks FROM documents),
+    pr AS (SELECT lang AS gold,
+                  CASE WHEN en_cnt >= es_cnt AND en_cnt >= de_cnt AND en_cnt > 0 THEN 'en'
+                       WHEN es_cnt >= de_cnt AND es_cnt > 0 THEN 'es'
+                       WHEN de_cnt > 0 THEN 'de'
+                       ELSE 'und' END AS pred
+           FROM (SELECT lang,
+                        len(list_filter(toks, x -> list_contains(['the','is','and'], x))) AS en_cnt,
+                        len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS es_cnt,
+                        len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS de_cnt
+                 FROM t)),
+    cm AS (SELECT gold, pred, COUNT(*) AS n FROM pr GROUP BY gold, pred),
+    s AS (SELECT SUM(n)::DOUBLE AS n,
+                 SUM(CASE WHEN gold = pred THEN n ELSE 0 END)::DOUBLE AS agree
+          FROM cm),
+    m AS (SELECT COALESCE(g.sup, 0)::DOUBLE AS sup,
+                 COALESCE(p.pt, 0)::DOUBLE AS pt
+          FROM (SELECT gold AS cls, SUM(n) AS sup FROM cm GROUP BY 1) g
+          FULL OUTER JOIN
+               (SELECT pred AS cls, SUM(n) AS pt FROM cm GROUP BY 1) p
+          USING (cls)),
+    pe AS (SELECT SUM(sup * pt) AS pep FROM m)
+    SELECT s.n::BIGINT AS n,
+           ROUND(agree / s.n, 4) AS po,
+           ROUND(pep / (s.n * s.n), 4) AS pe,
+           ROUND(CASE WHEN 1.0 - pep / (s.n * s.n) > 0
+                 THEN (agree / s.n - pep / (s.n * s.n))
+                      / (1.0 - pep / (s.n * s.n))
+                 ELSE 0.0 END, 4) AS kappa
+    FROM s CROSS JOIN pe
+    """,
+)
+def eval_kappa(spark, sf_dir):
+    """Chance-corrected agreement of the heuristic lang-ID vs gold
+    labels (operators/evalmetrics.py::cohens_kappa) — the companion
+    number to the per-class report: accuracy a constant predictor can
+    inflate, kappa it cannot."""
+    from ..operators import textstats as X
+    from ..operators.evalmetrics import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("doc_id", "lang").join(X.lang_id(docs), "doc_id")
+    return cohens_kappa(pred, "lang", "pred_lang")
+
+
+@query(
     "events_window_dedup",
     oracle="""
     WITH t AS (SELECT user_id, event_type, ts, event_id,

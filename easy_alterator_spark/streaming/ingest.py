@@ -165,3 +165,76 @@ def run_lm_gate(
     q.awaitTermination(timeout)
     q.stop()
     return q
+
+
+def drift_gate_writer(
+    base_hist: DataFrame,
+    out_path: str,
+    max_psi: float,
+    value_col: str = "n_chars",
+    bin_width: int = 50,
+):
+    """foreachBatch function for the streaming distribution-drift
+    gate: PSI of each micro-batch's ``value_col`` histogram against a
+    PERSISTED baseline histogram (operators/profile.py::psi_between —
+    the compute-baseline-once / check-every-batch deployment of
+    distribution_psi). Batches at or under ``max_psi`` land in
+    ``accepted/``; drifted batches are quarantined WHOLE with their
+    psi stamped on every row — drift is a batch-level property (a
+    shifted source, a broken upstream filter), so admitting the
+    "good-looking" rows of a drifted batch would defeat the alarm.
+
+    The per-batch psi is a one-row driver witness (same bounded class
+    as the report collects, SURVEY §4.2); all histogram work is
+    executor-side and histogram-sized. An all-NULL ``value_col`` batch
+    yields an empty histogram (psi NULL) and is quarantined — an
+    unmeasurable batch must not pass a measurement gate.
+    """
+    from ..operators.profile import psi_between, value_histogram
+
+    accept_w = idempotent_batch_writer(f"{out_path}/accepted")
+    quarantine_w = idempotent_batch_writer(f"{out_path}/quarantined")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        psi = psi_between(
+            value_histogram(batch_df, value_col, bin_width), base_hist
+        ).collect()[0][0]
+        if psi is not None and psi <= max_psi:
+            accept_w(batch_df, batch_id)
+        else:
+            quarantine_w(batch_df.withColumn("psi", F.lit(psi)), batch_id)
+
+    return gate
+
+
+def run_drift_gate(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    base_hist: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    max_psi: float,
+    value_col: str = "n_chars",
+    bin_width: int = 50,
+    timeout: int = 120,
+) -> StreamingQuery:
+    """Drain pending document files through the drift gate
+    (availableNow; same replay-safe offsets+idempotent-write contract
+    as run_dedup_ingest / run_lm_gate)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_gate_writer(base_hist, out_path, max_psi, value_col, bin_width)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+    return q

@@ -209,3 +209,29 @@ class TestRankingMetrics:
         # k=1 cuts the run before the relevant doc at rank 2
         out = ranking_metrics(runs, truth, k=1).collect()[0]
         assert (out["mrr"], out["ndcg"], out["recall"]) == (0.0, 0.0, 0.0)
+
+
+class TestCohensKappa:
+    def test_hand_computed(self, spark):
+        from easy_alterator_spark.operators.evalmetrics import cohens_kappa
+
+        # 10 rows: gold 6a/4b; pred agrees on 5a+2b = 7
+        # marginals: gold a=6 b=4; pred a=7 b=3
+        # po=0.7, pe=(6*7+4*3)/100=0.54, kappa=(0.7-0.54)/0.46
+        rows = (
+            [("a", "a")] * 5 + [("a", "b")] * 1
+            + [("b", "b")] * 2 + [("b", "a")] * 2
+        )
+        df = spark.createDataFrame(rows, "gold string, pred string")
+        out = cohens_kappa(df, "gold", "pred").collect()[0]
+        assert out["n"] == 10 and out["po"] == 0.7 and out["pe"] == 0.54
+        assert out["kappa"] == round((0.7 - 0.54) / 0.46, 4)
+
+    def test_constant_predictor_scores_zero(self, spark):
+        from easy_alterator_spark.operators.evalmetrics import cohens_kappa
+
+        # constant 'a' on a 95/5 imbalanced corpus: accuracy .95, kappa 0
+        rows = [("a", "a")] * 95 + [("b", "a")] * 5
+        df = spark.createDataFrame(rows, "gold string, pred string")
+        out = cohens_kappa(df, "gold", "pred").collect()[0]
+        assert out["po"] == 0.95 and out["kappa"] == 0.0

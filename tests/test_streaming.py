@@ -396,3 +396,60 @@ class TestLmGateIngest:
         assert accepted | set(rejected) == {
             r.doc_id for r in incoming.collect()
         }
+
+
+class TestDriftGateIngest:
+    def test_drifted_batch_quarantined_whole(self, spark, tmp_path):
+        """A matching-distribution batch passes; a shifted batch is
+        quarantined whole with its psi stamped; the stamped psi equals
+        the batch psi_between computation."""
+        import glob
+        import os
+        import shutil
+
+        from easy_alterator_spark.operators.profile import (
+            psi_between,
+            value_histogram,
+        )
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.ingest import run_drift_gate
+
+        docs = load_table(spark, SF, "documents")
+        base_hist = value_histogram(
+            docs.select("doc_id", "n_chars"), "n_chars", 50
+        ).cache()
+        base_hist.count()
+
+        ok_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "n_chars"
+        )
+        drifted = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", (F.col("n_chars") + 5000).alias("n_chars")
+        )
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        for i, frag in enumerate((ok_batch, drifted)):
+            tmp = str(tmp_path / f"stage{i}")
+            frag.coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{landing}/f{i}.parquet")
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_drift_gate(
+            spark, landing, "doc_id long, n_chars long",
+            base_hist, out, ckpt, max_psi=0.25, bin_width=50,
+        )
+
+        accepted = {
+            r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()
+        }
+        quarantined = spark.read.parquet(f"{out}/quarantined").collect()
+        assert accepted == {r.doc_id for r in ok_batch.collect()}
+        assert {r.doc_id for r in quarantined} == {
+            r.doc_id for r in drifted.collect()
+        }
+        want_psi = psi_between(
+            value_histogram(drifted, "n_chars", 50), base_hist
+        ).collect()[0][0]
+        assert all(r.psi == want_psi and r.psi > 0.25 for r in quarantined)
