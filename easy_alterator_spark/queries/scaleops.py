@@ -720,3 +720,170 @@ def privacy_erasure_audit(spark, sf_dir):
         .unionByName(audit(orders, "o_custkey", "orders"))
         .unionByName(audit(customer, "c_custkey", "customer"))
     )
+
+
+@query(
+    "dq_rule_violations",
+    # SUM(CASE) is INT128 in DuckDB -> cast BIGINT; rate = double/double
+    # rounded 6 on both engines.
+    oracle="""
+    WITH j AS (SELECT l.*, o.o_orderdate
+               FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey),
+    a AS (SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS v1,
+                 SUM(CASE WHEN l_tax < 0 OR l_tax > 0.06 THEN 1 ELSE 0 END) AS v2,
+                 SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS v3,
+                 SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v4,
+                 SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v5
+          FROM j)
+    SELECT rule, n::BIGINT AS n_checked, v::BIGINT AS n_violations,
+           ROUND(v::DOUBLE / n, 6) AS violation_rate
+    FROM (SELECT 'bulk_quantity' AS rule, n, v3 AS v FROM a
+          UNION ALL SELECT 'discount_above_cap', n, v1 FROM a
+          UNION ALL SELECT 'nonpositive_price', n, v4 FROM a
+          UNION ALL SELECT 'ship_before_order', n, v5 FROM a
+          UNION ALL SELECT 'tax_out_of_band', n, v2 FROM a)
+    """,
+)
+def dq_rule_violations(spark, sf_dir):
+    """Rule-driven data-quality conformance audit — the pre-training
+    gate that answers "which invariants does this drop violate, and
+    how often" BEFORE the data reaches a pipeline. N declarative rules
+    (range checks, sign checks, one cross-table referential check)
+    compile into ONE aggregate over one scan: each rule is a
+    conditional SUM, so partial aggregation collapses map-side and the
+    shuffle carries exactly one partial row per map partition whatever
+    the corpus size; the only join is the referential rule's
+    equi-join, which rides the same shuffle every downstream consumer
+    of (order, lineitem) pays anyway. The per-rule unpivot happens on
+    the ONE aggregated row (stack), never on data rows. Adding a rule
+    at 100 TB costs one more counter in the same pass — not one more
+    pass; per-rule sampled EXAMPLES (not counted here) would ride the
+    same scan as a conditional collect_list(... LIMIT k) sketch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    j = li.join(orders, "l_orderkey")
+
+    def v(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    a = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        v(F.col("l_discount") > 0.08).alias("v1"),
+        v((F.col("l_tax") < 0) | (F.col("l_tax") > 0.06)).alias("v2"),
+        v(F.col("l_quantity") > 40).alias("v3"),
+        v(F.col("l_extendedprice") <= 0).alias("v4"),
+        v(F.col("l_shipdate") < F.col("o_orderdate")).alias("v5"),
+    )
+    return a.select(
+        F.expr(
+            "stack(5, 'bulk_quantity', v3, 'discount_above_cap', v1,"
+            " 'nonpositive_price', v4, 'ship_before_order', v5,"
+            " 'tax_out_of_band', v2) AS (rule, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH e AS (SELECT user_id AS k, COUNT(*) AS c1 FROM events GROUP BY 1),
+    o AS (SELECT o_custkey AS k, COUNT(*) AS c2 FROM orders GROUP BY 1)
+    SELECT COALESCE(SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                        THEN c1 * c2 END), 0)::BIGINT AS join_rows,
+           COUNT(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN 1 END)
+               AS matched_keys,
+           COUNT(CASE WHEN c2 IS NULL THEN 1 END) AS left_only_keys,
+           COUNT(CASE WHEN c1 IS NULL THEN 1 END) AS right_only_keys,
+           MAX(c1 * c2)::BIGINT AS max_key_rows
+    FROM e FULL OUTER JOIN o USING (k)
+    """,
+)
+def join_cardinality_estimate(spark, sf_dir):
+    """Join pre-flight: the EXACT output cardinality of
+    events JOIN orders ON user_id = o_custkey — plus key-overlap and
+    worst-key contribution — computed WITHOUT materializing the join.
+    Per-side per-key counts reduce each input to its key histogram
+    (map-side partial count, shuffle carries one row per key, not per
+    data row), then a key-histogram full-outer join does the
+    sum-of-products. At 100 TB this is the cheap question you ask
+    BEFORE launching a join that might explode: max_key_rows is the
+    skew verdict (feeds the salt/AQE decision the same way
+    profile_key_skew does), join_rows the output-size verdict. The
+    exact form is already sketch-shaped — swapping COUNT(*) for a
+    sampled count or CMS estimate changes the numbers' error bar, not
+    the plan. Products stay in BIGINT here for oracle parity; the
+    100 TB deployment widens to double the way profile_key_skew does
+    (ADVICE r3) since c1*c2 can cross 2^63 under hot keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    both = F.col("c1").isNotNull() & F.col("c2").isNotNull()
+    return (
+        e.join(o, "k", "full_outer")
+        .agg(
+            F.coalesce(F.sum(F.when(both, F.col("c1") * F.col("c2"))), F.lit(0))
+            .cast("long")
+            .alias("join_rows"),
+            F.count(F.when(both, 1)).alias("matched_keys"),
+            F.count(F.when(F.col("c2").isNull(), 1)).alias("left_only_keys"),
+            F.count(F.when(F.col("c1").isNull(), 1)).alias("right_only_keys"),
+            F.max(F.col("c1") * F.col("c2")).cast("long").alias("max_key_rows"),
+        )
+    )
+
+
+@query(
+    "stream_window_counts",
+    # batch GROUP BY day twin of the streaming tumbling-window agg;
+    # engine session is UTC and ts is normalized by load_table, so
+    # day boundaries agree with DuckDB's naive date_trunc
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed on the
+    STREAMING engine (streaming/events.py::tumbling_counts): 1-day
+    windows per event_type over the events file stream, availableNow
+    trigger, memory sink — the third streaming registry entry, and the
+    one that exercises the windowed-aggregation state store (the other
+    two cover dedup state and session_window state). Complete output
+    mode makes the drain exact for the bounded test stream; the
+    unbounded production form is append mode, where a window emits
+    once the watermark passes its end and its state is dropped —
+    state is bounded by (windows in the watermark horizon ×
+    event_types), not stream length. Sink names are sequenced so
+    bench re-runs get fresh memory tables."""
+    from ..streaming.events import read_events_stream, run_to_memory, tumbling_counts
+    from .extensions import _STREAM_SINK_SEQ
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_window_sink_{_STREAM_SINK_SEQ[0]}"
+    run_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        F.col("window_start").cast("date").alias("day"), "event_type", "n", "sv"
+    )
