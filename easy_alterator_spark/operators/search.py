@@ -117,6 +117,62 @@ def probe_phrase_postings(
     return postings.join(F.broadcast(q), "g").select("phrase", "doc_id", "n_hits")
 
 
+def positional_postings(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, pos): one posting row per token occurrence,
+    1-based position — the positional inverted index of a classic IR
+    engine (vs build_phrase_postings' gram-hash index, which bakes the
+    phrase width into the build).
+
+    ``terms`` prunes the explode stream map-side: when probing for a
+    known phrase the filter sits directly above the scan, so only the
+    phrase's vocabulary ever reaches a shuffle. A persisted full index
+    is written bucketed by term (sources/bucketing.py), same as the
+    dedup band index.
+    """
+    toks = T.tokens(F.col(text_col))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("term", "doc_id", (F.col("pos0") + 1).alias("pos"))
+    if terms is not None:
+        out = out.filter(F.col("term").isin(list(terms)))
+    return out
+
+
+def phrase_search_positional(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_hits) for an exact token phrase via positional-
+    posting adjacency joins — the third phrase formulation beside the
+    regex fold (phrase_occurrences) and the gram-hash index
+    (build_phrase_postings), and the one that generalizes to NEAR/k
+    and wildcard slots.
+
+    A phrase t0..t(m-1) matches at anchor a iff term ti occurs at
+    a+i for every i, so each term's postings are shifted to their
+    anchor (pos - i) and intersected with m-1 inner joins keyed on
+    (doc_id, anchor). Scale shape: the postings stream is filtered to
+    the phrase vocabulary MAP-SIDE (only matching tokens shuffle);
+    every join key includes doc_id, so keys are near-unique and
+    skew-free; with a persisted term-bucketed index the joins are
+    bucket-local. Overlapping occurrences each count — same
+    semantics as phrase_occurrences.
+    """
+    ptoks = _norm_phrase(phrase)
+    post = positional_postings(docs, terms=sorted(set(ptoks)), id_col=id_col, text_col=text_col)
+    anchors = None
+    for i, t in enumerate(ptoks):
+        pi = post.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        anchors = pi if anchors is None else anchors.join(pi, ["doc_id", "anchor"])
+    return anchors.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+
+
 def keyword_search_ranked(
     docs: DataFrame,
     terms: list[str],

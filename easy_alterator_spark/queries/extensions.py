@@ -1578,6 +1578,38 @@ def search_phrase(spark, sf_dir):
 
 
 @query(
+    "search_phrase_positional",
+    # positional formulation of the SAME phrase as search_phrase: the
+    # oracle intersects per-term position lists shifted to a common
+    # anchor — structurally independent of the gram-fold oracle above,
+    # yet both must (and do) produce identical rows.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    p AS (SELECT doc_id, u.tok, u.pos
+          FROM toks, LATERAL (SELECT unnest(t) AS tok,
+                                     generate_subscripts(t, 1) AS pos) u
+          WHERE u.tok IN ('slow', 'hash', 'batch')),
+    a AS (SELECT p0.doc_id, p0.pos AS anchor
+          FROM (SELECT doc_id, pos FROM p WHERE tok = 'slow') p0
+          JOIN (SELECT doc_id, pos FROM p WHERE tok = 'hash') p1
+            ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+          JOIN (SELECT doc_id, pos FROM p WHERE tok = 'batch') p2
+            ON p0.doc_id = p2.doc_id AND p2.pos = p0.pos + 2)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_hits FROM a GROUP BY doc_id
+    """,
+)
+def search_phrase_positional(spark, sf_dir):
+    """Exact phrase via positional-posting adjacency joins
+    (operators/search.py phrase_search_positional): map-side vocabulary
+    filter, (doc_id, anchor)-keyed skew-free joins, generalizes to
+    NEAR/k — the index-backed phrase path of a classic IR engine."""
+    from ..operators import search as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SE.phrase_search_positional(docs, "slow hash batch")
+
+
+@query(
     "search_ranked",
     oracle="""
     WITH toks AS (SELECT doc_id,

@@ -235,3 +235,44 @@ class TestCohensKappa:
         df = spark.createDataFrame(rows, "gold string, pred string")
         out = cohens_kappa(df, "gold", "pred").collect()[0]
         assert out["po"] == 0.95 and out["kappa"] == 0.0
+
+
+class TestPhrasePositional:
+    def _docs(self, spark):
+        rows = [
+            (1, "slow hash batch end"),          # one hit at anchor 1
+            (2, "x slow hash batch slow hash batch"),  # two hits
+            (3, "slow hash  BATCH"),             # case/whitespace-normalized hit
+            (4, "slow hash slow batch"),         # broken adjacency: no hit
+            (5, "hash batch slow"),              # right tokens, wrong order
+            (6, "slow"),                         # shorter than the phrase
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed(self, spark):
+        from easy_alterator_spark.operators.search import phrase_search_positional
+
+        out = {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search_positional(self._docs(spark), "slow hash batch").collect()
+        }
+        assert out == {1: 1, 2: 2, 3: 1}
+
+    def test_matches_regex_formulation(self, spark):
+        # three structurally independent phrase engines, one answer
+        from easy_alterator_spark.operators.search import (
+            phrase_occurrences,
+            phrase_search_positional,
+        )
+
+        docs = self._docs(spark)
+        pos = sorted(map(tuple, phrase_search_positional(docs, "slow hash batch").collect()))
+        rex = sorted(map(tuple, phrase_occurrences(docs, "slow hash batch").collect()))
+        assert pos == rex
+
+    def test_overlapping_occurrences(self, spark):
+        from easy_alterator_spark.operators.search import phrase_search_positional
+
+        docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+        out = phrase_search_positional(docs, "a a").collect()
+        assert [(r["doc_id"], r["n_hits"]) for r in out] == [(1, 3)]
