@@ -261,6 +261,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     df_prune: float | None = None,
     min_set: int = 1,
+    verify_in_join: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact word-set Jaccard.
 
@@ -304,6 +305,22 @@ def minhash_dedup_pairs(
     bands×-inflated distinct shuffle and a separate signature-fetch
     join — the right side of the trade whenever collisions are
     plentiful, which is exactly when dedup is worth running.
+
+    ``verify_in_join`` (small-corpus / collision-light only — OFF by
+    default, and deliberately NOT used by the registry query): carries
+    ``hset`` + ``members`` in the banded rows and evaluates the EXACT
+    Jaccard inside the band join, replacing both the signature
+    pre-verify and the join-back shuffle. Measured both ways (output
+    bit-identical, pinned in tests): at sf0.01 it wins (7.3 → 5.0 s —
+    the saved join-back dominates), but at sf0.1 it LOSES 4×
+    (7.6 → 30.7 s). The reason is structural, not tunable: the set
+    payload is duplicated ×``bands`` through the band-explode
+    exchange, so its cost grows with corpus size × bands, while the
+    join-back it replaces moves each set exactly once and only for
+    candidate survivors. At the collision floor — precisely when dedup
+    is worth running — the default path is the right one at every
+    scale that matters; the fused mode is kept for interactive /
+    small-batch probes where one shuffle fewer beats byte volume.
     """
     hs = docs.select(
         F.col(id_col).alias("id"),
@@ -348,9 +365,6 @@ def minhash_dedup_pairs(
 
     # --- LSH over unique sets only --------------------------------
     rows_per_band = num_perm // bands
-    sig = reps.select(
-        "id", F.size("hset").alias("sz"), _minhash_from_hashes(F.col("hset"), num_perm).alias("sig")
-    )
     idx_seq = F.sequence(F.lit(0), F.lit(num_perm - 1))
     band_seq = F.sequence(F.lit(0), F.lit(bands - 1))
     # Position-tagged arrays: tag = value * width + index, so positional
@@ -372,6 +386,13 @@ def minhash_dedup_pairs(
     # run into minutes). Predicates on a generated literal column
     # cannot sink below the Generate, so sig/bh stay computed once per
     # unique set.
+    carry = ["hset", "members"] if verify_in_join else []
+    sig = reps.select(
+        "id",
+        F.size("hset").alias("sz"),
+        _minhash_from_hashes(F.col("hset"), num_perm).alias("sig"),
+        *carry,
+    )
     banded = (
         sig.withColumn("tsig", tsig)
         .withColumn("tbh", tbh)
@@ -380,6 +401,7 @@ def minhash_dedup_pairs(
             "sz",
             "tsig",
             "tbh",
+            *carry,
             F.explode(band_seq).alias("band_idx"),
         )
         .withColumn("band_hash", F.element_at(F.col("tbh"), F.col("band_idx") + 1))
@@ -404,39 +426,71 @@ def minhash_dedup_pairs(
     est_ok = F.size(F.array_intersect(F.col("l.tsig"), F.col("r.tsig"))) >= F.lit(
         int(pre_cut * num_perm)
     )
-    cands = (
-        # identical subtrees + shuffle_hash -> the second Exchange on
-        # the band keys is reused; signatures computed once.
-        left.hint("shuffle_hash")
-        .join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id"))
-            & size_ok
-            & first_band
-            & est_ok,
-        )
-        .select(F.col("l.id").alias("rid_a"), F.col("r.id").alias("rid_b"))
+    base_cond = (
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.id") < F.col("r.id"))
+        & size_ok
+        & first_band
     )
-    ga = reps.select(F.col("id").alias("rid_a"), F.col("hset").alias("ha"), F.col("members").alias("ma"))
-    gb = reps.select(F.col("id").alias("rid_b"), F.col("hset").alias("hb"), F.col("members").alias("mb"))
-    # |A ∪ B| = |A| + |B| - |A ∩ B| (the sets are distinct arrays), so
-    # ONE array_intersect pass per candidate instead of intersect+union
-    # — the verify stage is the dominant cost and this halves it.
-    cross = (
-        cands.join(ga, "rid_a")
-        .join(gb, "rid_b")
-        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double")
-            / (F.size("ha") + F.size("hb") - F.col("inter")),
+    if verify_in_join:
+        # exact Jaccard as the LAST join conjunct (short-circuit: only
+        # first-band survivors reach the intersect). The predicate is
+        # the SAME inter/(|A|+|B|-inter) >= t division the join-back
+        # path evaluates — NOT the cross-multiplied
+        # inter*(1+t) >= t*(|A|+|B|) form, whose different fp rounding
+        # drops boundary pairs (t=0.9, inter=18, sizes 19+19:
+        # 18*1.9 = 34.1999… < 0.9*38 = 34.2000…, yet 18/20 == 0.9
+        # passes the division). Mode choice must never change output.
+        inter_c = F.size(F.array_intersect(F.col("l.hset"), F.col("r.hset")))
+        exact_ok = (
+            inter_c.cast("double") / (F.col("l.sz") + F.col("r.sz") - inter_c)
+        ) >= F.lit(threshold)
+        # members ride along too (duplicate-set collapse makes them
+        # avg ~1 id/set), so the pair expansion is a projection — the
+        # whole operator is ONE shuffle after the set-collapse.
+        verified = (
+            left.hint("shuffle_hash")
+            .join(right, base_cond & exact_ok)
+            .select(
+                F.col("l.members").alias("ma"),
+                F.col("r.members").alias("mb"),
+                (
+                    inter_c.cast("double")
+                    / (F.col("l.sz") + F.col("r.sz") - inter_c)
+                ).alias("jac"),
+            )
         )
-        .filter(F.col("jac") >= threshold)
-        .select(F.explode("ma").alias("ida"), "mb", "jac")
-        .select("ida", F.explode("mb").alias("idb"), "jac")
-    )
+        cross = (
+            verified.select(F.explode("ma").alias("ida"), "mb", "jac")
+            .select("ida", F.explode("mb").alias("idb"), "jac")
+        )
+    else:
+        cands = (
+            # identical subtrees + shuffle_hash -> the second Exchange on
+            # the band keys is reused; signatures computed once.
+            left.hint("shuffle_hash")
+            .join(right, base_cond & est_ok)
+            .select(F.col("l.id").alias("rid_a"), F.col("r.id").alias("rid_b"))
+        )
+        ga = reps.select(F.col("id").alias("rid_a"), F.col("hset").alias("ha"), F.col("members").alias("ma"))
+        gb = reps.select(F.col("id").alias("rid_b"), F.col("hset").alias("hb"), F.col("members").alias("mb"))
+        # |A ∪ B| = |A| + |B| - |A ∩ B| (the sets are distinct arrays), so
+        # ONE array_intersect pass per candidate instead of intersect+union
+        # — the verify stage is the dominant cost and this halves it.
+        cross = (
+            cands.join(ga, "rid_a")
+            .join(gb, "rid_b")
+            .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+            .withColumn(
+                "jac",
+                F.col("inter").cast("double")
+                / (F.size("ha") + F.size("hb") - F.col("inter")),
+            )
+            .filter(F.col("jac") >= threshold)
+            .select(F.explode("ma").alias("ida"), "mb", "jac")
+            .select("ida", F.explode("mb").alias("idb"), "jac")
+        )
     # --- same-set pairs: jac is exactly 1.0 ------------------------
     within = (
         groups.filter(F.size("members") > 1)
