@@ -119,6 +119,8 @@ _PRIORITY = [
     "multimodal_exact_dedup",
     "search_eval_metrics",
     "search_phrase_positional",
+    # third wave:
+    "dedup_sorted_neighborhood",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as T
 from ..functions import vectors as V
@@ -1519,4 +1519,86 @@ def prefix_filter_pairs(
         .withColumn("jac", jac)
         .filter(F.col("jac") >= threshold)
         .select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood method (SNM)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    threshold: float,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo): sort the corpus
+    by a blocking key, then compare each row ONLY against the next
+    ``window`` rows in sort order — candidate volume is n·w by
+    construction, never quadratic, with zero hashing machinery.
+
+    The third blocking strategy beside LSH (probabilistic bucket
+    collisions) and prefix-filtering (rare-token anchors): SNM's bet
+    is that the KEY sorts near-duplicates adjacently (true for
+    copy-with-suffix / templated-prefix corpora; false for edits in
+    the first words — the recall trade is the key choice, and
+    production runs union several passes over different keys).
+    Default key: lowercased trimmed text, doc-id tie-break.
+
+    Scale shape: the sort is :func:`~..operators.rank.global_rank`'s
+    terasort decomposition (range-partition shuffle + per-partition
+    row_number + broadcast offsets — NO single-reducer window), and
+    the neighbor join keys are consecutive rank integers — perfectly
+    uniform, skew-impossible. Verification reuses the hashed-token
+    exact-Jaccard discipline of :func:`jaccard_pairs` (integer size
+    bound before any array work, one intersect for the survivors).
+    """
+    from .rank import global_rank
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        (key if key is not None else F.lower(F.trim(F.col(text_col)))).alias("__key"),
+        F.transform(
+            T.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("toks"),
+    )
+    ranked = global_rank(
+        base, ["__key", "id"], rank_col="rn", num_partitions=num_partitions
+    ).select("rn", "id", "toks", F.size("toks").alias("sz"))
+    probe = ranked.select(
+        F.col("id").alias("ida"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("__d"),
+        (F.col("rn") + F.col("__d")).alias("nrn"),
+    )
+    cand = probe.join(
+        ranked.select(
+            F.col("rn").alias("nrn"),
+            F.col("id").alias("idb"),
+            F.col("toks").alias("tb"),
+            F.col("sz").alias("sb"),
+        ),
+        "nrn",
+    ).filter(
+        # same epsilon-guarded exact size bound as jaccard_pairs
+        (F.col("sb") >= threshold * F.col("sa") - 1e-9)
+        & (F.col("sa") >= threshold * F.col("sb") - 1e-9)
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    )
+    return (
+        cand.withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.least("ida", "idb").alias("doc_id_a"),
+            F.greatest("ida", "idb").alias("doc_id_b"),
+            F.round("jac", 4).alias("jac"),
+        )
     )

@@ -66,6 +66,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_sorted_neighborhood",
+    # Oracle mirrors the METHOD, not just the verified output: same
+    # sort key (lowercased trimmed text, doc_id tie-break), same
+    # rank-window candidate set (b.rn - a.rn in 1..5), same exact
+    # word-set Jaccard on the survivors. ROW_NUMBER parity holds
+    # because the key order is a total order over (ASCII-ish) strings
+    # in both engines' binary collation.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS k, {_DSET} AS toks
+               FROM documents),
+    r AS (SELECT doc_id, toks,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM d)
+    SELECT LEAST(a.doc_id, b.doc_id) AS doc_id_a,
+           GREATEST(a.doc_id, b.doc_id) AS doc_id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (`operators/dedup.py::
+    sorted_neighborhood_pairs`): the third blocking strategy beside
+    LSH and prefix-filtering — ONE terasort-decomposed range sort,
+    then rank-adjacency joins on consecutive integers (n·window
+    candidates, skew-impossible keys). Recall is the key-choice trade
+    (pinned in tests: edits in the leading words escape the window);
+    the collision-floor corpus stays cheap here because adjacency, not
+    token sharing, gates the candidate set."""
+    return D.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9, window=5
+    )
+
+
+@query(
     "dedup_cluster_assign",
     # exact oracle: DuckDB computes the same components as reachability
     # closure (recursive CTE), component id = min reachable doc_id

@@ -30,6 +30,21 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# (appId, realpath, mtime_ns) -> raw parquet StructType. Schema
+# inference (footer read + file listing) is ~74 ms warm per
+# spark.read.parquet call — across a 161-query bench (x3 timed runs,
+# ~1.7 tables each) that is tens of seconds of pure re-resolution.
+# Only the SCHEMA is cached, never the DataFrame: every call still
+# builds a fresh plan via spark.read.schema(...).parquet(path), so two
+# load_table calls for the same table keep distinct expression IDs —
+# returning one shared DataFrame object turns correlated-subquery
+# shapes (q36's per-region min-cost supplier) into ambiguous
+# self-joins. Keyed by applicationId (a stopped/rebuilt session gets a
+# fresh id) and st_mtime_ns (a rewritten tmp-dir table misses the
+# cache). Non-os.stat-able paths (hadoop-scheme URIs) bypass the cache.
+_SCHEMA_CACHE: dict[tuple[str, str, int], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -39,7 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..session import ensure_confs
 
     ensure_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, os.path.realpath(path), st.st_mtime_ns)
+    except OSError:
+        pass
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         from pyspark.sql import functions as F
 

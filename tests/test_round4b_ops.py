@@ -276,3 +276,66 @@ class TestPhrasePositional:
         docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
         out = phrase_search_positional(docs, "a a").collect()
         assert [(r["doc_id"], r["n_hits"]) for r in out] == [(1, 3)]
+
+
+class TestSortedNeighborhood:
+    """SNM: rank-window blocking — finds key-adjacent near-dups,
+    misses leading-edit near-dups by design (the recall trade)."""
+
+    def _docs(self, spark):
+        rows = [
+            # near-dup pair sharing the leading words -> sort-adjacent
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota one"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota two"),
+            # near-dup pair differing in the FIRST token -> sorts far
+            # apart (separated by the m* block below, > window rows)
+            (3, "apple zulu yankee xray whiskey victor uniform tango sierra"),
+            (4, "zebra zulu yankee xray whiskey victor uniform tango sierra"),
+        ]
+        # filler block sorting between 'apple...' and 'zebra...'
+        rows += [
+            (100 + i, f"m{i:02d} unrelated filler words nothing shared here {i}")
+            for i in range(12)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_adjacent_pair_found_with_exact_jac(self, spark):
+        from easy_alterator_spark.operators.dedup import sorted_neighborhood_pairs
+
+        out = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jac"]
+            for r in sorted_neighborhood_pairs(
+                self._docs(spark), threshold=0.8, window=5
+            ).collect()
+        }
+        # |A∩B|=9, |A∪B|=11 -> 0.8182
+        assert out == {(1, 2): 0.8182}
+
+    def test_leading_edit_escapes_window(self, spark):
+        from easy_alterator_spark.operators.dedup import (
+            jaccard_pairs,
+            sorted_neighborhood_pairs,
+        )
+
+        docs = self._docs(spark)
+        brute = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        snm = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in sorted_neighborhood_pairs(docs, threshold=0.8, window=5).collect()
+        }
+        assert (3, 4) in brute       # a true near-dup pair...
+        assert (3, 4) not in snm     # ...missed: first-token edit
+        assert snm == {(1, 2)}
+
+    def test_wide_window_recovers_recall(self, spark):
+        from easy_alterator_spark.operators.dedup import sorted_neighborhood_pairs
+
+        docs = self._docs(spark)
+        snm = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in sorted_neighborhood_pairs(docs, threshold=0.8, window=20).collect()
+        }
+        assert snm == {(1, 2), (3, 4)}
