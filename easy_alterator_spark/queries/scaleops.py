@@ -887,3 +887,44 @@ def stream_window_counts(spark, sf_dir):
     return spark.table(name).select(
         F.col("window_start").cast("date").alias("day"), "event_type", "n", "sv"
     )
+
+
+@query(
+    "join_range_bucketed",
+    # independent oracle: DuckDB plans the raw BETWEEN predicate with
+    # its IEJoin; the Spark path never sees a nested-loop — same rows
+    # either way is exactly what the bucketization must preserve
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_cust,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_bal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Non-equi range join at scale (`operators/joins.py::
+    range_join_bucketed`): customers whose balance falls inside each
+    supplier's ±500 band, WITHOUT the BroadcastNestedLoopJoin Spark
+    would otherwise plan for a BETWEEN predicate. Intervals explode
+    into covering width-500 buckets (≤3 rows each), points own one
+    bucket, and the match is a plain hash equi-join on a dense integer
+    key + exact predicate recheck — candidate volume tracks local
+    interval density, not |A|·|B|, so the same plan stands when both
+    sides are fact-sized and neither broadcasts."""
+    from ..operators.joins import range_join_bucketed
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 500).alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    return (
+        range_join_bucketed(cust, sup, "c_acctbal", "lo", "hi", bucket_width=500.0)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Bucketized non-equi joins (operators/joins.py): value tests on
+constructed edges plus the plan contract that bans the nested loop."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+class TestRangeJoinBucketed:
+    def _run(self, spark, points, ranges, width):
+        from easy_alterator_spark.operators.joins import range_join_bucketed
+
+        p = spark.createDataFrame(points, "pid long, v double")
+        r = spark.createDataFrame(ranges, "rid long, lo double, hi double")
+        out = range_join_bucketed(p, r, "v", "lo", "hi", bucket_width=width)
+        return {(row["pid"], row["rid"]) for row in out.collect()}
+
+    def test_inclusive_bounds_both_ends(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10.0), (2, 20.0), (3, 9.999), (4, 20.001)],
+            [(7, 10.0, 20.0)],
+            width=4.0,
+        )
+        assert got == {(1, 7), (2, 7)}
+
+    def test_negative_values_floor_division(self, spark):
+        # floor(-0.1/4) = -1, not 0 — a truncating div would lose this
+        got = self._run(
+            spark, [(1, -0.1), (2, -7.9)], [(7, -8.0, -0.05)], width=4.0
+        )
+        assert got == {(1, 7), (2, 7)}
+
+    def test_inverted_interval_matches_nothing(self, spark):
+        assert self._run(spark, [(1, 5.0)], [(7, 9.0, 1.0)], width=4.0) == set()
+
+    def test_wide_interval_no_duplicate_pairs(self, spark):
+        # interval spans 26 buckets; the point owns exactly one, so
+        # the pair must appear exactly once
+        from easy_alterator_spark.operators.joins import range_join_bucketed
+
+        p = spark.createDataFrame([(1, 50.0)], "pid long, v double")
+        r = spark.createDataFrame([(7, 0.0, 100.0)], "rid long, lo double, hi double")
+        rows = range_join_bucketed(p, r, "v", "lo", "hi", bucket_width=4.0).collect()
+        assert len(rows) == 1
+
+    def test_matches_brute_force_on_random_data(self, spark):
+        import random
+
+        rnd = random.Random(42)
+        points = [(i, round(rnd.uniform(-100, 100), 3)) for i in range(200)]
+        ranges = []
+        for i in range(60):
+            lo = round(rnd.uniform(-100, 100), 3)
+            ranges.append((i, lo, round(lo + rnd.uniform(0, 40), 3)))
+        expect = {
+            (pid, rid)
+            for pid, v in points
+            for rid, lo, hi in ranges
+            if lo <= v <= hi
+        }
+        assert self._run(spark, points, ranges, width=7.0) == expect
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, left, right, width):
+        from easy_alterator_spark.operators.joins import interval_overlap_join
+
+        ldf = spark.createDataFrame(left, "lid long, llo double, lhi double")
+        rdf = spark.createDataFrame(right, "rid long, rlo double, rhi double")
+        out = interval_overlap_join(ldf, rdf, "llo", "lhi", "rlo", "rhi", width)
+        rows = out.collect()
+        pairs = [(r["lid"], r["rid"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "emit-once guard violated"
+        return set(pairs)
+
+    def test_many_shared_buckets_emit_once(self, spark):
+        # both intervals span 25+ shared buckets -> exactly one row
+        got = self._run(
+            spark, [(1, 0.0, 100.0)], [(2, 5.0, 95.0)], width=4.0
+        )
+        assert got == {(1, 2)}
+
+    def test_touching_endpoints_count_as_overlap(self, spark):
+        got = self._run(spark, [(1, 0.0, 10.0)], [(2, 10.0, 20.0)], width=4.0)
+        assert got == {(1, 2)}
+
+    def test_disjoint_same_bucket_rejected(self, spark):
+        # both fall in bucket 0 but don't overlap
+        got = self._run(spark, [(1, 0.0, 1.0)], [(2, 2.0, 3.0)], width=100.0)
+        assert got == set()
+
+    def test_matches_brute_force_on_random_data(self, spark):
+        import random
+
+        rnd = random.Random(7)
+
+        def mk(n):
+            out = []
+            for i in range(n):
+                lo = round(rnd.uniform(-50, 50), 3)
+                out.append((i, lo, round(lo + rnd.uniform(0, 30), 3)))
+            return out
+
+        left, right = mk(80), mk(80)
+        expect = {
+            (a, b)
+            for a, alo, ahi in left
+            for b, blo, bhi in right
+            if alo <= bhi and blo <= ahi
+        }
+        assert self._run(spark, left, right, width=9.0) == expect
+
+
+class TestRangeJoinPlan:
+    def test_no_nested_loop_no_cartesian(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["join_range_bucketed"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
