@@ -121,6 +121,8 @@ _PRIORITY = [
     "search_phrase_positional",
     # third wave:
     "dedup_sorted_neighborhood",
+    "join_range_bucketed",
+    "select_pareto_docs",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

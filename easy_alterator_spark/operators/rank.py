@@ -101,3 +101,46 @@ def equi_depth_histogram(
             F.round(F.max(value_col), 2).alias("hi"),
         )
     )
+
+
+def global_prefix_max(
+    df: DataFrame,
+    sort_exprs: list[Column],
+    value_col: str,
+    prefix_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``prefix_col`` = EXCLUSIVE running max of ``value_col``
+    over the global sort order given by ``sort_exprs`` (NULL for the
+    first row — no predecessor). Same terasort decomposition as
+    :func:`global_rank`: range-partition on the sort exprs, a local
+    exclusive running max inside each partition, and a broadcast
+    one-row-per-partition table carrying each partition's total max,
+    prefix-maxed over partition ids. The only global window runs over
+    partition-count rows, never the data.
+
+    ``sort_exprs`` may use ``.desc()`` — the range partitioner
+    honors sort direction, so partition ids still ascend with the
+    requested order.
+    """
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    parts = df.repartitionByRange(int(n), *sort_exprs)
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("__lpm", F.max(value_col).over(w_local))
+    pmax = tagged.groupBy("__pid").agg(F.max(value_col).alias("__pm"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.select("__pid", F.max("__pm").over(w_off).alias("__opm"))
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        # greatest() skips NULLs, so a missing local or partition
+        # prefix degrades to the other side; first global row -> NULL
+        .withColumn(prefix_col, F.greatest("__lpm", "__opm"))
+        .drop("__pid", "__lpm", "__opm")
+    )

@@ -410,3 +410,43 @@ def split_with_leakage_guard(
         )
         .select(F.col(id_col), role.alias("role"))
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame, col_a: str, col_b: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Rows on the 2-D Pareto frontier maximizing (``col_a``,
+    ``col_b``): no other row is >= in both dimensions and > in one.
+    The multi-objective form of data selection — "longest AND most
+    lexically diverse" has no single threshold, the frontier IS the
+    answer — and the NOT EXISTS formulation is an O(n²) self-join no
+    engine survives at corpus scale.
+
+    Exact O(n log n) sort shape instead: a row survives iff its
+    ``col_b`` equals the max within its ``col_a`` group AND strictly
+    exceeds every ``col_b`` at strictly larger ``col_a`` — i.e. the
+    group maxima form a strictly decreasing staircase. One shuffle to
+    group by ``col_a``, then :func:`~.rank.global_prefix_max` over
+    ``col_a`` DESC on the (distinct-key-sized) group table — the
+    terasort decomposition, no single-reducer window. Ties on both
+    dims all survive (none dominates another).
+
+    The join back is on ``col_a`` against the FRONTIER key set —
+    usually tiny, but worst case (perfectly anti-correlated dims)
+    data-sized, so it is left to AQE to broadcast at runtime rather
+    than forced.
+    """
+    from .rank import global_prefix_max
+
+    g = df.groupBy(col_a).agg(F.max(col_b).alias("__gb"))
+    pm = global_prefix_max(
+        g, [F.col(col_a).desc()], "__gb", "__pm", num_partitions=num_partitions
+    )
+    frontier_keys = pm.filter(
+        F.col("__pm").isNull() | (F.col("__gb") > F.col("__pm"))
+    ).select(col_a, "__gb")
+    return (
+        df.join(frontier_keys, col_a)
+        .filter(F.col(col_b) == F.col("__gb"))
+        .drop("__gb")
+    )

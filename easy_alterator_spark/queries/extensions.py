@@ -2580,3 +2580,53 @@ def search_eval_metrics(spark, sf_dir):
         )
     )
     return SE.ranking_metrics(runs, truth, k=20)
+
+
+@query(
+    "select_pareto_docs",
+    # Window-staircase oracle (independent engine, same math): group
+    # maxima of the diversity ratio per length, kept where strictly
+    # above the running max over larger lengths. The O(n^2) NOT
+    # EXISTS form is checked in tests/test_pareto.py on constructed
+    # data; at sf scale DuckDB needs the same O(n log n) shape. The
+    # ratio is an exact int/int IEEE division, so cross-engine
+    # equality on the double is bit-safe.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      len(list_distinct(t))::DOUBLE / len(t) AS b
+               FROM (SELECT doc_id, n_chars, {_DTOKS} AS t FROM documents)
+               WHERE len(t) > 0),
+    g AS (SELECT n_chars, MAX(b) AS gb FROM d GROUP BY n_chars),
+    r AS (SELECT n_chars, gb,
+                 MAX(gb) OVER (ORDER BY n_chars DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+          FROM g)
+    SELECT d.doc_id, d.n_chars, ROUND(d.b, 4) AS uniq_ratio
+    FROM d JOIN r ON d.n_chars = r.n_chars AND d.b = r.gb
+    WHERE r.pm IS NULL OR r.gb > r.pm
+    """,
+)
+def select_pareto_docs(spark, sf_dir):
+    """Pareto-frontier data selection (`operators/sampling.py::
+    pareto_frontier_2d`): documents maximal in BOTH length and
+    lexical diversity (distinct-token ratio) — the multi-objective
+    selection where no scalar quality score exists. Exact frontier
+    via the staircase decomposition (one group-by shuffle + the
+    terasort prefix-max), never the O(n²) dominance self-join."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    ).filter(F.size(toks) > 0)
+    from ..operators.sampling import pareto_frontier_2d
+
+    return pareto_frontier_2d(d, "n_chars", "uniq_ratio").select(
+        "doc_id", "n_chars", F.round("uniq_ratio", 4).alias("uniq_ratio")
+    )
