@@ -123,6 +123,9 @@ _PRIORITY = [
     "dedup_sorted_neighborhood",
     "join_range_bucketed",
     "select_pareto_docs",
+    "dedup_blocking_recall",
+    "stats_regression_by_group",
+    "doc_sample_weighted_k",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

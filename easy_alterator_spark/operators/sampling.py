@@ -450,3 +450,58 @@ def pareto_frontier_2d(
         .filter(F.col(col_b) == F.col("__gb"))
         .drop("__gb")
     )
+
+
+def sample_weighted_fixed_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement per stratum
+    (Efraimidis-Spiridon A-ES): each row draws key = ln(u)/w for a
+    uniform u and weight w > 0; the k largest keys are a without-
+    replacement sample with inclusion probability proportional to
+    weight. The LLM-pipeline form is proportional-to-length document
+    sampling under a fixed budget — w = token count gives every token
+    equal selection mass while drawing whole documents.
+
+    u is CONTENT-DERIVED, not RNG: 48 bits of md5(id), so the sample
+    is reproducible across engines/runs/partitionings (same argument
+    as :func:`sample_hash`) and any SQL engine replays it exactly.
+    Rows with w <= 0, NULL, or NaN are excluded (zero weight = zero
+    inclusion mass; ln(u)/0 would be -inf anyway, but explicitly so
+    the contract doesn't ride on IEEE corner cases).
+
+    Scale shape: with strata the top-k is one window per stratum
+    (shuffle on the strata key). Without, the naive global window is
+    the single-reducer anti-pattern, so it runs as local per-partition
+    top-k first — the survivors are <= k x n_partitions rows, and only
+    THAT sliver crosses the final single-partition ordering.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / float(1 << 48)
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(
+        w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).withColumn("__key", F.log(u) / w)
+    order = [F.col("__key").desc(), F.col(id_col)]
+    if strata_cols:
+        win = Window.partitionBy(*strata_cols).orderBy(*order)
+        return keyed.withColumn("__rn", F.row_number().over(win)).filter(
+            F.col("__rn") <= k
+        ).drop("__key", "__rn")
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    survivors = keyed.withColumn("__rn", F.row_number().over(local)).filter(
+        F.col("__rn") <= k
+    )
+    final = Window.orderBy(*order)  # <= k * n_partitions rows only
+    return (
+        survivors.withColumn("__grn", F.row_number().over(final))
+        .filter(F.col("__grn") <= k)
+        .drop("__key", "__rn", "__grn")
+    )

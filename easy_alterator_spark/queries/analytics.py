@@ -948,3 +948,42 @@ def events_anomaly_mad(spark, sf_dir):
         .filter((F.col("mad") > 0) & (z > 3.5))
         .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
     )
+
+
+@query(
+    "stats_regression_by_group",
+    # Both engines use numerically-stable streaming covariance
+    # accumulators for regr_*/corr; aggregation order still differs
+    # across partitions, so outputs are rounded to 3 decimals — the
+    # residual cross-engine delta is ~1e-10 relative on these sums.
+    # "+ 0" collapses IEEE negative zero (DuckDB rounds tiny negative
+    # correlations to -0.0, Spark to 0.0 — same value, different repr).
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(corr(l_extendedprice, l_quantity), 3) + 0 AS r,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 3) + 0 AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 3) + 0 AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 3) + 0 AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_regression_by_group(spark, sf_dir):
+    """Grouped OLS-by-aggregation: slope/intercept/r² of extended
+    price on quantity per return flag, entirely as builtin streaming
+    aggregates (regr_*, corr) — one map-side partial-aggregated
+    shuffle on a 3-value key, no model loop, no UDF. The shape every
+    feature-correlation audit of a 100 TB table takes: each statistic
+    is a handful of merged sufficient statistics per group, so cost
+    is one pass regardless of group count, and the same plan serves
+    the corpus-quality use (does doc length predict quality score?)
+    by swapping columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr(y, x), 3) + F.lit(0.0)).alias("r"),
+        (F.round(F.regr_slope(y, x), 3) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 3) + F.lit(0.0)).alias("icept"),
+        (F.round(F.regr_r2(y, x), 3) + F.lit(0.0)).alias("r2"),
+    )

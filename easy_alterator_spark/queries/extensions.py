@@ -2630,3 +2630,111 @@ def select_pareto_docs(spark, sf_dir):
     return pareto_frontier_2d(d, "n_chars", "uniq_ratio").select(
         "doc_id", "n_chars", F.round("uniq_ratio", 4).alias("uniq_ratio")
     )
+
+
+@query(
+    "dedup_blocking_recall",
+    # The oracle recomputes the truth set (brute O(n²) SQL) and the
+    # SNM pair set (rank-window SQL) independently; prefix filtering
+    # is EXACT by construction, so its expected count IS the truth
+    # count — a Spark-side recall bug in any method breaks the match.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS k, {_DSET} AS toks
+               FROM documents WHERE doc_id < 400),
+    t AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+    r AS (SELECT doc_id, toks,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM d),
+    s AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+    tc AS (SELECT COUNT(*) AS n FROM t)
+    SELECT m.method, m.n_pairs, tc.n AS n_true,
+           ROUND(m.n_pairs::DOUBLE / tc.n, 4) AS recall
+    FROM (SELECT 'brute' AS method, (SELECT COUNT(*) FROM t) AS n_pairs
+          UNION ALL
+          SELECT 'prefix', (SELECT COUNT(*) FROM t)
+          UNION ALL
+          SELECT 'snm', (SELECT COUNT(*) FROM s)) m, tc
+    """,
+)
+def dedup_blocking_recall(spark, sf_dir):
+    """Blocking-strategy audit: the three exact-verify candidate
+    generators — brute O(n²), prefix filtering (rarity anchors,
+    provably exact), sorted-neighborhood (rank adjacency, recall
+    traded to the sort key) — run on the same corpus slice, scored as
+    (pairs found, recall vs brute truth). Every method verifies exact
+    Jaccard on its candidates, so there are no false positives and
+    recall = n_pairs/n_true. This is the operating decision table a
+    100 TB dedup run is chosen from: brute is the truth oracle you
+    can only afford on a sample, prefix is exact at Θ(true pairs)
+    cost, SNM is Θ(n·w) with measured recall — the same comparison
+    MinHash enters via dedup_lsh_recall_audit (probabilistic, so it
+    lives in its own fixed-slice query rather than this exact-SQL
+    one). The doc_id bound is the brute stage's, not the methods'."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    th = 0.9
+    brute = D.jaccard_pairs(docs, threshold=th)
+    prefix = D.prefix_filter_pairs(docs, threshold=th)
+    snm = D.sorted_neighborhood_pairs(docs, threshold=th, window=5)
+
+    def n(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_pairs")).withColumn(
+            "method", F.lit(name)
+        )
+
+    rows = n(brute, "brute").unionByName(n(prefix, "prefix")).unionByName(
+        n(snm, "snm")
+    )
+    # denominator via a window over the THREE summary rows (not the
+    # data) — re-deriving it from brute would recompute the O(n²)
+    # stage a second time, which Spark does not dedupe across action
+    # subtrees
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_true = F.max(F.when(F.col("method") == "brute", F.col("n_pairs"))).over(w)
+    return rows.select(
+        "method",
+        "n_pairs",
+        n_true.alias("n_true"),
+        F.round(F.col("n_pairs").cast("double") / n_true, 4).alias("recall"),
+    )
+
+
+@query(
+    "doc_sample_weighted_k",
+    # Same A-ES draw replayed in SQL: 48-bit md5 uniform, key =
+    # ln(u)/w, ROW_NUMBER per lang over (key DESC, doc_id). Engines'
+    # libm ln may differ by 1 ulp, but keys are random doubles —
+    # an order flip needs two keys within that ulp, ~2^-40 odds.
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars,
+                      ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                          + 0.5) / 281474976710656.0)
+                      / n_chars AS key
+               FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY key DESC, doc_id) AS rn
+          FROM d)
+    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40
+    """,
+)
+def doc_sample_weighted_k(spark, sf_dir):
+    """Fixed-budget weighted sampling (`operators/sampling.py::
+    sample_weighted_fixed_k`): exactly 40 documents per language,
+    inclusion probability proportional to length (A-ES exponential
+    keys over content-derived md5 uniforms — reproducible across
+    engines, no RNG). One window shuffle on the lang key; the
+    unstratified form degrades to per-partition top-k + a k-sized
+    final ordering, never a data-sized global sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    from ..operators.sampling import sample_weighted_fixed_k
+
+    return sample_weighted_fixed_k(
+        docs, "n_chars", k=40, strata_cols=["lang"]
+    )

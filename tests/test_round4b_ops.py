@@ -339,3 +339,78 @@ class TestSortedNeighborhood:
             for r in sorted_neighborhood_pairs(docs, threshold=0.8, window=20).collect()
         }
         assert snm == {(1, 2), (3, 4)}
+
+
+class TestSampleWeightedFixedK:
+    """A-ES fixed-k weighted sampling: exact-k, weight contract,
+    python-replay determinism, and partition invariance."""
+
+    def _docs(self, spark, n=300):
+        rows = [(i, "en" if i % 2 else "fr", float(1 + (i * 37) % 200)) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def test_exactly_k_per_stratum(self, spark):
+        from easy_alterator_spark.operators.sampling import sample_weighted_fixed_k
+
+        out = sample_weighted_fixed_k(
+            self._docs(spark), "w", k=25, strata_cols=["lang"]
+        ).collect()
+        from collections import Counter
+
+        assert Counter(r["lang"] for r in out) == {"en": 25, "fr": 25}
+
+    def test_bad_weights_excluded(self, spark):
+        from easy_alterator_spark.operators.sampling import sample_weighted_fixed_k
+
+        rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, float("nan")), (5, None), (6, 2.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = sample_weighted_fixed_k(df, "w", k=10)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 6]
+
+    def test_matches_python_replay(self, spark):
+        import hashlib
+        import math
+
+        from easy_alterator_spark.operators.sampling import sample_weighted_fixed_k
+
+        docs = self._docs(spark)
+        expect = {}
+        for r in docs.collect():
+            h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+            key = math.log((h + 0.5) / float(1 << 48)) / r["w"]
+            expect.setdefault(r["lang"], []).append((-key, r["doc_id"]))
+        want = {
+            (lang, i)
+            for lang, ks in expect.items()
+            for _, i in sorted(ks)[:25]
+        }
+        got = {
+            (r["lang"], r["doc_id"])
+            for r in sample_weighted_fixed_k(
+                docs, "w", k=25, strata_cols=["lang"]
+            ).collect()
+        }
+        assert got == want
+
+    def test_unstratified_partition_invariant(self, spark):
+        from easy_alterator_spark.operators.sampling import sample_weighted_fixed_k
+
+        docs = self._docs(spark)
+        a = {
+            r["doc_id"]
+            for r in sample_weighted_fixed_k(docs.repartition(2), "w", k=30).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in sample_weighted_fixed_k(docs.repartition(13), "w", k=30).collect()
+        }
+        assert len(a) == 30 and a == b
+
+    def test_heavier_rows_overrepresented(self, spark):
+        # one row with overwhelming weight is effectively always taken
+        from easy_alterator_spark.operators.sampling import sample_weighted_fixed_k
+
+        rows = [(i, 1.0 if i else 1e9) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = {r["doc_id"] for r in sample_weighted_fixed_k(df, "w", k=5).collect()}
+        assert 0 in out
