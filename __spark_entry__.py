@@ -126,6 +126,8 @@ _PRIORITY = [
     "dedup_blocking_recall",
     "stats_regression_by_group",
     "doc_sample_weighted_k",
+    "graph_lpa_communities",
+    "stream_view_click_join",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

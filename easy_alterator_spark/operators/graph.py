@@ -70,3 +70,58 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("pr"))
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 4,
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    checkpoint_every: int | None = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED pair table: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors
+    (ties -> smallest label). Returns (node, label) after exactly
+    ``iters`` rounds.
+
+    Communities are a coarser signal than connected components (which
+    merge through every bridge): LPA stops at low-conductance cuts,
+    so a chain of borderline near-dup links does NOT collapse two
+    dense duplicate clusters into one — the failure mode of
+    CC-based dedup on quote/boilerplate bridges.
+
+    Determinism: the tie rule makes each round a pure function of the
+    previous labeling, so a FIXED iteration count gives a
+    reproducible result (classic async/random-order LPA is not;
+    synchronous LPA can oscillate on bipartite structures, which the
+    fixed count also sidesteps — document the count, don't iterate
+    to convergence). Per round: one join on the edge key + one
+    (node,label) count + one per-node argmax — two key-partitioned
+    shuffles, zero driver data movement; the edge table is
+    localCheckpoint'd once like :func:`pagerank`, and periodic
+    checkpoints cut the O(iters) lineage growth.
+    """
+    e = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).unionByName(
+        pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    ).localCheckpoint(eager=False)
+    labels = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(iters):
+        votes = (
+            e.join(labels, e["s"] == labels["node"])
+            .groupBy("d", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # min of (-count, label) == most votes, smallest label on tie
+        labels = (
+            votes.groupBy("d")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w"))
+            .select(F.col("d").alias("node"), F.col("w.label").alias("label"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

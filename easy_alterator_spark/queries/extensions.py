@@ -2738,3 +2738,50 @@ def doc_sample_weighted_k(spark, sf_dir):
     return sample_weighted_fixed_k(
         docs, "n_chars", k=40, strata_cols=["lang"]
     )
+
+
+@query(
+    "stream_view_click_join",
+    # batch twin of the stream-stream interval join: every click
+    # paired with same-user views in the preceding hour; aggregated
+    # to per-user counts so no absolute timestamp reaches the output
+    # (vanilla-session timezone safe)
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id % 2 = 0)
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks
+    FROM ev c JOIN ev v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def stream_view_click_join(spark, sf_dir):
+    """Stream-stream interval join on the STREAMING engine
+    (streaming/events.py::view_click_stream_join): clicks paired with
+    the same user's views from the preceding hour, both sides
+    watermarked and the join time-bracketed from both ends — the
+    condition that keeps each state store bounded to
+    watermark + gap, the whole game in production stream-stream
+    joins. FOURTH streaming registry entry (join state; the others
+    cover dedup, session-window, and windowed-agg state). Drained via
+    availableNow to a memory sink, then rolled up per user — counts
+    only, so the output is timezone-invariant."""
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        view_click_stream_join,
+    )
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_vc_join_sink_{_STREAM_SINK_SEQ[0]}"
+    # deterministic half-user sample: the state-store mechanics are
+    # identical, the bench pays half the pair mass
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") % 2 == 0)
+    run_to_memory(view_click_stream_join(ev), name, output_mode="append")
+    return spark.table(name).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+    )

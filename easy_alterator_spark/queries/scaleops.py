@@ -928,3 +928,52 @@ def join_range_bucketed(spark, sf_dir):
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
     )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation: each round is a vote
+    count + per-node ROW_NUMBER argmax (count DESC, label ASC) — the
+    exact tie rule of operators/graph.py::label_propagation."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            f"SELECT e.dd AS node, l.label, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dd "
+            f"ORDER BY COUNT(*) DESC, l.label) AS rn "
+            f"FROM e JOIN {prev} l ON e.s = l.node "
+            f"GROUP BY e.dd, l.label) WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents
+               WHERE doc_id <= 200),
+    ds AS (SELECT doc_id, list_distinct(raw) AS toks FROM d),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION ALL SELECT b, a FROM p),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+    {",".join(steps)}
+    SELECT label, COUNT(*) AS size FROM {prev} GROUP BY label
+    """
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark, sf_dir):
+    """Community detection on the near-dup graph via synchronous
+    label propagation (operators/graph.py::label_propagation, 4 fixed
+    rounds, min-label ties): communities stop at low-conductance
+    cuts, so boilerplate/quote bridges between dense duplicate
+    clusters do NOT merge them — the complementary signal to the
+    connected-components queries, which merge through every bridge.
+    Output is the community size profile. The oracle unrolls the same
+    four vote-argmax rounds in SQL — exact integer/label arithmetic,
+    no float tolerance anywhere."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    labels = label_propagation(D.jaccard_pairs(docs, threshold=0.8), iters=4)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))

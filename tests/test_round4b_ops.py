@@ -414,3 +414,56 @@ class TestSampleWeightedFixedK:
         df = spark.createDataFrame(rows, "doc_id long, w double")
         out = {r["doc_id"] for r in sample_weighted_fixed_k(df, "w", k=5).collect()}
         assert 0 in out
+
+
+class TestLabelPropagation:
+    """Synchronous LPA: fixed rounds, majority vote, min-label ties."""
+
+    def _lpa(self, spark, edges, iters):
+        from easy_alterator_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+
+    def test_triangle_converges_to_min_label(self, spark):
+        got = self._lpa(spark, [(1, 2), (2, 3), (1, 3)], iters=4)
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_two_cliques_with_bridge_stay_separate(self, spark):
+        # two 4-cliques joined by ONE bridge edge: CC merges them,
+        # LPA must not — each side's internal majority wins
+        c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        got = self._lpa(spark, c1 + c2 + [(4, 10)], iters=4)
+        assert {got[n] for n in (1, 2, 3)} == {1}
+        assert {got[n] for n in (11, 12, 13)} == {10}
+        assert got[1] != got[11]
+
+    def test_matches_python_replay(self, spark):
+        import random
+        from collections import Counter
+
+        rnd = random.Random(5)
+        edges = set()
+        while len(edges) < 60:
+            a, b = rnd.randint(0, 29), rnd.randint(0, 29)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        labels = {n: n for n in adj}
+        for _ in range(4):
+            labels = {
+                n: min(
+                    Counter(labels[m] for m in nbrs).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for n, nbrs in adj.items()
+            }
+        assert self._lpa(spark, edges, iters=4) == labels
