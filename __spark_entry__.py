@@ -128,6 +128,7 @@ _PRIORITY = [
     "doc_sample_weighted_k",
     "graph_lpa_communities",
     "stream_view_click_join",
+    "join_point_in_time",
     # --- already driver-green (r1-r3); order cosmetic ---
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "pipeline_training_corpus",

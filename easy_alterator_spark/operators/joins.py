@@ -27,7 +27,7 @@ standard emit-once guard, duplicate-free without a ``distinct``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def range_join_bucketed(
@@ -97,3 +97,74 @@ def interval_overlap_join(
             & (F.col("__bucket") == first_shared)
         ).drop("__bucket")
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row picks up ``value_cols``
+    from the LATEST ``right`` row with the same ``on`` key and
+    ``right_ts <= left_ts`` (inclusive — a version effective exactly
+    at the probe instant matches). Left rows with no predecessor keep
+    NULLs. Returns all ``left`` columns plus ``value_cols``.
+
+    This is the point-in-time lookup shape (fact rows against an
+    SCD-2 / versioned dimension, sensor alignment, trade-vs-quote):
+    semantically a non-equi join on ``valid_from <= t < valid_to``,
+    but executed as the union-sort carry-forward — tag both sides,
+    ONE shuffle+sort on the key, and ``last(value, ignorenulls)``
+    over the merged order propagates each version to the probes that
+    follow it. No range join, no per-row subquery, no interval
+    explosion; cost is one window pass whatever the version/probe
+    ratio, and hot keys are exactly as skewed as the key itself (AQE
+    territory), not amplified by candidate pairs.
+
+    Generalized from the inline shape in ``events_asof_join``
+    (single carried column) to arbitrary dimension payloads: the
+    carried values ride ONE struct column, so the window does one
+    ``last()`` regardless of how many attributes the dimension has.
+    """
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__probe"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*value_cols).alias("s")).schema["s"].dataType
+        ).alias("__vals"),
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        F.struct(*value_cols).alias("__vals"),
+    )
+    # versions sort before probes at equal ts (__probe ASC) so the
+    # inclusive contract holds; two versions at the SAME instant are
+    # ordered by right_tiebreak (latest wins) — without one their
+    # winner is sort-nondeterministic, so pass it whenever version
+    # timestamps can collide (it must be a value_cols member)
+    order = ["__t", "__probe"]
+    if right_tiebreak is not None:
+        if right_tiebreak not in value_cols:
+            raise ValueError("right_tiebreak must be one of value_cols")
+        order.append(F.col(f"__vals.{right_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = lt.unionByName(rt).withColumn(
+        "__carried", F.last("__vals", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__carried.{c}").alias(c) for c in value_cols
+    ]
+    return merged.filter(F.col("__probe") == 1).select(*out_cols)

@@ -987,3 +987,69 @@ def stats_regression_by_group(spark, sf_dir):
         (F.round(F.regr_intercept(y, x), 3) + F.lit(0.0)).alias("icept"),
         (F.round(F.regr_r2(y, x), 3) + F.lit(0.0)).alias("r2"),
     )
+
+
+@query(
+    "join_point_in_time",
+    # independent oracle: DuckDB evaluates the PIT lookup as the
+    # literal interval join against the SCD-2 brackets (IEJoin);
+    # Spark never builds an interval — union-sort carry-forward
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o
+          WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, event_id)
+                     AS valid_to
+          FROM c)
+    SELECT s.event_type AS state_at_order,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(ord.o_totalprice), 2) AS revenue
+    FROM orders ord
+    LEFT JOIN v s
+      ON s.user_id = ord.o_custkey
+     AND s.valid_from <= ord.o_orderdate
+     AND (s.valid_to IS NULL OR ord.o_orderdate < s.valid_to)
+    GROUP BY s.event_type
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time lookup against the SCD-2 dimension
+    (`operators/joins.py::asof_join_backward`): each order picks up
+    the customer's activity state valid AT its order date — the
+    leakage-free feature-lookup shape (training-data joins must never
+    read a dimension version from the future). Spark executes the
+    union-sort carry-forward: one shuffle+sort on the key, one
+    `last(ignorenulls)` window — no interval join, no per-row
+    subquery; the oracle is the literal valid_from/valid_to interval
+    join, so the two formulations checking each other IS the
+    correctness claim. Orders whose customer has no prior state (or
+    no events at all) group under NULL — present in both engines."""
+    from ..operators.joins import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = asof_join_backward(
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        dim,
+        on="user_id",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        value_cols=["state"],
+    )
+    return pit.groupBy(F.col("state").alias("state_at_order")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

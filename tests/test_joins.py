@@ -130,3 +130,84 @@ class TestRangeJoinPlan:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+class TestAsofJoinBackward:
+    def _run(self, spark, probes, versions, **kw):
+        from easy_alterator_spark.operators.joins import asof_join_backward
+
+        l = spark.createDataFrame(probes, "k long, t timestamp, pid long")
+        r = spark.createDataFrame(versions, "k long, vt timestamp, state string, ver long")
+        out = asof_join_backward(
+            l, r, on="k", left_ts="t", right_ts="vt",
+            value_cols=kw.pop("value_cols", ["state"]), **kw
+        )
+        return {row["pid"]: tuple(row[c] for c in out.columns[3:]) for row in out.collect()}
+
+    def test_latest_predecessor_wins_and_inclusive(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [
+            (1, T(2024, 1, 1), "a", 1),
+            (1, T(2024, 1, 5), "b", 2),
+            (1, T(2024, 1, 9), "c", 3),
+        ]
+        probes = [
+            (1, T(2024, 1, 4), 100),   # after a, before b -> a
+            (1, T(2024, 1, 5), 101),   # exactly at b -> b (inclusive)
+            (1, T(2024, 1, 30), 102),  # after all -> c
+            (1, T(2023, 1, 1), 103),   # before all -> NULL
+            (2, T(2024, 1, 4), 104),   # key with no versions -> NULL
+        ]
+        got = self._run(spark, probes, versions)
+        assert got == {100: ("a",), 101: ("b",), 102: ("c",), 103: (None,), 104: (None,)}
+
+    def test_multiple_value_cols_carried_together(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        got = self._run(
+            spark,
+            [(1, T(2024, 2, 1), 100)],
+            [(1, T(2024, 1, 1), "a", 7)],
+            value_cols=["state", "ver"],
+        )
+        assert got == {100: ("a", 7)}
+
+    def test_same_instant_versions_tiebreak(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [(1, T(2024, 1, 1), "first", 1), (1, T(2024, 1, 1), "second", 2)]
+        got = self._run(
+            spark,
+            [(1, T(2024, 1, 2), 100)],
+            versions,
+            value_cols=["state", "ver"],
+            right_tiebreak="ver",
+        )
+        assert got == {100: ("second", 2)}
+
+    def test_matches_brute_force_random(self, spark):
+        import datetime as dt
+        import random
+
+        T0 = dt.datetime(2024, 1, 1)
+        rnd = random.Random(9)
+        versions = [
+            (rnd.randint(1, 5), T0 + dt.timedelta(hours=rnd.randint(0, 500)), f"s{i}", i)
+            for i in range(60)
+        ]
+        probes = [
+            (rnd.randint(1, 6), T0 + dt.timedelta(hours=rnd.randint(0, 500)), i)
+            for i in range(120)
+        ]
+        expect = {}
+        for k, t, pid in probes:
+            cands = [(vt, ver, st) for vk, vt, st, ver in versions if vk == k and vt <= t]
+            expect[pid] = (max(cands)[2], max(cands)[1]) if cands else (None, None)
+        got = self._run(
+            spark, probes, versions, value_cols=["state", "ver"], right_tiebreak="ver"
+        )
+        assert got == expect
