@@ -899,7 +899,10 @@ def stream_sessionize(spark, sf_dir):
     _STREAM_SINK_SEQ[0] += 1
     name = f"stream_sessionize_sink_{_STREAM_SINK_SEQ[0]}"
     run_to_memory(
-        session_counts(read_events_stream(spark, sf_dir)), name, output_mode="complete"
+        session_counts(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+        state_partitions=8,
     )
     sess = spark.table(name)
     return sess.groupBy("user_id").agg(
@@ -2780,7 +2783,9 @@ def stream_view_click_join(spark, sf_dir):
     # deterministic half-user sample: the state-store mechanics are
     # identical, the bench pays half the pair mass
     ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") % 2 == 0)
-    run_to_memory(view_click_stream_join(ev), name, output_mode="append")
+    run_to_memory(
+        view_click_stream_join(ev), name, output_mode="append", state_partitions=8
+    )
     return spark.table(name).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("click_id").alias("n_clicks"),

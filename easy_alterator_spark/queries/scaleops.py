@@ -227,7 +227,7 @@ def stream_dedup_exact(spark, sf_dir):
     dedup = read_events_stream(spark, sf_dir).dropDuplicates(
         ["user_id", "event_type"]
     )
-    run_to_memory(dedup, name, output_mode="append")
+    run_to_memory(dedup, name, output_mode="append", state_partitions=8)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -883,6 +883,7 @@ def stream_window_counts(spark, sf_dir):
         tumbling_counts(read_events_stream(spark, sf_dir)),
         name,
         output_mode="complete",
+        state_partitions=8,
     )
     return spark.table(name).select(
         F.col("window_start").cast("date").alias("day"), "event_type", "n", "sv"

@@ -259,19 +259,41 @@ def view_click_stream_join(
 
 
 def run_to_memory(
-    stream: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout: int = 120,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain the stream into an in-memory table with availableNow (test
-    helper; production sinks are kafka/delta/parquet writeStream)."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout)
-    q.stop()
+    helper; production sinks are kafka/delta/parquet writeStream).
+
+    ``state_partitions`` sizes the query's state stores: a stateful
+    operator provisions one store per shuffle partition (a
+    stream-stream join provisions FOUR), and the partition count is
+    frozen into the checkpoint at first start — so it is a per-query
+    sizing decision tracking STREAM volume, not the batch session's
+    CPU count (measured: the sf0.1 view-click join spends 3.5 s of
+    its 5.8 s provisioning 32 partitions' stores; 8 is right-sized).
+    Set via runtime conf for the start() and restored after.
+    """
+    spark = stream.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def latest_by_key_stream(events: DataFrame) -> DataFrame:
