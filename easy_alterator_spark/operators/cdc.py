@@ -25,13 +25,23 @@ def latest_per_key(
     changelog: DataFrame,
     key_cols: list[str],
     seq_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Collapse a changelog to its last change per key: row_number
-    over (key) ordered by ``seq_col`` DESC with the key itself as the
-    deterministic tiebreak. One shuffle, sized by the changelog (not
-    the base)."""
+    over (key) ordered by ``seq_col`` DESC, then ``tiebreak_cols``
+    DESC. One shuffle, sized by the changelog (not the base).
+
+    Determinism contract: without ``tiebreak_cols``, ``seq_col`` MUST
+    be unique per key (the usual CDC offset/LSN case) — two changes
+    with the same key and equal ``seq_col`` would pick a
+    sort-nondeterministic winner, so a replay could produce a
+    different snapshot. When the sequence can collide (e.g. an event
+    timestamp), pass a real secondary change identifier (ingest id,
+    file offset) as ``tiebreak_cols``; the key columns themselves are
+    constant within the window and can never break the tie.
+    """
     w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(seq_col), *[F.asc(k) for k in key_cols]
+        F.desc(seq_col), *[F.desc(c) for c in (tiebreak_cols or [])]
     )
     return (
         changelog.withColumn("__rn", F.row_number().over(w))
@@ -48,6 +58,7 @@ def apply_changelog(
     op_col: str,
     delete_op: str = "D",
     broadcast_changelog: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merged snapshot: base rows whose key has no change, plus the
     latest non-delete change per key, tagged ``src`` =
@@ -59,9 +70,12 @@ def apply_changelog(
     scanned once with a broadcast anti-join and never shuffled; turn
     it off for changelogs too large to broadcast and the anti-join
     becomes a key-partitioned shuffle instead.
+
+    ``tiebreak_cols`` follows :func:`latest_per_key`'s determinism
+    contract: required whenever ``seq_col`` can repeat within a key.
     """
     payload = [c for c in base.columns]
-    latest = latest_per_key(changelog, key_cols, seq_col)
+    latest = latest_per_key(changelog, key_cols, seq_col, tiebreak_cols)
     keys = latest.select(*key_cols)
     if broadcast_changelog:
         keys = F.broadcast(keys)

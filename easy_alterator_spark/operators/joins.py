@@ -75,10 +75,21 @@ def interval_overlap_join(
     overlap (``l_lo <= r_hi AND r_lo <= l_hi``, closed intervals),
     bucketized as above with the first-shared-bucket emit-once guard
     so each overlapping pair appears exactly once.
+
+    The two inputs' column names must be disjoint (alias-prefix one
+    side first): a shared name would make the post-join overlap
+    filter ambiguous and fail deep in analysis with a confusing
+    AnalysisException, so it is rejected up front.
     """
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+    clash = sorted(set(left.columns) & set(right.columns))
+    if clash:
+        raise ValueError(
+            "left and right column names must be disjoint "
+            f"(clash: {clash}); alias-prefix one side before joining"
+        )
 
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
         return df.filter(F.col(hi) >= F.col(lo)).withColumn(

@@ -163,9 +163,14 @@ def value_histogram(
 ) -> DataFrame:
     """(bin, n) fixed-width histogram of ``value_col`` — the persisted
     baseline artifact the drift monitors compare against (tiny: one
-    row per occupied bin, whatever the corpus size)."""
+    row per occupied bin, whatever the corpus size). NULL values are
+    unmeasurable, not a bin: they are dropped here (a NULL bin's key
+    would never equi-join a baseline bin, turning PSI into an
+    arbitrary large number instead of a deliberate verdict — the
+    drift gate quarantines unmeasurable batches explicitly instead)."""
     return (
         df.select(F.floor(F.col(value_col) / bin_width).alias("bin"))
+        .filter(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1036,18 +1036,28 @@ def join_point_in_time(spark, sf_dir):
     dim = (
         ev.withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
+    # right_tiebreak pins the winner when two state changes share a
+    # (user_id, valid_from): the oracle's lead() orders by (valid_from,
+    # event_id), which makes the lower-event_id bracket empty — the
+    # carry-forward must likewise let the higher event_id win.
     pit = asof_join_backward(
         orders.withColumnRenamed("o_custkey", "user_id"),
         dim,
         on="user_id",
         left_ts="o_orderdate",
         right_ts="valid_from",
-        value_cols=["state"],
+        value_cols=["state", "event_id"],
+        right_tiebreak="event_id",
     )
     return pit.groupBy(F.col("state").alias("state_at_order")).agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -21,6 +21,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterator
 from typing import Any
 
@@ -258,6 +259,12 @@ def view_click_stream_join(
     )
 
 
+# serializes shuffle-partition overrides across concurrent drains:
+# the runtime conf is session-global, so an unlocked override would
+# leak into queries planned concurrently in the same SparkSession
+_SHUFFLE_CONF_LOCK = threading.Lock()
+
+
 def run_to_memory(
     stream: DataFrame,
     name: str,
@@ -275,13 +282,19 @@ def run_to_memory(
     sizing decision tracking STREAM volume, not the batch session's
     CPU count (measured: the sf0.1 view-click join spends 3.5 s of
     its 5.8 s provisioning 32 partitions' stores; 8 is right-sized).
-    Set via runtime conf for the start() and restored after.
+
+    The override is set on the session-global runtime conf for the
+    duration of start(): any query PLANNED concurrently in the same
+    SparkSession during the drain would inherit it, so a process-wide
+    lock serializes overriding drains against each other and the
+    restore. (A spark.newSession() clone would scope the conf
+    perfectly, but the memory-sink table registers in the clone's
+    catalog, invisible to `spark.table(name)` callers — the lock keeps
+    the sink visible to the caller's session.) Non-overriding drains
+    (``state_partitions=None``) never touch the conf and take no lock.
     """
     spark = stream.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    if state_partitions is None:
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -291,8 +304,21 @@ def run_to_memory(
         )
         q.awaitTermination(timeout)
         q.stop()
-    finally:
-        if state_partitions is not None:
+        return
+    with _SHUFFLE_CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout)
+            q.stop()
+        finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 

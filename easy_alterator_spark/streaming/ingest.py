@@ -186,9 +186,12 @@ def drift_gate_writer(
 
     The per-batch psi is a one-row driver witness (same bounded class
     as the report collects, SURVEY §4.2); all histogram work is
-    executor-side and histogram-sized. An all-NULL ``value_col`` batch
-    yields an empty histogram (psi NULL) and is quarantined — an
-    unmeasurable batch must not pass a measurement gate.
+    executor-side and histogram-sized. A batch with no measurable
+    values (zero rows, or all-NULL ``value_col`` — NULL bins are
+    filtered by value_histogram) yields an EMPTY histogram and is
+    quarantined with psi NULL — an unmeasurable batch must not pass a
+    measurement gate, and must not pass it by the accident of a large
+    ε-floor PSI either.
     """
     from ..operators.profile import psi_between, value_histogram
 
@@ -196,13 +199,23 @@ def drift_gate_writer(
     quarantine_w = idempotent_batch_writer(f"{out_path}/quarantined")
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        psi = psi_between(
-            value_histogram(batch_df, value_col, bin_width), base_hist
-        ).collect()[0][0]
+        hist = value_histogram(batch_df, value_col, bin_width)
+        # histogram-sized collect: one row per occupied bin
+        bins = hist.collect()
+        if not bins:
+            psi = None  # unmeasurable batch: explicit NULL verdict
+        else:
+            cur = batch_df.sparkSession.createDataFrame(
+                bins, schema=hist.schema
+            )
+            psi = psi_between(cur, base_hist).collect()[0][0]
         if psi is not None and psi <= max_psi:
             accept_w(batch_df, batch_id)
         else:
-            quarantine_w(batch_df.withColumn("psi", F.lit(psi)), batch_id)
+            quarantine_w(
+                batch_df.withColumn("psi", F.lit(psi).cast("double")),
+                batch_id,
+            )
 
     return gate
 

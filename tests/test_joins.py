@@ -121,6 +121,16 @@ class TestIntervalOverlapJoin:
         }
         assert self._run(spark, left, right, width=9.0) == expect
 
+    def test_column_name_clash_rejected_up_front(self, spark):
+        import pytest
+
+        from easy_alterator_spark.operators.joins import interval_overlap_join
+
+        ldf = spark.createDataFrame([(1, 0.0, 1.0)], "id long, lo double, hi double")
+        rdf = spark.createDataFrame([(2, 0.0, 1.0)], "id long, rlo double, rhi double")
+        with pytest.raises(ValueError, match="disjoint.*id"):
+            interval_overlap_join(ldf, rdf, "lo", "hi", "rlo", "rhi", 1.0)
+
 
 class TestRangeJoinPlan:
     def test_no_nested_loop_no_cartesian(self, spark, queries):

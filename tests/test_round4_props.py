@@ -28,18 +28,14 @@ base_rows = st.lists(
 
 
 def naive_merge(base, chg):
-    """Reference: latest change per key wins (seq desc, key asc
-    tiebreak is irrelevant here because dict-of-key keeps one row);
-    deletes remove, upserts replace/insert, untouched base survives."""
+    """Reference: latest change per key wins — max (seq, v, op)
+    lexicographic, mirroring tiebreak_cols=["v", "op"] DESC — deletes
+    remove, upserts replace/insert, untouched base survives."""
     latest = {}
     for k, v, seq, op in chg:
         cur = latest.get(k)
-        if cur is None or seq >= cur[0]:
-            # equal seq: keep the later-seen only if seq strictly
-            # greater — equal-seq winners are engine-arbitrary, so the
-            # property below only checks keys with a UNIQUE max seq
-            if cur is None or seq > cur[0]:
-                latest[k] = (seq, v, op)
+        if cur is None or (seq, v, op) > cur:
+            latest[k] = (seq, v, op)
     out = {k: (v, "base") for k, v in base}
     for k, (_, v, op) in latest.items():
         if op == "D":
@@ -59,16 +55,6 @@ class TestApplyChangelogProperties:
     def test_matches_naive_reference(self, spark, base, chg):
         from easy_alterator_spark.operators.cdc import apply_changelog
 
-        # restrict to keys whose max seq is unique (deterministic winner)
-        by_key: dict[int, list[int]] = {}
-        for k, _, seq, _ in chg:
-            by_key.setdefault(k, []).append(seq)
-        ambiguous = {
-            k for k, seqs in by_key.items() if seqs.count(max(seqs)) > 1
-        }
-        chg = [c for c in chg if c[0] not in ambiguous]
-        base = [b for b in base if b[0] not in ambiguous]
-
         base_df = spark.createDataFrame(
             base or [(999, 0)], "k long, v long"
         )
@@ -78,7 +64,12 @@ class TestApplyChangelogProperties:
         got = {
             r["k"]: (r["v"], r["src"])
             for r in apply_changelog(
-                base_df, chg_df, ["k"], "seq", "op"
+                base_df,
+                chg_df,
+                ["k"],
+                "seq",
+                "op",
+                tiebreak_cols=["v", "op"],
             ).collect()
         }
         want = naive_merge(base or [(999, 0)], chg or [(998, 0, 0, "U")])

@@ -426,10 +426,16 @@ class TestDriftGateIngest:
         drifted = docs.filter(F.col("doc_id") % 2 == 1).select(
             "doc_id", (F.col("n_chars") + 5000).alias("n_chars")
         )
+        # unmeasurable batch: every value_col is NULL -> empty
+        # histogram -> quarantined with an explicit psi NULL verdict
+        unmeasurable = spark.createDataFrame(
+            [(10_000_001, None), (10_000_002, None)],
+            "doc_id long, n_chars long",
+        )
 
         landing = str(tmp_path / "landing")
         os.makedirs(landing)
-        for i, frag in enumerate((ok_batch, drifted)):
+        for i, frag in enumerate((ok_batch, drifted, unmeasurable)):
             tmp = str(tmp_path / f"stage{i}")
             frag.coalesce(1).write.parquet(tmp)
             (part,) = glob.glob(f"{tmp}/part-*.parquet")
@@ -448,8 +454,12 @@ class TestDriftGateIngest:
         assert accepted == {r.doc_id for r in ok_batch.collect()}
         assert {r.doc_id for r in quarantined} == {
             r.doc_id for r in drifted.collect()
-        }
+        } | {10_000_001, 10_000_002}
         want_psi = psi_between(
             value_histogram(drifted, "n_chars", 50), base_hist
         ).collect()[0][0]
-        assert all(r.psi == want_psi and r.psi > 0.25 for r in quarantined)
+        for r in quarantined:
+            if r.doc_id >= 10_000_000:
+                assert r.psi is None
+            else:
+                assert r.psi == want_psi and r.psi > 0.25
