@@ -179,3 +179,87 @@ def asof_join_backward(
         F.col(f"__carried.{c}").alias(c) for c in value_cols
     ]
     return merged.filter(F.col("__probe") == 1).select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row picks up ``value_cols``
+    from the EARLIEST ``right`` row with the same ``on`` key and
+    ``right_ts >= left_ts`` (inclusive). Left rows with no successor —
+    or none within ``tolerance_seconds`` when given — keep NULLs.
+    Returns all ``left`` columns plus ``value_cols``.
+
+    The mirror of :func:`asof_join_backward` (time-to-next-event,
+    next-version lookup, forward label assignment for training data —
+    "did a purchase follow this impression within 7 days" is exactly
+    this join plus a tolerance). Same union-sort execution, scanned
+    from the future instead of the past: tag both sides, ONE
+    shuffle+sort on the key, ``first(value, ignorenulls)`` over the
+    [current, unbounded following] frame pulls each version back to
+    the probes that precede it. No range join, no per-row subquery;
+    the tolerance is a post-carry filter on the carried version
+    timestamp, not a join predicate, so it never changes the plan
+    shape.
+
+    At equal timestamps probes sort BEFORE versions so the inclusive
+    contract holds; two versions at the SAME instant are ordered by
+    ``right_tiebreak`` (EARLIEST wins — the mirror of backward's
+    latest-wins) and without one their winner is
+    sort-nondeterministic, so pass it whenever version timestamps can
+    collide (it must be a value_cols member).
+    """
+    vals_type = right.select(
+        F.struct(
+            *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")
+        ).alias("s")
+    ).schema["s"].dataType
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__probe"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(vals_type).alias("__vals"),
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        F.struct(
+            *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")
+        ).alias("__vals"),
+    )
+    # __probe DESC puts probes before versions at equal ts (inclusive)
+    order = [F.col("__t").asc(), F.col("__probe").desc()]
+    if right_tiebreak is not None:
+        if right_tiebreak not in value_cols:
+            raise ValueError("right_tiebreak must be one of value_cols")
+        order.append(F.col(f"__vals.{right_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = lt.unionByName(rt).withColumn(
+        "__carried", F.first("__vals", ignorenulls=True).over(w)
+    )
+    in_reach = F.col("__carried").isNotNull()
+    if tolerance_seconds is not None:
+        in_reach = in_reach & (
+            F.col("__carried.__vt").cast("double")
+            - F.col("__t").cast("double")
+            <= float(tolerance_seconds)
+        )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
+        F.when(in_reach, F.col(f"__carried.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return merged.filter(F.col("__probe") == 1).select(*out_cols)

@@ -1063,3 +1063,65 @@ def join_point_in_time(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "join_time_to_next",
+    # independent oracle: DuckDB evaluates the forward lookup as the
+    # literal correlated MIN-subquery; Spark never builds a subquery —
+    # union-sort carry-BACKWARD (operators/joins.py::asof_join_forward)
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    m AS (SELECT v.user_id, v.ts,
+                 (SELECT MIN(p.ts) FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                        AND p.ts >= v.ts) AS pts
+          FROM v),
+    f AS (SELECT user_id,
+                 CASE WHEN pts IS NOT NULL
+                           AND date_diff('second', ts, pts) <= 604800
+                      THEN date_diff('second', ts, pts) END AS lat
+          FROM m)
+    SELECT user_id, COUNT(*) AS n_views, COUNT(lat) AS n_converted_7d,
+           ROUND(AVG(lat), 2) AS avg_latency_s
+    FROM f GROUP BY user_id
+    """,
+)
+def join_time_to_next(spark, sf_dir):
+    """Forward as-of join with tolerance
+    (operators/joins.py::asof_join_forward): every view picks up the
+    user's NEXT purchase at-or-after it, counted as converted only
+    within 7 days — the forward label-assignment shape of training
+    pipelines ("did the outcome follow this impression in the
+    window"), which must read only the FUTURE side, exactly mirroring
+    the leakage rule of the backward PIT lookup. Spark executes the
+    union-sort carry-backward: one shuffle+sort on user_id, one
+    first(ignorenulls) window over [current, following], tolerance as
+    a post-carry filter; the oracle is the literal correlated
+    MIN-subquery, so the two formulations checking each other IS the
+    correctness claim."""
+    from ..operators.joins import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    hit = asof_join_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        value_cols=["purchase_id", "pts"],
+        right_tiebreak="purchase_id",
+        tolerance_seconds=604800,
+    )
+    lat = F.col("pts").cast("long") - F.col("ts").cast("long")
+    return hit.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count("purchase_id").alias("n_converted_7d"),
+        F.round(F.avg(lat), 2).alias("avg_latency_s"),
+    )

@@ -2790,3 +2790,43 @@ def stream_view_click_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("click_id").alias("n_clicks"),
     )
+
+
+@query(
+    "stream_latest_by_key",
+    # same contract (and oracle) as the batch events_latest_by_key —
+    # here the compaction runs on the STREAMING engine as a max_by
+    # aggregate in complete mode (CDC upsert materialized view)
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_latest_by_key(spark, sf_dir):
+    """Latest-wins materialized view on the STREAMING engine
+    (streaming/events.py::latest_by_key_stream): the CDC upsert
+    compaction as a running max_by aggregate — state per key is ONE
+    row (bounded by key cardinality, not stream length; no watermark
+    because nothing is ever evicted, the view IS the point). FIFTH
+    streaming registry entry, covering unbounded-aggregate state; the
+    others cover dedup, session-window, windowed-agg, and join state.
+    Drained via availableNow in complete mode to a memory sink; the
+    (ts, event_id) composite order key makes the winner deterministic,
+    so the batch QUALIFY oracle carries over unchanged."""
+    from ..streaming.events import (
+        latest_by_key_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_latest_sink_{_STREAM_SINK_SEQ[0]}"
+    run_to_memory(
+        latest_by_key_stream(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return spark.table(name)

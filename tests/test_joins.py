@@ -221,3 +221,105 @@ class TestAsofJoinBackward:
             spark, probes, versions, value_cols=["state", "ver"], right_tiebreak="ver"
         )
         assert got == expect
+
+
+class TestAsofJoinForward:
+    def _run(self, spark, probes, versions, **kw):
+        from easy_alterator_spark.operators.joins import asof_join_forward
+
+        l = spark.createDataFrame(probes, "k long, t timestamp, pid long")
+        r = spark.createDataFrame(
+            versions, "k long, vt timestamp, state string, ver long"
+        )
+        out = asof_join_forward(
+            l, r, on="k", left_ts="t", right_ts="vt",
+            value_cols=kw.pop("value_cols", ["state"]), **kw
+        )
+        return {
+            row["pid"]: tuple(row[c] for c in out.columns[3:])
+            for row in out.collect()
+        }
+
+    def test_earliest_successor_wins_and_inclusive(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [
+            (1, T(2024, 1, 1), "a", 1),
+            (1, T(2024, 1, 5), "b", 2),
+            (1, T(2024, 1, 9), "c", 3),
+        ]
+        probes = [
+            (1, T(2024, 1, 4), 100),   # before b -> b
+            (1, T(2024, 1, 5), 101),   # exactly at b -> b (inclusive)
+            (1, T(2023, 1, 1), 102),   # before all -> a
+            (1, T(2024, 1, 30), 103),  # after all -> NULL
+            (2, T(2024, 1, 4), 104),   # key with no versions -> NULL
+        ]
+        got = self._run(spark, probes, versions)
+        assert got == {
+            100: ("b",), 101: ("b",), 102: ("a",), 103: (None,), 104: (None,)
+        }
+
+    def test_tolerance_nulls_out_far_successors(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [(1, T(2024, 1, 10), "far", 1)]
+        probes = [(1, T(2024, 1, 1), 100), (1, T(2024, 1, 9), 101)]
+        got = self._run(
+            spark, probes, versions,
+            value_cols=["state", "ver"],
+            tolerance_seconds=2 * 86400,
+        )
+        assert got == {100: (None, None), 101: ("far", 1)}
+
+    def test_same_instant_versions_earliest_tiebreak(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [
+            (1, T(2024, 1, 5), "second", 2),
+            (1, T(2024, 1, 5), "first", 1),
+        ]
+        got = self._run(
+            spark,
+            [(1, T(2024, 1, 2), 100)],
+            versions,
+            value_cols=["state", "ver"],
+            right_tiebreak="ver",
+        )
+        assert got == {100: ("first", 1)}
+
+    def test_matches_brute_force_random(self, spark):
+        import datetime as dt
+        import random
+
+        T0 = dt.datetime(2024, 1, 1)
+        rnd = random.Random(11)
+        versions = [
+            (rnd.randint(1, 5), T0 + dt.timedelta(hours=rnd.randint(0, 500)), f"s{i}", i)
+            for i in range(60)
+        ]
+        probes = [
+            (rnd.randint(1, 6), T0 + dt.timedelta(hours=rnd.randint(0, 500)), i)
+            for i in range(120)
+        ]
+        tol = 100 * 3600.0
+        expect = {}
+        for k, t, pid in probes:
+            cands = [
+                (vt, ver, st)
+                for vk, vt, st, ver in versions
+                if vk == k and vt >= t and (vt - t).total_seconds() <= tol
+            ]
+            expect[pid] = (
+                (min(cands)[2], min(cands)[1]) if cands else (None, None)
+            )
+        got = self._run(
+            spark, probes, versions,
+            value_cols=["state", "ver"],
+            right_tiebreak="ver",
+            tolerance_seconds=tol,
+        )
+        assert got == expect
