@@ -163,3 +163,53 @@ def source_overlap_minhash(
         matches.alias("matches"),
         F.round(matches / num_perm, 4).alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-level anti-entropy checksums (replica sync without row diff)
+# ---------------------------------------------------------------------------
+
+
+def partition_checksum(
+    df: DataFrame,
+    partition_expr,
+    row_cols: list[str],
+    part_name: str = "part",
+) -> DataFrame:
+    """(part, n_rows, checksum): a commutative per-partition
+    fingerprint — row count plus the SUM of a 32-bit md5 slice of each
+    row's canonical string — for anti-entropy replica comparison
+    (Merkle-tree leaf level; Dynamo/Cassandra repair, warehouse
+    cross-region sync).
+
+    Comparing replicas row-by-row moves both tables; comparing
+    partition checksums moves ONE ROW PER PARTITION, and only
+    mismatched partitions pay a row-level diff afterwards
+    (:func:`snapshot_diff` scoped to the partition). Design points:
+
+    - The checksum is a SUM, so it is order- and partitioning-
+      independent and partially aggregable (map-side combine; the
+      shuffle carries one row per partition per map task).
+    - The row hash is a 32-bit slice of md5 over a '|'-joined string
+      of ``row_cols`` — portable integer math that any engine
+      (DuckDB, Trino, Spark) reproduces bit-for-bit, which is the
+      whole point: the two sides of a sync check are DIFFERENT
+      engines more often than not. Keep ``row_cols`` to exactly-
+      stringifiable types (integers, strings, dates) — float
+      formatting differs across engines.
+    - 32-bit slices keep ``sum`` inside BIGINT for up to 2^31 rows
+      per partition; size partitions (or widen to two checksum
+      columns) beyond that.
+    - Collision odds: two differing partitions collide with
+      probability ~2^-32 per check — and only when row counts ALSO
+      match; fine for repair scheduling, not for audit proofs (use
+      the full md5 via snapshot_diff for those).
+    """
+    canon = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in row_cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return df.groupBy(partition_expr.alias(part_name)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    )

@@ -2300,6 +2300,40 @@ def privacy_k_anonymity(spark, sf_dir):
 
 
 @query(
+    "privacy_l_diversity",
+    oracle="""
+    SELECT lang, CAST(FLOOR(n_chars / 50) AS INT) AS len_bucket,
+           COUNT(*) AS n, COUNT(DISTINCT source) AS n_sensitive
+    FROM documents
+    GROUP BY lang, len_bucket
+    HAVING COUNT(DISTINCT source) < 6
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit — the companion k-anonymity misses: a cell
+    can hold k>=5 members yet leak the sensitive attribute anyway if
+    they all SHARE it (homogeneity attack). Each quasi-identifier
+    cell (lang, length bucket) must see at least l=6 distinct values
+    of the sensitive column (source); cells below l surface as the
+    generalization worklist. One aggregation with a distinct count —
+    Spark plans COUNT(DISTINCT) as the two-level partial-distinct
+    expand, so the shuffle carries (cell, source) pairs, never rows;
+    output is violation-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / 50).cast("int").alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("source").alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < 6)
+    )
+
+
+@query(
     "graph_edge_support",
     # triangle support per near-dup edge: |N(a) ∩ N(b)| over the
     # undirected pair graph (the spurious-LSH-edge pruning signal)

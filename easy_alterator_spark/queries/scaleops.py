@@ -978,3 +978,69 @@ def graph_lpa_communities(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     labels = label_propagation(D.jaccard_pairs(docs, threshold=0.8), iters=4)
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+@query(
+    "sync_partition_checksums",
+    # the oracle restates the checksum algebra in portable SQL — md5
+    # slice to BIGINT via the 0x-cast; cross-engine bit-parity of the
+    # row hash is the contract under test (sync checks compare
+    # DIFFERENT engines more often than not)
+    oracle="""
+    WITH r AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part,
+               o_orderkey,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), 1, 8))
+                   AS BIGINT) AS h
+        FROM orders),
+    src AS (SELECT part, COUNT(*) AS n_src, CAST(SUM(h) AS BIGINT) AS ck_src
+            FROM r GROUP BY part),
+    dst AS (SELECT part, COUNT(*) AS n_dst, CAST(SUM(h) AS BIGINT) AS ck_dst
+            FROM r WHERE o_orderkey % 1000 <> 7 GROUP BY part)
+    SELECT part, n_src, n_dst, n_src - n_dst AS missing_rows
+    FROM src JOIN dst USING (part)
+    WHERE ck_src <> ck_dst OR n_src <> n_dst
+    """,
+)
+def sync_partition_checksums(spark, sf_dir):
+    """Anti-entropy replica comparison
+    (operators/corpus_diff.py::partition_checksum): both replicas fold
+    to one (month, n_rows, checksum) row per partition — a commutative
+    32-bit-md5-slice SUM that any engine reproduces bit-for-bit — and
+    only MISMATCHED partitions surface for row-level repair. The
+    'replica' here is the same orders table with every
+    o_orderkey % 1000 == 7 row dropped (a simulated partial-load
+    fault); the query returns exactly the damaged months with their
+    row deltas. Cost: two aggregations (map-side combined) + a
+    months-sized join — the 100 TB sides never meet row-to-row."""
+    from ..operators.corpus_diff import partition_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_date"]
+    canon = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_date"),
+    )
+    part = F.trunc("o_date", "month")
+    src = partition_checksum(canon, part, cols)
+    dst = partition_checksum(
+        canon.filter(F.col("o_orderkey") % 1000 != 7), part, cols
+    )
+    j = src.alias("s").join(dst.alias("d"), "part")
+    return (
+        j.filter(
+            (F.col("s.checksum") != F.col("d.checksum"))
+            | (F.col("s.n_rows") != F.col("d.n_rows"))
+        )
+        .select(
+            "part",
+            F.col("s.n_rows").alias("n_src"),
+            F.col("d.n_rows").alias("n_dst"),
+            (F.col("s.n_rows") - F.col("d.n_rows")).alias("missing_rows"),
+        )
+    )
