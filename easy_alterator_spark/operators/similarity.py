@@ -126,6 +126,7 @@ def refine_centroids(
     iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mean_decimals: int | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of an initial centroid set.
 
@@ -137,30 +138,66 @@ def refine_centroids(
     size; the big side never shuffles whole vectors. Buckets that end
     up empty drop out (the centroid count can shrink).
 
+    ``mean_decimals`` rounds each per-dimension mean (cross-engine
+    determinism valve: a double AVG's value depends on accumulation
+    order, so two engines — or two partitionings — can disagree in the
+    last bits and flip a knife-edge assignment next iteration;
+    rounding to a few decimals snaps both sides to the same centroid
+    bit-for-bit, at k-means-noise-level precision cost).
+
     Returns a (c_id, cv) DataFrame shaped like the input centroids —
     drop-in for :func:`assign_ivf_buckets`'s sampled seed.
     """
     v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
     for _ in range(iters):
-        scored = v.join(F.broadcast(centroids)).select(
-            "v_id", "vv", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
-        )
-        assigned = scored.groupBy("v_id").agg(
-            F.max_by("c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("tb"))).alias(
-                "bucket"
-            ),
-            F.any_value("vv").alias("vv"),
+        assigned = nearest_assign(
+            v, centroids, vec_col="vv", id_col="v_id", keep_vec=True
         )
         by_pos = assigned.select(
             "bucket", F.posexplode(V.as_double(F.col("vv"))).alias("pos", "val")
         )
-        means = by_pos.groupBy("bucket", "pos").agg(F.avg("val").alias("m"))
+        m_expr = F.avg("val")
+        if mean_decimals is not None:
+            m_expr = F.round(m_expr, mean_decimals)
+        means = by_pos.groupBy("bucket", "pos").agg(m_expr.alias("m"))
         centroids = means.groupBy("bucket").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cv")
         ).select(F.col("bucket").alias("c_id"), "cv")
     return centroids
+
+
+def nearest_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(v_id, bucket[, vv]): broadcast argmax-cosine assignment of
+    every vector to its nearest centroid — highest sim, ties to the
+    LOWEST c_id (max_by over (sim, -c_id)). The centroid table rides a
+    broadcast join; the vector side never shuffles (the groupBy keys
+    on v_id, which the scan already satisfies per-row — Catalyst
+    plans it as a partial-only aggregate over the joined scan).
+
+    The SQL-expressible assignment primitive shared by Lloyd
+    refinement and the k-means registry query; the deployment twin is
+    :func:`_nearest_centroid`'s inline unit-dot argmax inside the
+    Arrow IVF path."""
+    v = vectors.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"))
+    scored = v.join(F.broadcast(centroids)).select(
+        "v_id", "vv", "c_id", V.cosine(F.col("vv"), F.col("cv")).alias("sim")
+    )
+    aggs = [
+        F.max_by(
+            "c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("tb"))
+        ).alias("bucket")
+    ]
+    if keep_vec:
+        aggs.append(F.any_value("vv").alias("vv"))
+    return scored.groupBy("v_id").agg(*aggs)
 
 
 def ivf_centroids(

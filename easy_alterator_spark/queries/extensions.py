@@ -707,6 +707,78 @@ def sim_ann_pq(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").select("q_id", "n_id", "rnk", "score")
 
 
+@query(
+    "cluster_kmeans",
+    # k-means is iterative but fully DETERMINISTIC here: md5-ordered
+    # seed (as the IVF family), argmax-cosine assignment with
+    # (sim DESC, c_id ASC) tie-break, and per-dimension means ROUNDED
+    # to 6 decimals — the rounding is the cross-engine determinism
+    # valve (double AVG is accumulation-order dependent; snapping both
+    # engines to 6 decimals makes the refined centroids bit-identical,
+    # so the second assignment pass cannot diverge on float noise).
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, emb AS cv FROM v
+              ORDER BY md5(vec_id::VARCHAR) LIMIT 8),
+    sc AS (SELECT v.vec_id AS v_id, c.c_id,
+                  list_dot_product(v.emb, c.cv)
+                    / (sqrt(list_dot_product(v.emb, v.emb))
+                       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM v CROSS JOIN cents c),
+    asn AS (SELECT v_id, c_id AS bucket FROM (
+              SELECT v_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY v_id
+                                        ORDER BY sim DESC, c_id) AS rn
+              FROM sc) WHERE rn = 1),
+    dims AS (SELECT unnest(range(1, 65)) AS pos),
+    ref AS (SELECT bucket AS c_id, list(m ORDER BY pos) AS cv FROM (
+              SELECT a.bucket, d.pos, ROUND(AVG(v.emb[d.pos]), 6) AS m
+              FROM asn a JOIN v ON v.vec_id = a.v_id CROSS JOIN dims d
+              GROUP BY a.bucket, d.pos) GROUP BY bucket),
+    sc2 AS (SELECT v.vec_id AS v_id, v.label, r.c_id,
+                   list_dot_product(v.emb, r.cv)
+                     / (sqrt(list_dot_product(v.emb, v.emb))
+                        * sqrt(list_dot_product(r.cv, r.cv))) AS sim
+            FROM v CROSS JOIN ref r),
+    asn2 AS (SELECT v_id, label, c_id AS cluster_id FROM (
+               SELECT v_id, label, c_id,
+                      ROW_NUMBER() OVER (PARTITION BY v_id
+                                         ORDER BY sim DESC, c_id) AS rn
+               FROM sc2) WHERE rn = 1)
+    SELECT cluster_id, COUNT(*) AS n, ROUND(AVG(label), 2) AS avg_label
+    FROM asn2 GROUP BY cluster_id
+    """,
+)
+def cluster_kmeans(spark, sf_dir):
+    """One full k-means round as a registry query
+    (operators/similarity.py::refine_centroids + nearest_assign):
+    deterministic md5 seed of k=8, one Lloyd iteration (assign ->
+    per-dim mean), re-assign the corpus to the refined centroids,
+    report per-cluster size and mean planted label. The cluster pass
+    every corpus curation pipeline runs before semantic dedup /
+    diversity sampling. Plan: centroids ride BROADCAST joins both
+    times; the corpus never shuffles whole vectors — the mean's
+    shuffle carries |k| x dim rows (posexplode + partial agg), the
+    final rollup |k| rows. The oracle rebuilds the identical round in
+    SQL; per-dim means round to 6 decimals on BOTH engines, the
+    cross-engine float-determinism valve (see refine_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = (
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        .orderBy(F.md5(F.col("c_id").cast("string")))
+        .limit(8)
+    )
+    refined = S.refine_centroids(emb, seed, iters=1, mean_decimals=6)
+    asn = S.nearest_assign(emb, refined)
+    labeled = asn.join(
+        emb.select(F.col("vec_id").alias("v_id"), "label"), "v_id"
+    )
+    return labeled.groupBy(F.col("bucket").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("label"), 2).alias("avg_label"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Round-5 operators: forward as-of join query wiring, k-means
+assignment/refinement determinism, partition checksums, and the
+drift-gate NULL verdict.
+
+Value-level semantics on constructed rows; engine-vs-DuckDB parity
+for the registered queries runs in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+class TestNearestAssign:
+    def test_ties_go_to_lowest_centroid_id(self, spark):
+        from easy_alterator_spark.operators.similarity import nearest_assign
+
+        # v equidistant (same cosine) from both centroids
+        vecs = spark.createDataFrame(
+            [(10, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "c_id long, cv array<double>",
+        )
+        got = nearest_assign(vecs, cents).collect()
+        assert [(r["v_id"], r["bucket"]) for r in got] == [(10, 2)]
+
+    def test_keep_vec_carries_the_vector(self, spark):
+        from easy_alterator_spark.operators.similarity import nearest_assign
+
+        vecs = spark.createDataFrame(
+            [(1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "c_id long, cv array<double>"
+        )
+        (row,) = nearest_assign(vecs, cents, keep_vec=True).collect()
+        assert row["bucket"] == 0 and list(row["vv"]) == [0.9, 0.1]
+
+
+class TestRefineCentroidsRounding:
+    def test_mean_decimals_snaps_centroid_values(self, spark):
+        from easy_alterator_spark.operators.similarity import refine_centroids
+
+        # one bucket; mean of dim0 = (0.1234567 + 0.1234569)/2 = 0.1234568
+        vecs = spark.createDataFrame(
+            [(1, [0.1234567, 1.0]), (2, [0.1234569, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [0.5, 1.0])], "c_id long, cv array<double>"
+        )
+        (row,) = refine_centroids(
+            vecs, cents, iters=1, mean_decimals=6
+        ).collect()
+        assert row["cv"][0] == 0.123457  # rounded to 6 decimals
+        assert row["cv"][1] == 1.0
+
+
+class TestPartitionChecksum:
+    def test_checksum_is_order_and_partitioning_independent(self, spark):
+        from easy_alterator_spark.operators.corpus_diff import (
+            partition_checksum,
+        )
+
+        rows = [(i, f"s{i % 3}") for i in range(40)]
+        a = spark.createDataFrame(rows, "id long, s string")
+        b = spark.createDataFrame(list(reversed(rows)), "id long, s string").repartition(7)
+        part = F.col("id") % 2
+        ca = {r["part"]: (r["n_rows"], r["checksum"])
+              for r in partition_checksum(a, part, ["id", "s"]).collect()}
+        cb = {r["part"]: (r["n_rows"], r["checksum"])
+              for r in partition_checksum(b, part, ["id", "s"]).collect()}
+        assert ca == cb and set(ca) == {0, 1}
+
+    def test_single_row_change_flips_exactly_one_partition(self, spark):
+        from easy_alterator_spark.operators.corpus_diff import (
+            partition_checksum,
+        )
+
+        rows = [(i, "x") for i in range(10)]
+        a = spark.createDataFrame(rows, "id long, s string")
+        changed = [(i, "y" if i == 4 else "x") for i in range(10)]
+        b = spark.createDataFrame(changed, "id long, s string")
+        part = F.col("id") % 2
+        ca = {r["part"]: r["checksum"]
+              for r in partition_checksum(a, part, ["id", "s"]).collect()}
+        cb = {r["part"]: r["checksum"]
+              for r in partition_checksum(b, part, ["id", "s"]).collect()}
+        assert ca[1] == cb[1]  # odd partition untouched
+        assert ca[0] != cb[0]  # id=4 lives in the even partition
