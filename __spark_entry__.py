@@ -28,109 +28,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-4 rotation (VERDICT r3 task 1): CORRECTNESS_r01-r03
-# cover 97 of the registry; the 43 entries the driver has NEVER
-# checked (judge-verified green in r3) cycle into this round's window
-# so the union r01-r04 converges to full coverage. Genuinely new or
-# changed round-4 queries go ahead of them; everything already
-# driver-green trails (order there is cosmetic — _ordered appends the
-# remainder anyway).
+# order. Round-5 rotation: CORRECTNESS_r01-r04 cover 142 of the
+# registry; the 34 entries the driver has never checked cycle into
+# this round's window together with the 5 new round-5 queries and the
+# 2 changed ones — 39 slots, so the whole never-checked backlog fits
+# and the union r01-r05 converges to full oracle coverage of the
+# r4-era registry. Everything already driver-green trails (order
+# there is cosmetic — _ordered appends the remainder anyway).
 _PRIORITY = [
-    # --- round-4 new / changed (driver must check fresh surface).
-    # Slots are budgeted so the 43 never-checked entries below ALL fit
-    # in the 50-entry window (r01-r04 union = full oracle coverage);
-    # changed-but-already-driver-green entries verified via
-    # tools/driver_sim this round (bpe_train_merges, profile_key_skew)
-    # yield their slots to that goal.
-    "stream_sessionize",        # NEW: streaming path (task 8)
-    "dedup_minhash_df_pruned",  # NEW: DF shingle pruning (SCALE §11)
-    "sim_ann_ivf",              # changed: Arrow form (tasks 3)
-    "sim_ann_pq",               # changed: Arrow ADC (task 4)
-    "sim_topk_bruteforce",      # changed: Arrow form
-    "search_bm25",              # changed: unrounded ordering (ADVICE)
-    "dedup_simhash",            # value-pinned vs md5 twin (task 6)
-    # --- the 43 never-driver-checked entries (r1-r3 union gap) ---
-    "q31_tpch_late_orders",
-    "q32_tpch_returned",
-    "q33_tpch_forecast",
-    "q34_tpch_volume_shipping",
-    "q35_tpch_market_share",
-    "q36_tpch_min_cost_supplier",
-    "q37_tpch_profit",
-    "q38_tpch_important_stock",
-    "q39_tpch_top_supplier",
-    "q40_tpch_parts_supplier_cnt",
-    "q41_tpch_small_qty",
-    "q42_tpch_promotion_parts",
-    "q43_tpch_waiting_supplier",
-    "search_hybrid_rrf",
-    "search_phrase",
-    "search_ranked",
-    "corpus_snapshot_diff",
-    "decontaminate_bloom",
-    "dedup_cluster_assign_star",
-    "dedup_containment",
-    "dedup_edit_distance",
-    "dedup_embedding_lsh_planted",
-    "dedup_lsh_recall_audit",
-    "dedup_semantic",
-    "dedup_simhash_md5",
-    "dedup_substring_drop",
-    "dedup_substring_stats",
-    "doc_chunk_dedup",
-    "doc_chunk_overlap",
-    "doc_mixture_resample",
-    "doc_quality_filter",
-    "doc_training_order",
-    "events_dwell_time",
-    "events_ohlc_daily",
-    "events_retention_cohorts",
-    "events_rolling_median",
-    "events_transitions",
-    "events_value_ranks",
-    "events_winsorize",
-    "text_collocations",
-    "multimodal_audio_energy",
-    "multimodal_resize",
-    # --- round-4 NEW queries, deliberately AFTER the 50-slot window:
-    # displacing any of the 43 above would break the r01-r04 union
-    # converging to full coverage of the r3-era registry. These six
-    # are driver_sim-verified green at sf0.01 this round (see
-    # COVERAGE.md §round-4) and rotate into round 5's window.
-    "join_skew_salted",
-    "cdc_merge_upsert",
-    "profile_columns",
-    "index_postings",
-    "events_rolling_distinct",
-    "stream_dedup_exact",
-    "hierarchy_bom_rollup",
-    "dedup_prefix_filter",
-    "graph_pagerank",
-    "stats_histogram_equidepth",
-    "events_attribution_first_touch",
-    "eval_lang_id_report",
-    "events_window_dedup",
-    "events_conversion_latency",
-    "privacy_erasure_audit",
-    # second wave (driver_sim-verified green at sf0.01 AND sf0.1):
-    "decontaminate_semantic",
-    "doc_pack_efficiency",
-    "profile_drift_psi",
-    "multimodal_exact_dedup",
-    "search_eval_metrics",
-    "search_phrase_positional",
-    # third wave:
-    "dedup_sorted_neighborhood",
-    "join_range_bucketed",
-    "select_pareto_docs",
-    "dedup_blocking_recall",
-    "stats_regression_by_group",
-    "doc_sample_weighted_k",
-    "graph_lpa_communities",
-    "stream_view_click_join",
+    # --- round-5 new queries (fresh surface first) ---
+    "cluster_kmeans",
+    "join_time_to_next",
+    "stream_latest_by_key",
+    "sync_partition_checksums",
+    "privacy_l_diversity",
+    # --- round-5 changed (advisor fixes: PIT tiebreak, CDC tiebreak) ---
     "join_point_in_time",
-    # --- already driver-green (r1-r3); order cosmetic ---
-    *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
+    "cdc_merge_upsert",
+    # --- the 32 remaining never-driver-checked entries (r01-r04 gap) ---
+    "decontaminate_semantic",
+    "dedup_blocking_recall",
+    "dedup_prefix_filter",
+    "dedup_sorted_neighborhood",
+    "doc_pack_efficiency",
+    "doc_sample_weighted_k",
+    "dq_rule_violations",
+    "eval_kappa",
+    "eval_lang_id_report",
+    "events_attribution_first_touch",
+    "events_conversion_latency",
+    "events_rolling_distinct",
+    "events_window_dedup",
+    "graph_lpa_communities",
+    "graph_pagerank",
+    "hierarchy_bom_rollup",
+    "index_postings",
+    "join_cardinality_estimate",
+    "join_range_bucketed",
+    "join_skew_salted",
+    "multimodal_exact_dedup",
+    "multimodal_resize",
+    "privacy_erasure_audit",
+    "profile_columns",
+    "profile_drift_psi",
+    "search_eval_metrics",
+    "select_pareto_docs",
+    "stats_histogram_equidepth",
+    "stats_regression_by_group",
+    "stream_dedup_exact",
+    "stream_view_click_join",
+    "stream_window_counts",
+    # --- already driver-green; the next ~11 re-verify oldest surface ---
     "pipeline_training_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -139,8 +87,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "sim_ann_ivf_probe2",
     "decontaminate_ngram",
     "doc_sample_split",
     "doc_pack_sequences",
@@ -152,6 +98,7 @@ _PRIORITY = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
+    *[f"q{i:02d}" for i in range(1, 44)],  # name-prefix match below
 ]
 
 
