@@ -584,3 +584,61 @@ class TestThirdWaveOpShapes:
         sorts = [l for l in plan.splitlines() if "+- Sort" in l]
         assert len(tree) == 1, plan
         assert len(sorts) == 1, plan
+
+
+class TestRound5PlanContracts:
+    def test_asof_forward_single_shuffle_no_join(self, spark):
+        """The forward as-of is ONE exchange (the key sort), never a
+        range/nested-loop join."""
+        import datetime as dt
+
+        from easy_alterator_spark.operators.joins import asof_join_forward
+        from easy_alterator_spark.plans.audit import (
+            formatted_plan,
+            join_counts,
+        )
+
+        T = dt.datetime
+        l = spark.createDataFrame(
+            [(1, T(2024, 1, 1), 1)], "k long, t timestamp, pid long"
+        )
+        r = spark.createDataFrame(
+            [(1, T(2024, 1, 2), "a")], "k long, vt timestamp, state string"
+        )
+        plan = formatted_plan(
+            asof_join_forward(l, r, "k", "t", "vt", ["state"])
+        )
+        jc = join_counts(plan)
+        assert jc["BroadcastNestedLoopJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+        assert jc["SortMergeJoin"] == 0
+        # union of two local relations -> exactly one exchange for the
+        # window partitioning (formatted mode puts the partitioning on
+        # the Arguments line)
+        assert plan.count("hashpartitioning(__k") == 1
+
+    def test_kmeans_centroids_ride_broadcast(self, spark, queries):
+        """Both assignment passes broadcast the centroid side; the
+        corpus is never sort-merge joined."""
+        from easy_alterator_spark.plans.audit import (
+            formatted_plan,
+            join_counts,
+        )
+
+        plan = formatted_plan(queries["cluster_kmeans"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] + plan.count("BroadcastNestedLoopJoin") >= 2
+        assert jc["SortMergeJoin"] == 0
+        assert jc["CartesianProduct"] == 0
+
+    def test_partition_checksum_partial_aggregates(self, spark, queries):
+        """The checksum aggregation map-side combines: the plan holds
+        partial HashAggregates below each exchange, and the two
+        replica sides meet only at months granularity."""
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["sync_partition_checksums"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # partial_count / partial_sum markers: partial agg before shuffle
+        assert plan.count("HashAggregate") >= 4
