@@ -125,3 +125,49 @@ def label_propagation(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def khop_reachability(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, min_hop): every node within ``hops`` undirected steps of
+    the seed set, with its BFS layer (0 = seed). Frontier expansion as
+    an unrolled loop building ONE lazy plan: layer h+1 = distinct
+    neighbors of layer h, and min_hop resolves as a final min-per-node
+    aggregate over the layered union — no visited-set anti-join per
+    round, which would serialize the layers (correct BFS still falls
+    out because a node first reached at layer h also appears in every
+    later layer it is re-reached in; min() recovers the first).
+
+    Per hop: one (src)-keyed join frontier->edges + one distinct —
+    two key-partitioned shuffles, frontier-sized (never graph-sized).
+    ``hops`` is small and fixed (impact radii, contamination blast
+    zones, fraud rings); for unbounded reachability use the
+    connected-components operators instead (dedup.py's
+    large-star/small-star loop), which converge in O(log n) rounds.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).unionByName(
+        pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    frontier = seeds.select(F.col(node_col).alias("n")).distinct()
+    layers = [frontier.select("n", F.lit(0).alias("hop"))]
+    for h in range(1, hops + 1):
+        frontier = (
+            edges.join(frontier, edges["s"] == frontier["n"])
+            .select(F.col("d").alias("n"))
+            .distinct()
+        )
+        layers.append(frontier.select("n", F.lit(h).alias("hop")))
+    allhops = layers[0]
+    for lay in layers[1:]:
+        allhops = allhops.unionByName(lay)
+    return allhops.groupBy(F.col("n").alias(node_col)).agg(
+        F.min("hop").alias("min_hop")
+    )

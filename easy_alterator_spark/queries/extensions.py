@@ -2433,6 +2433,48 @@ def graph_edge_support(spark, sf_dir):
 
 
 @query(
+    "graph_khop",
+    # BFS layers unrolled as CTEs — the oracle mirrors the frontier
+    # algebra (layer h+1 = distinct neighbors of layer h; min-per-node
+    # over the layered union recovers the first-reach hop)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DSET} AS toks FROM documents WHERE doc_id <= 200),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+    e AS (SELECT a AS s, b AS dd FROM p UNION ALL SELECT b, a FROM p),
+    h0 AS (SELECT DISTINCT doc_id AS n FROM documents
+           WHERE doc_id <= 200 AND doc_id % 50 = 0),
+    h1 AS (SELECT DISTINCT e.dd AS n FROM e JOIN h0 ON e.s = h0.n),
+    h2 AS (SELECT DISTINCT e.dd AS n FROM e JOIN h1 ON e.s = h1.n),
+    h3 AS (SELECT DISTINCT e.dd AS n FROM e JOIN h2 ON e.s = h2.n),
+    u AS (SELECT n, 0 AS hop FROM h0 UNION ALL SELECT n, 1 FROM h1
+          UNION ALL SELECT n, 2 FROM h2 UNION ALL SELECT n, 3 FROM h3)
+    SELECT n AS node, MIN(hop) AS min_hop FROM u GROUP BY n
+    """,
+)
+def graph_khop(spark, sf_dir):
+    """3-hop reachability from a seed set over the near-dup pair graph
+    (operators/graph.py::khop_reachability): the contamination
+    blast-zone question — "if these documents are tainted, what does
+    taint reach through near-duplication within k steps". Frontier
+    expansion is two frontier-sized shuffles per hop (join + distinct)
+    with min_hop resolved by ONE final aggregate over the layered
+    union, so no per-round visited-set barrier serializes the plan;
+    unbounded reachability belongs to the connected-components
+    operators instead. Seeds: every 50th doc of the <=200 slice."""
+    from ..operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return G.khop_reachability(pairs, seeds, hops=3)
+
+
+@query(
     "agg_incremental_merge",
     # oracle recomputes over the FULL table: the merged partial
     # aggregates must equal the from-scratch answer exactly

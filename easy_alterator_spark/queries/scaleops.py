@@ -1044,3 +1044,38 @@ def sync_partition_checksums(spark, sf_dir):
             (F.col("s.n_rows") - F.col("d.n_rows")).alias("missing_rows"),
         )
     )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH mx AS (SELECT event_type, COUNT(*) AS n, MAX(ts) AS last_ts
+                FROM events GROUP BY event_type),
+    g AS (SELECT MAX(ts) AS global_ts FROM events)
+    SELECT event_type, n,
+           date_diff('second', last_ts, global_ts) AS lag_s,
+           date_diff('second', last_ts, global_ts) > 3600 AS is_stale
+    FROM mx CROSS JOIN g
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Per-stream freshness audit — the first page of every pipeline
+    runbook: how far does each event stream lag the most recent
+    arrival, and which streams breach the SLO (1 h here). Two
+    aggregations (map-side combined, each output is stream-count
+    sized) and a broadcast cross join of the ONE-ROW global watermark;
+    the 100 TB table is scanned once and never shuffled beyond the
+    per-type partials. Second-boundary lag (floor semantics) matches
+    DuckDB's date_diff exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+    global_max = ev.agg(F.max("ts").alias("global_ts"))
+    lag = F.col("global_ts").cast("long") - F.col("last_ts").cast("long")
+    return per_type.crossJoin(F.broadcast(global_max)).select(
+        "event_type",
+        "n",
+        lag.alias("lag_s"),
+        (lag > 3600).alias("is_stale"),
+    )
