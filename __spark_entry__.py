@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # there is cosmetic — _ordered appends the remainder anyway).
 _PRIORITY = [
     # --- round-5 new queries (fresh surface first) ---
+    "dq_referential_integrity",
+    "events_path_trigrams",
     "graph_khop",
     "dq_freshness",
     "cluster_kmeans",

@@ -1079,3 +1079,104 @@ def dq_freshness(spark, sf_dir):
         lag.alias("lag_s"),
         (lag > 3600).alias("is_stale"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', COUNT(*)
+    FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the DQ check
+    that gates every warehouse load: rows whose FK has no parent,
+    counted per constraint. Each constraint is ONE left-anti join
+    projected to the key columns before the join (the scan reads just
+    the FK), and the parent sides are broadcast (orders' parent keys
+    are customer-sized, nation is tiny; at 100 TB the fact-side
+    anti-join stays a broadcast probe — zero fact shuffle). Orphan
+    counts are change-sized: 0 rows on a healthy load, and the audit
+    emits the count either way so the report is schema-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, parent_keys, on, label):
+        return (
+            child.join(F.broadcast(parent_keys), on, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    a = orphans(
+        li,
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "lineitem.l_orderkey->orders",
+    )
+    b = orphans(
+        orders.select("o_custkey"),
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "orders.o_custkey->customer",
+    )
+    c = orphans(
+        cust.select("c_nationkey"),
+        nation.select(F.col("n_nationkey").alias("c_nationkey")),
+        "c_nationkey",
+        "customer.c_nationkey->nation",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type AS e1,
+                      lead(event_type, 1) OVER w AS e2,
+                      lead(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    t AS (SELECT e1, e2, e3, COUNT(*) AS n FROM s
+          WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3),
+    r AS (SELECT e1, e2, e3, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rnk
+          FROM t)
+    SELECT e1, e2, e3, n, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Sequential pattern mining lite: the top-20 3-step behavior
+    paths (event-type trigrams along each user's timeline) — the
+    path-analysis staple behind funnels ("what do users actually do
+    between view and purchase"). One shuffle on user_id serves both
+    lead() windows; the trigram rollup partially aggregates map-side
+    (alphabet³ is tiny whatever the event volume); the final top-20
+    is a TakeOrdered over the |alphabet|³-sized aggregate, never the
+    events. Deterministic (n DESC, path ASC) tie order keeps the
+    cut-line stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 20)
+    )
