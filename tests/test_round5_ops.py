@@ -100,3 +100,33 @@ class TestPartitionChecksum:
               for r in partition_checksum(b, part, ["id", "s"]).collect()}
         assert ca[1] == cb[1]  # odd partition untouched
         assert ca[0] != cb[0]  # id=4 lives in the even partition
+
+
+class TestKhopReachability:
+    def _run(self, spark, edges, seeds, hops):
+        from easy_alterator_spark.operators.graph import khop_reachability
+
+        e = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["min_hop"]
+            for r in khop_reachability(e, s, hops).collect()
+        }
+
+    def test_path_graph_layers_and_cutoff(self, spark):
+        # 1-2-3-4-5 path, seed 1, 3 hops: node 5 is out of reach
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        got = self._run(spark, edges, [1], 3)
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_shortest_path_wins_on_rereach(self, spark):
+        # diamond: 1-2-4 and 1-3-4 plus long way 2-5-6-4; node 4 is hop 2
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (5, 6), (6, 4)]
+        got = self._run(spark, edges, [1], 3)
+        assert got[4] == 2  # not 3 via the long way
+
+    def test_undirected_and_multi_seed(self, spark):
+        edges = [(10, 11), (12, 11)]
+        got = self._run(spark, edges, [11, 99], 1)
+        # 99 is isolated but still reported at hop 0
+        assert got == {11: 0, 99: 0, 10: 1, 12: 1}
