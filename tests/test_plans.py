@@ -642,3 +642,38 @@ class TestRound5PlanContracts:
         assert "BroadcastNestedLoopJoin" not in plan
         # partial_count / partial_sum markers: partial agg before shuffle
         assert plan.count("HashAggregate") >= 4
+
+    def test_runtime_bloom_filter_prunes_shuffle_join_probe(self, spark):
+        """At cluster scale (both join sides too big to broadcast),
+        Spark 4's runtime bloom filter injects a might_contain probe
+        on the fact side, built from the filtered dim side — the
+        semi-join reduction that cuts shuffled fact rows to roughly
+        the dim selectivity. Local testdata sits under the size
+        thresholds, so a cloned session simulates cluster sizes by
+        lowering them; the contract pinned here is that our plain
+        equi-join shape QUALIFIES for the rewrite (no expression in
+        the join key that would defeat it)."""
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.plans.audit import formatted_plan
+        from easy_alterator_spark.sources import load_table
+
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "4GB",
+        )
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(s, SF, "lineitem")
+        orders = load_table(s, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy().count()
+        plan = formatted_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
