@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- round-5 new queries (fresh surface first) ---
     "dq_referential_integrity",
+    "mine_basket_pairs",
     "events_path_trigrams",
     "graph_khop",
     "dq_freshness",

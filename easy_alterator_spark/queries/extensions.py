@@ -768,7 +768,14 @@ def cluster_kmeans(spark, sf_dir):
         .orderBy(F.md5(F.col("c_id").cast("string")))
         .limit(8)
     )
-    refined = S.refine_centroids(emb, seed, iters=1, mean_decimals=6)
+    # materialize the 8 refined centroids (offline-codebook
+    # discipline, same as ivf_centroids): the assignment pass then
+    # compiles against a local relation instead of re-planning the
+    # whole refine subtree under the broadcast (measured ~0.8 s of
+    # codegen+jobs at sf0.1)
+    refined = S.refine_centroids(
+        emb, seed, iters=1, mean_decimals=6
+    ).localCheckpoint(eager=True)
     asn = S.nearest_assign(emb, refined)
     labeled = asn.join(
         emb.select(F.col("vec_id").alias("v_id"), "label"), "v_id"

@@ -1180,3 +1180,97 @@ def events_path_trigrams(spark, sf_dir):
         paths.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "mine_basket_pairs",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c1 FROM lp GROUP BY l_partkey),
+    pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY pa, pb HAVING COUNT(*) >= 2),
+    sc AS (SELECT pa, pb, support,
+                  ROUND(support * n.n_orders
+                        / (ca.c1::DOUBLE * cb.c1), 4) AS lift
+           FROM pr JOIN cnt ca ON ca.l_partkey = pr.pa
+                   JOIN cnt cb ON cb.l_partkey = pr.pb
+                   CROSS JOIN n),
+    r AS (SELECT pa, pb, support, lift,
+                 ROW_NUMBER() OVER (ORDER BY lift DESC, pa, pb) AS rnk
+          FROM sc)
+    SELECT pa, pb, support, lift, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def mine_basket_pairs(spark, sf_dir):
+    """Market-basket association mining: top-20 part pairs by LIFT
+    (co-ordered support x N / item-count product) at min-support 2 —
+    the classic recommendations/assortment query. The pair space is
+    generated by a SELF-JOIN ON THE BASKET KEY (co-located shuffle:
+    candidate volume is sum of per-order line-count squares, never
+    |parts|²), item counts join back as a BROADCAST (parts-sized),
+    and the top-20 is a TakeOrdered over the surviving min-support
+    pairs. The deterministic (lift DESC, pa, pb) order keeps the
+    cut-line stable: support-2 pairs tie on lift in bulk."""
+    # baskets: ONE shuffle on the basket key (collect_set folds the
+    # per-order distinct inline); the same aggregate subtree feeds the
+    # pair explosion, the item counts, and the basket count, so AQE
+    # plans it once and reuses the exchange — vs the naive
+    # self-join-on-orderkey form's four exchanges (distinct + two join
+    # sides + pair agg). Pair generation is an array combination
+    # per basket: candidate volume is sum(lines_per_order²), never
+    # |parts|².
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    combos = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pa"), F.col("c1").alias("ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pb"), F.col("c1").alias("cb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "pa", "pb")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
