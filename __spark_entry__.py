@@ -45,6 +45,7 @@ _PRIORITY = [
     "cluster_kmeans",
     "join_time_to_next",
     "stream_latest_by_key",
+    "stream_running_totals",
     "sync_partition_checksums",
     "privacy_l_diversity",
     # --- round-5 changed (advisor fixes: PIT tiebreak, CDC tiebreak) ---

@@ -2985,3 +2985,42 @@ def stream_latest_by_key(spark, sf_dir):
         state_partitions=8,
     )
     return spark.table(name)
+
+
+@query(
+    "stream_running_totals",
+    # oracle = the from-scratch batch totals: a running stateful
+    # aggregate drained to completion must land exactly there
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0)), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark, sf_dir):
+    """CUSTOM stateful streaming operator in the driver window
+    (streaming/events.py::running_user_totals,
+    ``applyInPandasWithState``): per-user running count + value total,
+    arbitrary Python state Arrow-batched and partitioned by key across
+    executors — the API every stateful operator Spark lacks gets built
+    on. SIXTH streaming registry entry, covering the arbitrary-state
+    API (the others cover dedup, session-window, windowed-agg, join,
+    and unbounded-aggregate state). Update mode emits one row per key
+    per micro-batch it appears in; n_events is strictly increasing per
+    key, so max_by(total_value, n_events) recovers the final state
+    whatever the file-to-batch split — making the batch GROUP BY
+    oracle exact."""
+    from ..streaming.events import read_events_stream, run_to_memory, running_user_totals
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"stream_running_sink_{_STREAM_SINK_SEQ[0]}"
+    run_to_memory(
+        running_user_totals(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="update",
+        state_partitions=8,
+    )
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
