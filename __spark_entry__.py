@@ -48,6 +48,9 @@ _PRIORITY = [
     "stream_running_totals",
     "sync_partition_checksums",
     "privacy_l_diversity",
+    "unpivot_event_stats",
+    "stats_chi_square",
+    "stats_corr_matrix",
     # --- round-5 changed (advisor fixes: PIT tiebreak, CDC tiebreak) ---
     "join_point_in_time",
     "cdc_merge_upsert",

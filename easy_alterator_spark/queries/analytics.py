@@ -1125,3 +1125,126 @@ def join_time_to_next(spark, sf_dir):
         F.count("purchase_id").alias("n_converted_7d"),
         F.round(F.avg(lat), 2).alias("avg_latency_s"),
     )
+
+
+@query(
+    "unpivot_event_stats",
+    # the long->wide->long round trip: the oracle is the DIRECT long
+    # aggregation, so pivot ∘ unpivot must be the identity on it
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY d, event_type
+    """,
+)
+def unpivot_event_stats(spark, sf_dir):
+    """UNPIVOT/melt — the reshape inverse every reporting pipeline
+    needs back out of a pivoted matrix: the day x event-type count
+    matrix (pivoted with PINNED values, one aggregation) melts back to
+    long (d, event_type, n) via DataFrame.unpivot, dropping the NULL
+    cells pivot manufactured for empty combinations (the oracle's
+    direct GROUP BY never had them). Unpivot is a row-local Expand —
+    no shuffle beyond the pivot's own aggregation; the round trip
+    being the identity IS the correctness claim."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return (
+        wide.unpivot("d", types, "event_type", "n")
+        .filter(F.col("n").isNotNull())
+    )
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+    WITH o AS (SELECT lang, source, COUNT(*)::DOUBLE AS obs
+               FROM documents GROUP BY lang, source),
+    m AS (SELECT lang, SUM(obs) AS rl FROM o GROUP BY lang),
+    s AS (SELECT source, SUM(obs) AS cs FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS total FROM o),
+    e AS (SELECT o.lang, o.source, o.obs,
+                 m.rl * s.cs / n.total AS exp
+          FROM o JOIN m USING (lang) JOIN s USING (source) CROSS JOIN n)
+    SELECT COUNT(*) AS n_cells,
+           ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS chi2
+    FROM e
+    """,
+)
+def stats_chi_square(spark, sf_dir):
+    """Chi-square independence test between two categorical columns
+    (lang x source) — the screening statistic for 'does slice A's
+    distribution depend on slice B' before stratifying a training mix.
+    One aggregation builds the contingency table (cells = |lang| x
+    |source|, tiny whatever the corpus); margins and the statistic are
+    cell-table-sized work with the margins joined back BROADCAST.
+    Expected counts never hit zero by construction (margins of
+    observed cells are positive)."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rl = obs.groupBy("lang").agg(F.sum("obs").alias("rl"))
+    cs = obs.groupBy("source").agg(F.sum("obs").alias("cs"))
+    total = obs.agg(F.sum("obs").alias("total"))
+    e = (
+        obs.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn("exp", F.col("rl") * F.col("cs") / F.col("total"))
+    )
+    diff = F.col("obs") - F.col("exp")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(diff * diff / F.col("exp")), 4).alias("chi2"),
+    )
+
+
+@query(
+    "stats_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity|l_extendedprice' AS pair,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity|l_discount', ROUND(corr(l_quantity, l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice|l_discount',
+           ROUND(corr(l_extendedprice, l_discount), 4)
+    FROM lineitem
+    """,
+)
+def stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the numeric columns —
+    the multivariate screen of every feature audit. All three corr
+    aggregates ride ONE scan and one partial+final aggregation (corr
+    is algebraic: each pair folds to 6 running moments map-side); the
+    long-format output is an inline array explode of the single
+    result row, not three scans. The oracle's three UNION ALL scans
+    restate the same numbers independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"r{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}|{b}").alias("pair"), F.col(f"r{i}").alias("r")
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return wide.select(F.inline(rows))
