@@ -677,3 +677,25 @@ class TestRound5PlanContracts:
         plan = formatted_plan(j)
         assert "might_contain" in plan
         assert "bloom_filter_agg" in plan
+
+    def test_corr_matrix_single_scan(self, spark, queries):
+        """All pairwise correlations fold into ONE partial+final
+        aggregation over one scan — a per-pair UNION of scans (the
+        oracle's formulation) would read the fact table three times."""
+        from easy_alterator_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(queries["stats_corr_matrix"](spark, SF))
+        # formatted mode prints each scan twice (tree line + detail
+        # block); count the detail blocks' Location lines
+        assert plan.count("Location: InMemoryFileIndex") == 1, plan
+        assert "Union" not in plan
+
+    def test_basket_pairs_reuses_basket_exchange(self, spark, queries):
+        """The basket aggregate subtree feeds pair explosion, item
+        counts, and the basket count; AQE must plan it once and reuse
+        the exchange instead of re-scanning lineitem per consumer."""
+        from easy_alterator_spark.plans.audit import executed_plan
+
+        plan = executed_plan(queries["mine_basket_pairs"](spark, SF))
+        assert "ReusedExchange" in plan, plan
+        assert "CartesianProduct" not in plan
