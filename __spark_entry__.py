@@ -39,6 +39,7 @@ _PRIORITY = [
     # --- round-5 new queries (fresh surface first) ---
     "dq_referential_integrity",
     "mine_basket_pairs",
+    "shard_rendezvous_resize",
     "events_path_trigrams",
     "graph_khop",
     "dq_freshness",

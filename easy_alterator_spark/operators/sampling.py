@@ -505,3 +505,38 @@ def sample_weighted_fixed_k(
         .filter(F.col("__grn") <= k)
         .drop("__key", "__rn", "__grn")
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign every row to a shard by rendezvous (highest-random-
+    weight) hashing: shard = argmax over s of md5(id '#' s).
+
+    The property this buys over modulo sharding is CONSISTENCY under
+    resizing: going N -> N+1 moves only the rows whose new shard's
+    hash beats their old winner — an expected 1/(N+1) of the data,
+    every move landing ON THE NEW SHARD — while id % N reshuffles
+    almost everything. That is the difference between adding a
+    training-data shard (or cache node / reducer group) with a 10%
+    copy and a full re-layout at 100 TB.
+
+    Row-local expression (array argmax over N md5 literals): no join,
+    no shuffle, no state — the assignment runs inside the scan at any
+    scale, and the md5-hex argmax is engine-portable (string compare
+    of hex digests is identical everywhere), so a different engine
+    can verify or extend the layout bit-for-bit.
+    """
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(num_shards - 1)),
+        lambda s: F.struct(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit("#"), s.cast("string"))
+            ).alias("h"),
+            s.alias("s"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(scores)["s"].cast("int"))

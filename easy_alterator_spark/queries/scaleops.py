@@ -1274,3 +1274,53 @@ def mine_basket_pairs(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "shard_rendezvous_resize",
+    # the oracle restates the argmax with a per-(doc, shard) score
+    # table and ROW_NUMBER — hex md5 compares identically as strings
+    # in both engines, so the winners agree bit-for-bit
+    oracle="""
+    WITH s8 AS (SELECT unnest(range(8)) AS s),
+    s9 AS (SELECT unnest(range(9)) AS s),
+    a8 AS (SELECT doc_id, s AS shard8 FROM (
+             SELECT d.doc_id, s8.s,
+                    ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                        ORDER BY md5(d.doc_id::VARCHAR || '#' || s8.s::VARCHAR) DESC) AS rn
+             FROM documents d CROSS JOIN s8) WHERE rn = 1),
+    a9 AS (SELECT doc_id, s AS shard9 FROM (
+             SELECT d.doc_id, s9.s,
+                    ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                        ORDER BY md5(d.doc_id::VARCHAR || '#' || s9.s::VARCHAR) DESC) AS rn
+             FROM documents d CROSS JOIN s9) WHERE rn = 1)
+    SELECT a9.shard9 AS shard,
+           COUNT(*) FILTER (a8.shard8 = a9.shard9) AS stayed,
+           COUNT(*) FILTER (a8.shard8 <> a9.shard9) AS arrived,
+           COUNT(*) AS n_at_9
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY shard
+    """,
+)
+def shard_rendezvous_resize(spark, sf_dir):
+    """Consistent-sharding resize audit
+    (operators/sampling.py::rendezvous_shard): assign every document
+    to 8 shards and to 9 by rendezvous hashing, then account per final
+    shard how many rows stayed vs arrived. The rendezvous guarantee —
+    resizing N->N+1 moves ~1/(N+1) of rows and every mover lands ON
+    the new shard — shows up directly: 'arrived' is zero for shards
+    0-7 and ~n/9 for shard 8. Both assignments are row-local md5
+    argmaxes fused into ONE scan (no join, no shuffle before the
+    final 9-row rollup) — the modulo-sharding alternative would move
+    ~8/9 of 100 TB on the same resize."""
+    from ..operators.sampling import rendezvous_shard
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    both = rendezvous_shard(
+        rendezvous_shard(d, 8, out_col="shard8"), 9, out_col="shard9"
+    )
+    return both.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.when(F.col("shard8") == F.col("shard9"), 1)).alias("stayed"),
+        F.count(F.when(F.col("shard8") != F.col("shard9"), 1)).alias("arrived"),
+        F.count(F.lit(1)).alias("n_at_9"),
+    )

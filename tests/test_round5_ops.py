@@ -130,3 +130,27 @@ class TestKhopReachability:
         got = self._run(spark, edges, [11, 99], 1)
         # 99 is isolated but still reported at hop 0
         assert got == {11: 0, 99: 0, 10: 1, 12: 1}
+
+
+class TestRendezvousShard:
+    def test_movers_land_only_on_the_new_shard(self, spark):
+        from easy_alterator_spark.operators.sampling import rendezvous_shard
+
+        d = spark.range(500).withColumnRenamed("id", "doc_id")
+        both = rendezvous_shard(
+            rendezvous_shard(d, 8, out_col="s8"), 9, out_col="s9"
+        ).collect()
+        moved = [(r["s8"], r["s9"]) for r in both if r["s8"] != r["s9"]]
+        assert moved, "a resize must move some rows"
+        assert all(to == 8 for _, to in moved)
+        # expected move mass ~ n/9; allow wide slack for a 500-row draw
+        assert 500 / 9 * 0.4 <= len(moved) <= 500 / 9 * 1.9
+
+    def test_assignment_is_stable_and_in_range(self, spark):
+        from easy_alterator_spark.operators.sampling import rendezvous_shard
+
+        d = spark.range(100).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["shard"] for r in rendezvous_shard(d, 5).collect()}
+        b = {r["doc_id"]: r["shard"] for r in rendezvous_shard(d.repartition(7), 5).collect()}
+        assert a == b
+        assert set(a.values()) <= set(range(5))
