@@ -197,6 +197,10 @@ def partition_checksum(
       engines more often than not. Keep ``row_cols`` to exactly-
       stringifiable types (integers, strings, dates) — float
       formatting differs across engines.
+    - NULLs are encoded with an explicit sentinel before joining —
+      ``concat_ws`` SKIPS nulls, which would make (NULL, 'b') and
+      ('b', NULL) rows hash identically and let a NULL-position
+      difference slide through the check.
     - 32-bit slices keep ``sum`` inside BIGINT for up to 2^31 rows
       per partition; size partitions (or widen to two checksum
       columns) beyond that.
@@ -206,7 +210,11 @@ def partition_checksum(
       the full md5 via snapshot_diff for those).
     """
     canon = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in row_cols]
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("(null)"))
+            for c in row_cols
+        ],
     )
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return df.groupBy(partition_expr.alias(part_name)).agg(

@@ -991,9 +991,10 @@ def graph_lpa_communities(spark, sf_dir):
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part,
                o_orderkey,
                CAST(concat('0x', substr(md5(concat_ws('|',
-                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                   o_orderstatus,
-                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), 1, 8))
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '(null)'),
+                   COALESCE(CAST(o_custkey AS VARCHAR), '(null)'),
+                   COALESCE(o_orderstatus, '(null)'),
+                   COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '(null)'))), 1, 8))
                    AS BIGINT) AS h
         FROM orders),
     src AS (SELECT part, COUNT(*) AS n_src, CAST(SUM(h) AS BIGINT) AS ck_src

@@ -154,3 +154,15 @@ class TestRendezvousShard:
         b = {r["doc_id"]: r["shard"] for r in rendezvous_shard(d.repartition(7), 5).collect()}
         assert a == b
         assert set(a.values()) <= set(range(5))
+
+    def test_null_position_changes_the_checksum(self, spark):
+        from easy_alterator_spark.operators.corpus_diff import (
+            partition_checksum,
+        )
+        from pyspark.sql import functions as F2
+
+        a = spark.createDataFrame([(1, None, "b")], "id long, x string, y string")
+        b = spark.createDataFrame([(1, "b", None)], "id long, x string, y string")
+        ca = partition_checksum(a, F2.lit(0), ["x", "y"]).collect()[0]
+        cb = partition_checksum(b, F2.lit(0), ["x", "y"]).collect()[0]
+        assert ca["checksum"] != cb["checksum"]
