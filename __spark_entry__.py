@@ -52,6 +52,7 @@ _PRIORITY = [
     "unpivot_event_stats",
     "stats_chi_square",
     "stats_corr_matrix",
+    "events_seasonal_anomaly",
     # --- round-5 changed (advisor fixes: PIT tiebreak, CDC tiebreak) ---
     "join_point_in_time",
     "cdc_merge_upsert",

@@ -1248,3 +1248,52 @@ def stats_corr_matrix(spark, sf_dir):
         ]
     )
     return wide.select(F.inline(rows))
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH d AS (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                      COUNT(*) AS n
+               FROM events GROUP BY day),
+    w AS (SELECT day, n, dayofweek(day) AS dow FROM d),
+    b AS (SELECT dow, AVG(n) AS mu,
+                 COALESCE(stddev_samp(n), 0) AS sd, COUNT(*) AS n_days
+          FROM w GROUP BY dow)
+    SELECT w.day, w.n, ROUND(b.mu, 2) AS dow_mean,
+           ROUND((w.n - b.mu) / b.sd, 3) AS z
+    FROM w JOIN b USING (dow)
+    WHERE b.n_days >= 3 AND b.sd > 0 AND ABS((w.n - b.mu) / b.sd) > 1.0
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware volume anomaly: each day's event count
+    scored against ITS WEEKDAY's baseline (mean/stddev over the same
+    day-of-week) — the deseasonalized z-score that catches a quiet
+    Tuesday a global threshold would bless because weekends are
+    quieter still. Two aggregations, both day-count sized after the
+    first rollup, baseline joined back BROADCAST; dow groups with
+    under 3 observations or zero variance are unscorable and
+    excluded (sd guard on both engines). Complements events_anomaly_mad
+    (per-user robust outliers) with the per-time-slice seasonal form."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = days.withColumn("dow", F.dayofweek("day"))
+    b = w.groupBy("dow").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        w.join(F.broadcast(b), "dow")
+        .filter((F.col("n_days") >= 3) & (F.col("sd") > 0) & (F.abs(z) > 1.0))
+        .select(
+            "day",
+            "n",
+            F.round("mu", 2).alias("dow_mean"),
+            F.round(z, 3).alias("z"),
+        )
+    )
