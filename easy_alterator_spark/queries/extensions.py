@@ -908,7 +908,8 @@ def text_fingerprint(spark, sf_dir):
                                      ROWS UNBOUNDED PRECEDING) AS sess_id
           FROM m),
     g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
-    SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 2) AS avg_events,
+    SELECT user_id, COUNT(*) AS n_sessions,
+           FLOOR(AVG(n_events) * 100) / 100 AS avg_events,
            MAX(n_events) AS max_events
     FROM g GROUP BY user_id
     """,
@@ -930,7 +931,9 @@ def events_sessionize(spark, sf_dir):
     )
     return per_sess.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
-        F.round(F.avg("n_events"), 2).alias("avg_events"),
+        # floor-grid, not round: cross-engine ROUND diverges on IEEE
+        # halfway values (see q36); floor(x*100)/100 is exact IEEE
+        (F.floor(F.avg("n_events") * 100) / 100).alias("avg_events"),
         F.max("n_events").alias("max_events"),
     )
 
@@ -958,7 +961,8 @@ _STREAM_SINK_SEQ = [0]
                                      ROWS UNBOUNDED PRECEDING) AS sess_id
           FROM m),
     g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
-    SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 2) AS avg_events,
+    SELECT user_id, COUNT(*) AS n_sessions,
+           FLOOR(AVG(n_events) * 100) / 100 AS avg_events,
            MAX(n_events) AS max_events
     FROM g GROUP BY user_id
     """,
@@ -986,7 +990,7 @@ def stream_sessionize(spark, sf_dir):
     sess = spark.table(name)
     return sess.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
-        F.round(F.avg("n_events"), 2).alias("avg_events"),
+        (F.floor(F.avg("n_events") * 100) / 100).alias("avg_events"),
         F.max("n_events").alias("max_events"),
     )
 

@@ -1016,7 +1016,7 @@ def q35(spark, sf_dir):
         GROUP BY l.l_partkey, l.l_suppkey
     )
     SELECT p.p_partkey, s.s_name, n.n_name,
-           ROUND(c.unit_cost, 4) AS min_cost
+           FLOOR(c.unit_cost * 10000) / 10000 AS min_cost
     FROM cost c
     JOIN part p ON p.p_partkey = c.l_partkey
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
@@ -1062,7 +1062,14 @@ def q36(spark, sf_dir):
         .join(F.broadcast(s2), best["l_suppkey"] == s2["s_suppkey"])
         .join(F.broadcast(n2), s2["s_nationkey"] == n2["n_nationkey"])
         .select(
-            "p_partkey", "s_name", "n_name", F.round("unit_cost", 4).alias("min_cost")
+            "p_partkey",
+            "s_name",
+            "n_name",
+            # floor-grid, not round: Spark's BigDecimal HALF_UP and
+            # DuckDB's C round disagree on IEEE halfway values
+            # (1257.85775 -> .8578 vs .8577 at sf0.1); floor(x*1e4)/1e4
+            # is pure IEEE arithmetic, identical in every engine
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("min_cost")
         )
         .orderBy("p_partkey", "s_name")
     )
