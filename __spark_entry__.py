@@ -29,12 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-5 rotation: CORRECTNESS_r01-r04 cover 142 of the
-# registry; the 34 entries the driver has never checked cycle into
-# this round's window together with the 5 new round-5 queries and the
-# 2 changed ones — 39 slots, so the whole never-checked backlog fits
-# and the union r01-r05 converges to full oracle coverage of the
-# r4-era registry. Everything already driver-green trails (order
-# there is cosmetic — _ordered appends the remainder anyway).
+# registry; the window packs (a) every round-5 NEW query, (b) the 2
+# round-5 CHANGED queries (advisor tiebreak fixes), and (c) the 32
+# remaining never-driver-checked r4 entries — exactly 50, so the
+# union r01-r05 covers every oracle-bearing query registered through
+# round 4 plus all round-5 surface. The ENTIRE 192-query registry was
+# additionally swept green via tools/driver_sim at BOTH sf0.01 and
+# sf0.1 this round (see COVERAGE.md). Everything already driver-green
+# trails (order there is cosmetic — _ordered appends the remainder).
 _PRIORITY = [
     # --- round-5 new queries (fresh surface first) ---
     "dq_referential_integrity",
