@@ -209,6 +209,8 @@ def partition_checksum(
       match; fine for repair scheduling, not for audit proofs (use
       the full md5 via snapshot_diff for those).
     """
+    if not row_cols:
+        raise ValueError("row_cols must be non-empty")
     canon = F.concat_ws(
         "|",
         *[

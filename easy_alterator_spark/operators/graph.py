@@ -151,6 +151,8 @@ def khop_reachability(
     connected-components operators instead (dedup.py's
     large-star/small-star loop), which converge in O(log n) rounds.
     """
+    if hops < 0:
+        raise ValueError("hops must be >= 0")
     edges = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).unionByName(

@@ -141,6 +141,8 @@ def asof_join_backward(
     carried values ride ONE struct column, so the window does one
     ``last()`` regardless of how many attributes the dimension has.
     """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
     lt = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).cast("timestamp").alias("__t"),
@@ -216,6 +218,8 @@ def asof_join_forward(
     sort-nondeterministic, so pass it whenever version timestamps can
     collide (it must be a value_cols member).
     """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
     vals_type = right.select(
         F.struct(
             *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")

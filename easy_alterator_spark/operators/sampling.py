@@ -530,6 +530,8 @@ def rendezvous_shard(
     of hex digests is identical everywhere), so a different engine
     can verify or extend the layout bit-for-bit.
     """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
     scores = F.transform(
         F.sequence(F.lit(0), F.lit(num_shards - 1)),
         lambda s: F.struct(

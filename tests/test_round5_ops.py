@@ -166,3 +166,36 @@ class TestRendezvousShard:
         ca = partition_checksum(a, F2.lit(0), ["x", "y"]).collect()[0]
         cb = partition_checksum(b, F2.lit(0), ["x", "y"]).collect()[0]
         assert ca["checksum"] != cb["checksum"]
+
+
+class TestRound5Guards:
+    def test_bad_inputs_rejected_up_front(self, spark):
+        import pytest as pt
+
+        from easy_alterator_spark.operators.corpus_diff import (
+            partition_checksum,
+        )
+        from easy_alterator_spark.operators.graph import khop_reachability
+        from easy_alterator_spark.operators.joins import (
+            asof_join_backward,
+            asof_join_forward,
+        )
+        from easy_alterator_spark.operators.sampling import rendezvous_shard
+
+        d = spark.createDataFrame([(1,)], "doc_id long")
+        with pt.raises(ValueError):
+            rendezvous_shard(d, 0)
+        with pt.raises(ValueError):
+            khop_reachability(
+                spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long"),
+                spark.createDataFrame([(1,)], "node long"),
+                hops=-1,
+            )
+        with pt.raises(ValueError):
+            partition_checksum(d, F.lit(0), [])
+        l = spark.createDataFrame([(1, None, 1)], "k long, t timestamp, pid long")
+        r = spark.createDataFrame([(1, None, "a")], "k long, vt timestamp, state string")
+        with pt.raises(ValueError):
+            asof_join_forward(l, r, "k", "t", "vt", [])
+        with pt.raises(ValueError):
+            asof_join_backward(l, r, "k", "t", "vt", [])
