@@ -699,3 +699,23 @@ class TestRound5PlanContracts:
         plan = executed_plan(queries["mine_basket_pairs"](spark, SF))
         assert "ReusedExchange" in plan, plan
         assert "CartesianProduct" not in plan
+
+    def test_rendezvous_assignment_is_map_only(self, spark, queries):
+        """Both shard assignments are row-local expressions: the only
+        exchange in the whole resize audit is the final 9-row rollup —
+        no join anywhere."""
+        from easy_alterator_spark.plans.audit import (
+            exchange_count,
+            formatted_plan,
+            join_counts,
+        )
+
+        plan = formatted_plan(queries["shard_rendezvous_resize"](spark, SF))
+        assert sum(join_counts(plan).values()) == 0, plan
+        assert exchange_count(plan) <= 2, plan
+
+    def test_khop_no_cartesian_frontier(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        jc = join_counts(formatted_plan(queries["graph_khop"](spark, SF)))
+        assert jc["CartesianProduct"] == 0
