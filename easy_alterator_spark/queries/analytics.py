@@ -1297,3 +1297,79 @@ def events_seasonal_anomaly(spark, sf_dir):
             F.round(z, 3).alias("z"),
         )
     )
+
+
+@query(
+    "events_active_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+               FROM events),
+    g AS (SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INT) AS grp
+          FROM d),
+    s AS (SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+          FROM g GROUP BY user_id, grp)
+    SELECT user_id, MAX(streak_len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           MIN(streak_start) AS first_day
+    FROM s GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (and how many distinct streaks) — the engagement-streak /
+    uptime-window shape. The classic date-minus-row_number trick turns
+    consecutiveness into a constant group key, so the whole island
+    detection is ONE shuffle on user_id (distinct + window + both
+    aggregations all key on it and reuse the exchange) — no self-join,
+    no recursion, no per-row gap probe; at 100 TB the cost is the one
+    exchange of (user, day) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+@query(
+    "events_share_of_total",
+    oracle="""
+    WITH t AS (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                      event_type, COUNT(*) AS n
+               FROM events GROUP BY day, event_type)
+    SELECT day, event_type, n,
+           FLOOR(n * 10000.0 / SUM(n) OVER (PARTITION BY day)) / 10000
+               AS day_share
+    FROM t
+    """,
+)
+def events_share_of_total(spark, sf_dir):
+    """Ratio-to-report: each event type's share of its day's total —
+    the percent-of-total window every BI layer ships (RATIO_TO_REPORT).
+    One aggregation to (day, type) grain, then a window SUM over the
+    tiny aggregate — the share math never touches raw events. Share
+    snaps to the floor-grid (see q36), not ROUND: n/total is an
+    off-grid double and the two engines' ROUND diverge on halfway
+    points."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day")
+    share = F.floor(F.col("n") * 10000.0 / F.sum("n").over(w)) / 10000
+    return t.select("day", "event_type", "n", share.alias("day_share"))
