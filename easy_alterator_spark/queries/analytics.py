@@ -1373,3 +1373,95 @@ def events_share_of_total(spark, sf_dir):
     w = Window.partitionBy("day")
     share = F.floor(F.col("n") * 10000.0 / F.sum("n").over(w)) / 10000
     return t.select("day", "event_type", "n", share.alias("day_share"))
+
+
+@query(
+    "stats_gini",
+    oracle="""
+    WITH v AS (SELECT event_type, value,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS i
+               FROM events WHERE value IS NOT NULL AND value >= 0),
+    s AS (SELECT event_type, COUNT(*) AS n, SUM(value) AS tot,
+                 SUM(i * value) AS iv
+          FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           FLOOR((2.0 * iv / (n * tot) - (n + 1.0) / n) * 10000) / 10000
+               AS gini
+    FROM s WHERE tot > 0
+    """,
+)
+def stats_gini(spark, sf_dir):
+    """Gini concentration of value per event type — the inequality
+    measure behind 'do 20% of users generate 80% of value' and the
+    balance check before weighting a training mixture by source mass.
+    Exact rank-weighted form G = 2*sum(i*v_i)/(n*sum v) - (n+1)/n over
+    ascending values: one shuffle on the group key serves the ranking
+    window AND the aggregate (same partitioning); deterministic
+    (value, event_id) rank order; floor-grid output (off-grid double,
+    see q36)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    v = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("tot"),
+        F.sum(F.col("i") * F.col("value")).alias("iv"),
+    )
+    gini = (
+        F.floor(
+            (2.0 * F.col("iv") / (F.col("n") * F.col("tot"))
+             - (F.col("n") + 1.0) / F.col("n")) * 10000
+        ) / 10000
+    )
+    return s.filter(F.col("tot") > 0).select(
+        "event_type", "n", gini.alias("gini")
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DTOKS}) AS term FROM documents),
+    f AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+    r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+          FROM f)
+    SELECT COUNT(*) AS n_types,
+           FLOOR(regr_slope(ln(freq), ln(rank)) * 10000) / 10000
+               AS zipf_slope,
+           FLOOR(regr_r2(ln(freq), ln(rank)) * 10000) / 10000 AS r2
+    FROM r
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: OLS slope of log(freq)
+    on log(rank) — natural text sits near -1, and deviation is a fast
+    corpus-health screen (template/boilerplate floods flatten the
+    head; OCR noise fattens the tail). Token counting is the usual
+    one-pass partial aggregate; ranking and the regression run on the
+    VOCABULARY (types, not tokens), with regr_slope/regr_r2 folding
+    map-side. The global rank window single-partitions the vocab —
+    fine at this alphabet, and at web-scale type counts the swap is
+    the terasort global-rank decomposition already in operators/
+    rank.py (stats_histogram_equidepth runs it). Deterministic
+    (freq DESC, term) rank order; floor-grid outputs."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    r = f.select("freq", F.row_number().over(w).alias("rank"))
+    lf, lr = F.log(F.col("freq")), F.log(F.col("rank"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.floor(F.regr_slope(lf, lr) * 10000) / 10000).alias("zipf_slope"),
+        (F.floor(F.regr_r2(lf, lr) * 10000) / 10000).alias("r2"),
+    )
