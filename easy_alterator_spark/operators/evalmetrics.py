@@ -13,8 +13,16 @@ matrix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _fg4(c: Column) -> Column:
+    """Floor-grid to 4 dp: floor(x*1e4)/1e4 is pure IEEE arithmetic,
+    identical in every engine, unlike ROUND whose HALF_UP (Spark
+    BigDecimal) vs C round (DuckDB) disagree on halfway doubles —
+    the derived ratios here (tp/total quotients) are off-grid."""
+    return F.floor(c * 10000) / 10000
 
 
 def confusion_matrix(
@@ -30,7 +38,7 @@ def classification_report(
     df: DataFrame, gold_col: str, pred_col: str
 ) -> DataFrame:
     """Per-class report over (gold, pred) rows: cls, support (gold
-    count), pred_total, tp, precision, recall, f1 (rounded 4,
+    count), pred_total, tp, precision, recall, f1 (floor-grid 4 dp,
     zero-division → 0.0). Classes are the union of gold and predicted
     labels, so a class the model never predicts (recall 0) and a
     hallucinated label (support 0) both appear."""
@@ -70,9 +78,9 @@ def classification_report(
         "support",
         "pred_total",
         "tp",
-        F.round(prec, 4).alias("precision"),
-        F.round(rec, 4).alias("recall"),
-        F.round(f1, 4).alias("f1"),
+        _fg4(prec).alias("precision"),
+        _fg4(rec).alias("recall"),
+        _fg4(f1).alias("f1"),
     )
 
 
@@ -88,8 +96,8 @@ def cohens_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
     (1 − pe); the degenerate pe = 1 case (both raters constant)
     reports 0.0 by convention. Same scale shape as the report: ONE
     corpus-sized aggregate builds the confusion matrix, everything
-    after is classes²-sized algebra. po/pe are rounded for display;
-    kappa is computed from the unrounded values.
+    after is classes²-sized algebra. po/pe are floor-gridded for
+    display; kappa is computed from the ungridded values.
     """
     cm = confusion_matrix(df, gold_col, pred_col)
     s = cm.agg(
@@ -116,9 +124,9 @@ def cohens_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
     pe = F.col("pep") / (F.col("n") * F.col("n"))
     return s.crossJoin(m).select(
         F.col("n").cast("long").alias("n"),
-        F.round(po, 4).alias("po"),
-        F.round(pe, 4).alias("pe"),
-        F.round(
-            F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)).otherwise(0.0), 4
+        _fg4(po).alias("po"),
+        _fg4(pe).alias("pe"),
+        _fg4(
+            F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)).otherwise(0.0)
         ).alias("kappa"),
     )

@@ -1083,7 +1083,7 @@ def join_point_in_time(spark, sf_dir):
                       THEN date_diff('second', ts, pts) END AS lat
           FROM m)
     SELECT user_id, COUNT(*) AS n_views, COUNT(lat) AS n_converted_7d,
-           ROUND(AVG(lat), 2) AS avg_latency_s
+           floor(AVG(lat) * 100) / 100 AS avg_latency_s
     FROM f GROUP BY user_id
     """,
 )
@@ -1123,7 +1123,9 @@ def join_time_to_next(spark, sf_dir):
     return hit.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_views"),
         F.count("purchase_id").alias("n_converted_7d"),
-        F.round(F.avg(lat), 2).alias("avg_latency_s"),
+        # floor-grid: avg of second-counts is an off-grid double
+        # quotient; ROUND halfway behavior differs cross-engine
+        (F.floor(F.avg(lat) * 100) / 100).alias("avg_latency_s"),
     )
 
 
@@ -1147,14 +1149,13 @@ def unpivot_event_stats(spark, sf_dir):
     no shuffle beyond the pivot's own aggregation; the round trip
     being the identity IS the correctness claim."""
     ev = load_table(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
     wide = (
         ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
-        .pivot("event_type", types)
+        .pivot("event_type", _EVENT_TYPES)
         .count()
     )
     return (
-        wide.unpivot("d", types, "event_type", "n")
+        wide.unpivot("d", _EVENT_TYPES, "event_type", "n")
         .filter(F.col("n").isNotNull())
     )
 
@@ -1171,7 +1172,7 @@ def unpivot_event_stats(spark, sf_dir):
                  m.rl * s.cs / n.total AS exp
           FROM o JOIN m USING (lang) JOIN s USING (source) CROSS JOIN n)
     SELECT COUNT(*) AS n_cells,
-           ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS chi2
+           floor(SUM((obs - exp) * (obs - exp) / exp) * 10000) / 10000 AS chi2
     FROM e
     """,
 )
@@ -1200,7 +1201,10 @@ def stats_chi_square(spark, sf_dir):
     diff = F.col("obs") - F.col("exp")
     return e.agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum(diff * diff / F.col("exp")), 4).alias("chi2"),
+        # floor-grid: chi2 is an off-grid double sum of quotients
+        (F.floor(F.sum(diff * diff / F.col("exp")) * 10000) / 10000).alias(
+            "chi2"
+        ),
     )
 
 

@@ -167,7 +167,8 @@ def profile_columns(spark, sf_dir):
     g AS (SELECT term, COUNT(*) AS df,
                  (list(doc_id ORDER BY doc_id))[1:10] AS postings
           FROM t GROUP BY term)
-    SELECT term, df, postings FROM g WHERE df >= 2
+    SELECT term, df, array_to_string(postings, ',') AS postings
+    FROM g WHERE df >= 2
     """,
 )
 def index_postings(spark, sf_dir):
@@ -175,9 +176,18 @@ def index_postings(spark, sf_dir):
     per term, document frequency and the first 10 postings in doc-id
     order. The cap is enforced BEFORE collection via a row_number
     window sharing the groupBy's (term) exchange — no executor ever
-    holds a hot term's full posting array."""
+    holds a hot term's full posting array. The registered query
+    stringifies the posting array (``concat_ws``) because the
+    correctness driver's pandas canonicalizer cannot hash list-valued
+    cells; the operator itself keeps the typed array."""
     return SR.build_inverted_index(
         load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
+    ).select(
+        "term",
+        "df",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+            "postings"
+        ),
     )
 
 
@@ -482,15 +492,15 @@ def events_attribution_first_touch(spark, sf_dir):
                  COALESCE(tp.tp, 0) AS tp
           FROM g FULL OUTER JOIN p USING (cls) LEFT JOIN tp USING (cls))
     SELECT cls, support, pred_total, tp,
-           ROUND(CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END, 4) AS precision,
-           ROUND(CASE WHEN support > 0 THEN tp / support ELSE 0.0 END, 4) AS recall,
-           ROUND(CASE WHEN (CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
+           floor((CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END) * 10000) / 10000 AS precision,
+           floor((CASE WHEN support > 0 THEN tp / support ELSE 0.0 END) * 10000) / 10000 AS recall,
+           floor((CASE WHEN (CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
                          + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END) > 0
                       THEN 2.0 * (CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
                                * (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END)
                            / ((CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END)
                               + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END))
-                      ELSE 0.0 END, 4) AS f1
+                      ELSE 0.0 END) * 10000) / 10000 AS f1
     FROM r
     """,
 )
@@ -515,7 +525,7 @@ def eval_lang_id_report(spark, sf_dir):
 @query(
     "eval_kappa",
     # same lang-id prediction CTE as eval_lang_id_report; kappa from
-    # UNROUNDED po/pe, display columns rounded 4, pe=1 degenerate -> 0
+    # UNGRIDDED po/pe, display floor-grid 4 dp, pe=1 degenerate -> 0
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_DTOKS} AS toks FROM documents),
     pr AS (SELECT lang AS gold,
@@ -540,12 +550,12 @@ def eval_lang_id_report(spark, sf_dir):
           USING (cls)),
     pe AS (SELECT SUM(sup * pt) AS pep FROM m)
     SELECT s.n::BIGINT AS n,
-           ROUND(agree / s.n, 4) AS po,
-           ROUND(pep / (s.n * s.n), 4) AS pe,
-           ROUND(CASE WHEN 1.0 - pep / (s.n * s.n) > 0
+           floor((agree / s.n) * 10000) / 10000 AS po,
+           floor((pep / (s.n * s.n)) * 10000) / 10000 AS pe,
+           floor((CASE WHEN 1.0 - pep / (s.n * s.n) > 0
                  THEN (agree / s.n - pep / (s.n * s.n))
                       / (1.0 - pep / (s.n * s.n))
-                 ELSE 0.0 END, 4) AS kappa
+                 ELSE 0.0 END) * 10000) / 10000 AS kappa
     FROM s CROSS JOIN pe
     """,
 )
@@ -1194,8 +1204,8 @@ def events_path_trigrams(spark, sf_dir):
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY pa, pb HAVING COUNT(*) >= 2),
     sc AS (SELECT pa, pb, support,
-                  ROUND(support * n.n_orders
-                        / (ca.c1::DOUBLE * cb.c1), 4) AS lift
+                  floor(support * n.n_orders
+                        / (ca.c1::DOUBLE * cb.c1) * 10000) / 10000 AS lift
            FROM pr JOIN cnt ca ON ca.l_partkey = pr.pa
                    JOIN cnt cb ON cb.l_partkey = pr.pb
                    CROSS JOIN n),
@@ -1263,10 +1273,17 @@ def mine_basket_pairs(spark, sf_dir):
             "pa",
             "pb",
             "support",
-            F.round(
-                F.col("support") * F.col("n_orders")
-                / (F.col("ca").cast("double") * F.col("cb")),
-                4,
+            # floor-grid, not ROUND: lift is an off-grid double
+            # quotient and the top-20 cut line ranks on it — a
+            # cross-engine HALF_UP/C-round halfway flip would reorder
+            # the cut (same class as q36's min_cost)
+            (
+                F.floor(
+                    F.col("support") * F.col("n_orders")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                    * 10000
+                )
+                / 10000
             ).alias("lift"),
         )
     )

@@ -291,23 +291,20 @@ def run_to_memory(
     perfectly, but the memory-sink table registers in the clone's
     catalog, invisible to `spark.table(name)` callers — the lock keeps
     the sink visible to the caller's session.) Non-overriding drains
-    (``state_partitions=None``) never touch the conf and take no lock.
+    (``state_partitions=None``) ALSO take the lock: they never touch
+    the conf themselves, but planning one concurrently with an
+    overriding drain would silently inherit the temporary override —
+    holding the lock guarantees no override is in effect while any
+    drain plans.
     """
     spark = stream.sparkSession
-    if state_partitions is None:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout)
-        q.stop()
-        return
     with _SHUFFLE_CONF_LOCK:
-        old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        old = None
+        if state_partitions is not None:
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
         try:
             q = (
                 stream.writeStream.format("memory")
@@ -319,7 +316,8 @@ def run_to_memory(
             q.awaitTermination(timeout)
             q.stop()
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            if old is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def latest_by_key_stream(events: DataFrame) -> DataFrame:
