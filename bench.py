@@ -58,17 +58,27 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
+    # The driver records only the TAIL of stdout; a ~9 KB JSON line
+    # gets truncated and parses as null (BENCH_r03-r06). Print ONE
+    # compact line (worst queries only) and write the full per-query
+    # map to BENCH_DETAIL.json beside this script.
+    worst = dict(
+        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
+    summary = {
+        "metric": "query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": worst,
+        "n_queries": len(per_query),
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": per_query}, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

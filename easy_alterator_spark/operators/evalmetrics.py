@@ -41,7 +41,12 @@ def classification_report(
     count), pred_total, tp, precision, recall, f1 (floor-grid 4 dp,
     zero-division → 0.0). Classes are the union of gold and predicted
     labels, so a class the model never predicts (recall 0) and a
-    hallucinated label (support 0) both appear."""
+    hallucinated label (support 0) both appear.
+
+    NOTE metric displays TRUNCATE toward zero on a 1e-4 grid (floor,
+    not round-half-up): recall 2/3 reads 0.6666, where sklearn-style
+    rounding would show 0.6667 — the last digit is a floor, chosen
+    for bit-identical cross-engine reproducibility."""
     cm = confusion_matrix(df, gold_col, pred_col)
     g = cm.groupBy(F.col("gold").alias("cls")).agg(
         F.sum("n").alias("support")
@@ -97,7 +102,10 @@ def cohens_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
     reports 0.0 by convention. Same scale shape as the report: ONE
     corpus-sized aggregate builds the confusion matrix, everything
     after is classes²-sized algebra. po/pe are floor-gridded for
-    display; kappa is computed from the ungridded values.
+    display; kappa is computed from the ungridded values. As in
+    classification_report, displayed values TRUNCATE to the 1e-4
+    grid (floor, not round-half-up) — don't read the last digit as
+    a rounding.
     """
     cm = confusion_matrix(df, gold_col, pred_col)
     s = cm.agg(

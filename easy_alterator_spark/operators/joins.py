@@ -110,6 +110,95 @@ def interval_overlap_join(
     )
 
 
+def _asof_carry(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tiebreak: str | None,
+    tolerance_seconds: float | None,
+    forward: bool,
+) -> DataFrame:
+    """Shared union-sort carry engine behind both as-of directions.
+
+    Tag probes (left) and versions (right), union, ONE shuffle+sort
+    on the key, then a single ``last``/``first`` (ignorenulls) window
+    carries the version struct to the probes after/before it. The
+    carried values ride ONE struct column, so the window does one
+    carry regardless of how many attributes the dimension has; the
+    version's own timestamp rides along as the reserved ``__vt``
+    struct field so a tolerance is a post-carry filter, never a join
+    predicate. No range join, no per-row subquery, no interval
+    explosion; cost is one window pass whatever the version/probe
+    ratio, and hot keys are exactly as skewed as the key itself (AQE
+    territory), not amplified by candidate pairs.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if "__vt" in value_cols:
+        raise ValueError(
+            "'__vt' is reserved for the carried version timestamp; "
+            "rename that column before the as-of join"
+        )
+    if right_tiebreak is not None and right_tiebreak not in value_cols:
+        raise ValueError("right_tiebreak must be one of value_cols")
+    vals = F.struct(
+        *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")
+    )
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__probe"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None)
+        .cast(right.select(vals.alias("s")).schema["s"].dataType)
+        .alias("__vals"),
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        vals.alias("__vals"),
+    )
+    # inclusive contract at equal timestamps: backward wants the
+    # version BEFORE the probe in sort order (__probe ASC), forward
+    # wants the probe first (__probe DESC). Same-instant versions are
+    # ordered by right_tiebreak ASC, so with the frame's last()/
+    # first() the backward winner is the LATEST tiebreak value and
+    # the forward winner the EARLIEST — mirror semantics from one
+    # sort direction. Without a tiebreak their winner is
+    # sort-nondeterministic, so pass one whenever version timestamps
+    # can collide.
+    order = [F.col("__t").asc(), F.col("__probe").desc() if forward else F.col("__probe").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__vals.{right_tiebreak}").asc_nulls_last())
+    if forward:
+        w = Window.partitionBy("__k").orderBy(*order).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        carried = F.first("__vals", ignorenulls=True).over(w)
+    else:
+        w = Window.partitionBy("__k").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        carried = F.last("__vals", ignorenulls=True).over(w)
+    merged = lt.unionByName(rt).withColumn("__carried", carried)
+    in_reach = F.col("__carried").isNotNull()
+    if tolerance_seconds is not None:
+        gap = F.col("__carried.__vt").cast("double") - F.col("__t").cast("double")
+        if not forward:
+            gap = -gap
+        in_reach = in_reach & (gap <= float(tolerance_seconds))
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
+        F.when(in_reach, F.col(f"__carried.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return merged.filter(F.col("__probe") == 1).select(*out_cols)
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -118,69 +207,26 @@ def asof_join_backward(
     right_ts: str,
     value_cols: list[str],
     right_tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: every ``left`` row picks up ``value_cols``
     from the LATEST ``right`` row with the same ``on`` key and
     ``right_ts <= left_ts`` (inclusive — a version effective exactly
-    at the probe instant matches). Left rows with no predecessor keep
-    NULLs. Returns all ``left`` columns plus ``value_cols``.
+    at the probe instant matches). Left rows with no predecessor — or
+    none within ``tolerance_seconds`` when given — keep NULLs.
+    Returns all ``left`` columns plus ``value_cols``.
 
     This is the point-in-time lookup shape (fact rows against an
     SCD-2 / versioned dimension, sensor alignment, trade-vs-quote):
     semantically a non-equi join on ``valid_from <= t < valid_to``,
-    but executed as the union-sort carry-forward — tag both sides,
-    ONE shuffle+sort on the key, and ``last(value, ignorenulls)``
-    over the merged order propagates each version to the probes that
-    follow it. No range join, no per-row subquery, no interval
-    explosion; cost is one window pass whatever the version/probe
-    ratio, and hot keys are exactly as skewed as the key itself (AQE
-    territory), not amplified by candidate pairs.
-
-    Generalized from the inline shape in ``events_asof_join``
-    (single carried column) to arbitrary dimension payloads: the
-    carried values ride ONE struct column, so the window does one
-    ``last()`` regardless of how many attributes the dimension has.
+    executed by the shared union-sort carry engine (:func:`_asof_carry`
+    — one shuffle+sort, one window pass). Two versions at the SAME
+    instant are ordered by ``right_tiebreak`` (latest wins).
     """
-    if not value_cols:
-        raise ValueError("value_cols must be non-empty")
-    lt = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_ts).cast("timestamp").alias("__t"),
-        F.lit(1).alias("__probe"),
-        F.struct(*left.columns).alias("__lrow"),
-        F.lit(None).cast(
-            right.select(F.struct(*value_cols).alias("s")).schema["s"].dataType
-        ).alias("__vals"),
+    return _asof_carry(
+        left, right, on, left_ts, right_ts, value_cols,
+        right_tiebreak, tolerance_seconds, forward=False,
     )
-    rt = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__probe"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        F.struct(*value_cols).alias("__vals"),
-    )
-    # versions sort before probes at equal ts (__probe ASC) so the
-    # inclusive contract holds; two versions at the SAME instant are
-    # ordered by right_tiebreak (latest wins) — without one their
-    # winner is sort-nondeterministic, so pass it whenever version
-    # timestamps can collide (it must be a value_cols member)
-    order = ["__t", "__probe"]
-    if right_tiebreak is not None:
-        if right_tiebreak not in value_cols:
-            raise ValueError("right_tiebreak must be one of value_cols")
-        order.append(F.col(f"__vals.{right_tiebreak}").asc_nulls_last())
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = lt.unionByName(rt).withColumn(
-        "__carried", F.last("__vals", ignorenulls=True).over(w)
-    )
-    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__carried.{c}").alias(c) for c in value_cols
-    ]
-    return merged.filter(F.col("__probe") == 1).select(*out_cols)
 
 
 def asof_join_forward(
@@ -202,68 +248,12 @@ def asof_join_forward(
     The mirror of :func:`asof_join_backward` (time-to-next-event,
     next-version lookup, forward label assignment for training data —
     "did a purchase follow this impression within 7 days" is exactly
-    this join plus a tolerance). Same union-sort execution, scanned
-    from the future instead of the past: tag both sides, ONE
-    shuffle+sort on the key, ``first(value, ignorenulls)`` over the
-    [current, unbounded following] frame pulls each version back to
-    the probes that precede it. No range join, no per-row subquery;
-    the tolerance is a post-carry filter on the carried version
-    timestamp, not a join predicate, so it never changes the plan
-    shape.
-
-    At equal timestamps probes sort BEFORE versions so the inclusive
-    contract holds; two versions at the SAME instant are ordered by
-    ``right_tiebreak`` (EARLIEST wins — the mirror of backward's
-    latest-wins) and without one their winner is
-    sort-nondeterministic, so pass it whenever version timestamps can
-    collide (it must be a value_cols member).
+    this join plus a tolerance), from the same union-sort carry
+    engine scanned from the future instead of the past. Two versions
+    at the SAME instant are ordered by ``right_tiebreak`` (EARLIEST
+    wins — the mirror of backward's latest-wins).
     """
-    if not value_cols:
-        raise ValueError("value_cols must be non-empty")
-    vals_type = right.select(
-        F.struct(
-            *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")
-        ).alias("s")
-    ).schema["s"].dataType
-    lt = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_ts).cast("timestamp").alias("__t"),
-        F.lit(1).alias("__probe"),
-        F.struct(*left.columns).alias("__lrow"),
-        F.lit(None).cast(vals_type).alias("__vals"),
+    return _asof_carry(
+        left, right, on, left_ts, right_ts, value_cols,
+        right_tiebreak, tolerance_seconds, forward=True,
     )
-    rt = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__probe"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        F.struct(
-            *value_cols, F.col(right_ts).cast("timestamp").alias("__vt")
-        ).alias("__vals"),
-    )
-    # __probe DESC puts probes before versions at equal ts (inclusive)
-    order = [F.col("__t").asc(), F.col("__probe").desc()]
-    if right_tiebreak is not None:
-        if right_tiebreak not in value_cols:
-            raise ValueError("right_tiebreak must be one of value_cols")
-        order.append(F.col(f"__vals.{right_tiebreak}").asc_nulls_last())
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    merged = lt.unionByName(rt).withColumn(
-        "__carried", F.first("__vals", ignorenulls=True).over(w)
-    )
-    in_reach = F.col("__carried").isNotNull()
-    if tolerance_seconds is not None:
-        in_reach = in_reach & (
-            F.col("__carried.__vt").cast("double")
-            - F.col("__t").cast("double")
-            <= float(tolerance_seconds)
-        )
-    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
-        F.when(in_reach, F.col(f"__carried.{c}")).alias(c)
-        for c in value_cols
-    ]
-    return merged.filter(F.col("__probe") == 1).select(*out_cols)

@@ -484,12 +484,16 @@ def events_attribution_first_touch(spark, sf_dir):
                         len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS de_cnt
                  FROM t)),
     cm AS (SELECT gold, pred, COUNT(*) AS n FROM pr GROUP BY gold, pred),
-    g AS (SELECT gold AS cls, SUM(n) AS support FROM cm GROUP BY 1),
-    p AS (SELECT pred AS cls, SUM(n) AS pred_total FROM cm GROUP BY 1),
-    tp AS (SELECT gold AS cls, SUM(n) AS tp FROM cm WHERE gold = pred GROUP BY 1),
-    r AS (SELECT cls, COALESCE(support, 0) AS support,
-                 COALESCE(pred_total, 0) AS pred_total,
-                 COALESCE(tp.tp, 0) AS tp
+    -- SUM(BIGINT) widens to HUGEINT in DuckDB, which pandas maps to
+    -- float64 (70 -> 70.0) while Spark emits int64: the driver's
+    -- dtype-strict canon then hash-mismatches every integer column.
+    -- ::BIGINT pins the dtype (same pattern as eval_kappa's s.n).
+    g AS (SELECT gold AS cls, SUM(n)::BIGINT AS support FROM cm GROUP BY 1),
+    p AS (SELECT pred AS cls, SUM(n)::BIGINT AS pred_total FROM cm GROUP BY 1),
+    tp AS (SELECT gold AS cls, SUM(n)::BIGINT AS tp FROM cm WHERE gold = pred GROUP BY 1),
+    r AS (SELECT cls, COALESCE(support, 0)::BIGINT AS support,
+                 COALESCE(pred_total, 0)::BIGINT AS pred_total,
+                 COALESCE(tp.tp, 0)::BIGINT AS tp
           FROM g FULL OUTER JOIN p USING (cls) LEFT JOIN tp USING (cls))
     SELECT cls, support, pred_total, tp,
            floor((CASE WHEN pred_total > 0 THEN tp / pred_total ELSE 0.0 END) * 10000) / 10000 AS precision,

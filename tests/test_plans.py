@@ -719,3 +719,100 @@ class TestRound5PlanContracts:
 
         jc = join_counts(formatted_plan(queries["graph_khop"](spark, SF)))
         assert jc["CartesianProduct"] == 0
+
+
+class TestOracleDtypeContract:
+    """The driver hashes dtype-SENSITIVELY through pandas: Spark
+    ``.toPandas()`` vs DuckDB ``.df()``. An oracle whose declared
+    output type lands on a different pandas dtype class than the
+    Spark schema (the classic: uncast ``SUM(BIGINT)`` widens to
+    HUGEINT, which pandas renders float64 while Spark emits int64)
+    hash-mismatches on every row even when the VALUES are identical —
+    this kept eval_lang_id_report driver-red for three rounds. Lock
+    the contract for every oracle-bearing registry entry:
+
+    (a) every Spark output column is atomic-typed (array/map/struct
+        cells crash the driver's canonicalizer), and
+    (b) the DuckDB DESCRIBE type of every oracle column maps to the
+        SAME pandas dtype class as the Spark schema.
+    """
+
+    # DuckDB declared type -> pandas-dtype class as ``.df()`` renders
+    # it. HUGEINT/UHUGEINT become float64 — the whole point.
+    @staticmethod
+    def _duck_class(t: str) -> str:
+        import re
+
+        t = t.upper()
+        if t in ("HUGEINT", "UHUGEINT"):
+            return "float"
+        if re.fullmatch(r"U?TINYINT|U?SMALLINT|U?INTEGER|U?BIGINT|INT\d*", t):
+            return "int"
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            return "float"
+        if t.startswith("DECIMAL"):
+            return "decimal"
+        if t == "BOOLEAN":
+            return "bool"
+        if t == "VARCHAR":
+            return "str"
+        if t.startswith("TIMESTAMP"):
+            return "ts"
+        if t == "DATE":
+            return "date"
+        if t == "BLOB":
+            return "bytes"
+        return f"OTHER:{t}"
+
+    @staticmethod
+    def _spark_class(dt) -> str:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(dt, T.DecimalType):
+            return "decimal"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.StringType):
+            return "str"
+        if isinstance(dt, T.TimestampType):
+            return "ts"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        return f"NONATOMIC:{dt.simpleString()}"
+
+    def test_every_oracle_dtype_agrees_with_spark_schema(self, spark):
+        import duckdb
+
+        from easy_alterator_spark.queries import ORACLES, QUERIES, load_all
+        from easy_alterator_spark.sources import TABLE_NAMES
+
+        load_all()
+        con = duckdb.connect()
+        for n in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {n} AS SELECT * FROM "
+                f"read_parquet('{SF}/{n}.parquet')"
+            )
+        problems = []
+        for name, sql in sorted(ORACLES.items()):
+            sch = {
+                f.name: self._spark_class(f.dataType)
+                for f in QUERIES[name](spark, SF).schema.fields
+            }
+            for col, cls in sch.items():
+                if cls.startswith("NONATOMIC"):
+                    problems.append(f"{name}.{col}: spark {cls}")
+            for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+                dc, sc = self._duck_class(typ), sch.get(col, "MISSING")
+                if dc != sc:
+                    problems.append(
+                        f"{name}.{col}: spark={sc} duck={dc} ({typ}) — "
+                        "cast the oracle (e.g. SUM(x)::BIGINT) or the query"
+                    )
+        assert not problems, "\n".join(problems)

