@@ -6,6 +6,12 @@ decontamination -> stratified sample -> sequence packing) — on
 sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
+
+Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
+oracle-bearing registry entry (191 of 196; the remaining 5 register
+rows-only by design: dedup_simhash, bpe_train_merges, and the three
+ddl_* fixture queries whose inputs are DDL text, not the relational
+tables). See the rotation note on ``_PRIORITY``.
 """
 
 from __future__ import annotations
@@ -28,86 +34,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-5 rotation: CORRECTNESS_r01-r04 cover 142 of the
-# registry; the window packs (a) every round-5 NEW query, (b) the 2
-# round-5 CHANGED queries (advisor tiebreak fixes), and (c) the 32
-# remaining never-driver-checked r4 entries — exactly 50, so the
-# union r01-r05 covers every oracle-bearing query registered through
-# round 4 plus all round-5 surface. The ENTIRE 192-query registry was
-# additionally swept green via tools/driver_sim at BOTH sf0.01 and
-# sf0.1 this round (see COVERAGE.md). Everything already driver-green
-# trails (order there is cosmetic — _ordered appends the remainder).
+# order. Round-7 rotation: (a) the round-7 CHANGED query
+# (eval_lang_id_report — oracle SUM(n)::BIGINT dtype fix; red r4-r6),
+# (b) the 4 queries that gained oracles this round (the multimodal
+# decode family — recomputable-bytes oracles replace no_oracle),
+# (c) the 4 never-driver-checked round-6 entries, then (d) re-verify
+# fill: flagship pipeline, the dedup/decontaminate families, the
+# date-valued queries that exercise the driver's DATE-vs-midnight
+# canon, and the r5 tiebreak fixes. With this window the union
+# r01-r07 stamps EVERY oracle-bearing entry in the registry (191 of
+# 196; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
+# no-oracle by design and are kept OUT of the first 50 so no checked
+# slot is burned on a rows-only record). The entire registry was
+# additionally swept green this round via tools/driver_sim — now
+# dtype-strict and pandas-fetched like the driver — at sf0.01.
 _PRIORITY = [
-    # --- round-5 new queries (fresh surface first) ---
-    "dq_referential_integrity",
-    "mine_basket_pairs",
-    "shard_rendezvous_resize",
-    "events_path_trigrams",
-    "graph_khop",
-    "dq_freshness",
-    "cluster_kmeans",
-    "join_time_to_next",
-    "stream_latest_by_key",
-    "stream_running_totals",
-    "sync_partition_checksums",
-    "privacy_l_diversity",
-    "unpivot_event_stats",
-    "stats_chi_square",
-    "stats_corr_matrix",
-    "events_seasonal_anomaly",
-    # --- round-5 changed (advisor fixes: PIT tiebreak, CDC tiebreak) ---
-    "join_point_in_time",
-    "cdc_merge_upsert",
-    # --- the 32 remaining never-driver-checked entries (r01-r04 gap) ---
-    "decontaminate_semantic",
-    "dedup_blocking_recall",
-    "dedup_prefix_filter",
-    "dedup_sorted_neighborhood",
-    "doc_pack_efficiency",
-    "doc_sample_weighted_k",
-    "dq_rule_violations",
-    "eval_kappa",
+    # --- round-7 changed oracle (driver-red r4-r6, HUGEINT fix) ---
     "eval_lang_id_report",
-    "events_attribution_first_touch",
-    "events_conversion_latency",
-    "events_rolling_distinct",
-    "events_window_dedup",
-    "graph_lpa_communities",
-    "graph_pagerank",
-    "hierarchy_bom_rollup",
-    "index_postings",
-    "join_cardinality_estimate",
-    "join_range_bucketed",
-    "join_skew_salted",
-    "multimodal_exact_dedup",
+    # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
+    "multimodal_image_features",
+    "multimodal_frame_sample",
     "multimodal_resize",
-    "privacy_erasure_audit",
-    "profile_columns",
-    "profile_drift_psi",
-    "search_eval_metrics",
-    "select_pareto_docs",
-    "stats_histogram_equidepth",
-    "stats_regression_by_group",
-    "stream_dedup_exact",
-    "stream_view_click_join",
-    "stream_window_counts",
-    # --- already driver-green; the next ~11 re-verify oldest surface ---
+    "multimodal_audio_energy",
+    # --- never driver-checked (registered round 6) ---
+    "events_active_streaks",
+    "events_share_of_total",
+    "stats_gini",
+    "text_zipf_fit",
+    # --- re-verify: flagship + heavy operator families ---
     "pipeline_training_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental",
-    "dedup_cluster_assign",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "decontaminate_ngram",
+    "decontaminate_bloom",
+    "decontaminate_semantic",
     "doc_sample_split",
     "doc_pack_sequences",
+    "eval_kappa",
+    "index_postings",
+    "search_hybrid_rrf",
+    "cluster_kmeans",
+    "graph_pagerank",
+    "sim_ann_pq",
+    "multimodal_exact_dedup",
+    # --- re-verify: date-valued outputs (DATE-vs-midnight canon) ---
+    "events_gap_fill",
+    "events_ohlc_daily",
+    "events_retention_cohorts",
+    "events_seasonal_anomaly",
+    "sync_partition_checksums",
+    "pivot_event_counts",
+    "unpivot_event_stats",
+    "stream_window_counts",
+    "q18_date_bucket",
+    "q24_tpch_shipping",
+    "q26_tpch_large_orders",
+    # --- re-verify: r5 tiebreak fixes + float-canon edge queries ---
+    "join_point_in_time",
+    "cdc_merge_upsert",
+    "q15_window_lead",
+    "q36_tpch_min_cost_supplier",
     "events_sessionize",
+    "stream_sessionize",
+    "stats_chi_square",
     "events_funnel",
-    "events_outliers",
     "events_asof_join",
     "events_range_join",
+    "stats_quantiles",
+    "stats_histogram_equidepth",
+    # --- below the fold: everything else already driver-green ---
+    "dedup_cluster_assign",
+    "dedup_embedding_lsh",
+    "events_outliers",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",

@@ -232,53 +232,181 @@ def ddl_diff_bulk(spark, sf_dir):
     )
 
 
-@query("multimodal_image_features", bench=False)  # mapInPandas plumbing; rows-only
+# ---------------------------------------------------------------------------
+# Multimodal decode family — oracle-bearing since round 7.
+#
+# synthesize_media(n=120) derives every blob from a closed-form byte
+# formula: content[j] = (i*7 + j) % 256, len = 128 + (i % 5) * 1024,
+# kind = (image, audio, video)[i % 3]. The stub decoders are pure
+# functions of those bytes, so DuckDB can RECOMPUTE the whole decode
+# from generate_series — the multimodal_exact_dedup recomputable-bytes
+# pattern extended to the decode/resize/frame/energy stages. All stub
+# arithmetic is integer-exact or single-IEEE-op (h is the little-endian
+# uint64 of the first 8 bytes, rebuilt in HUGEINT; RMS windows sum
+# exactly representable dyadics; floor-grids replace ROUND), so the
+# hashes match bit-for-bit under the driver's dtype-strict canon.
+# ---------------------------------------------------------------------------
+
+# h(i): little-endian uint64 of the first 8 synthetic bytes, exact in
+# HUGEINT. 256^7 = 72057594037927936 fits BIGINT; each product widens.
+_MEDIA_H = " + ".join(
+    f"(((i*7 + {j}) % 256)::HUGEINT * {256**j})" for j in range(8)
+)
+_MEDIA_BASE = f"""
+    media AS (SELECT i, 128 + (i % 5) * 1024 AS len,
+                     {_MEDIA_H} AS h
+              FROM generate_series(0, 119) g(i))
+"""
+
+
+@query(
+    "multimodal_image_features",
+    bench=False,
+    oracle=f"""
+    WITH {_MEDIA_BASE},
+    img AS (SELECT i, h FROM media WHERE i % 3 = 0)
+    SELECT i AS media_id,
+           (64 + (h % 1024))::INT AS width,
+           (64 + ((h // 1024) % 1024))::INT AS height,
+           ((h % 251)::DOUBLE / 251.0) AS f0
+    FROM img
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
     """Arrow-batched decode over binary media columns (Spark-side
     schema/partitioning/batch shape real; use_pil=False pins the
     deterministic stub — the synthetic bytes aren't valid images, so
     the result stays container-independent; real decode is unit-tested
-    behind the PIL gate in tests/test_multimodal_gate.py)."""
+    behind the PIL gate in tests/test_multimodal_gate.py). f0 is the
+    first feature: (h % 251) / 251, an exact small-int division both
+    engines compute identically."""
     from ..operators.multimodal import decode_images, synthesize_media
 
     media = synthesize_media(spark, n=120)
     return decode_images(media, use_pil=False).select(
-        "media_id", "width", "height", F.round(F.element_at("features", 1), 4).alias("f0")
+        "media_id", "width", "height", F.element_at("features", 1).alias("f0")
     ).orderBy("media_id")
 
 
-@query("multimodal_frame_sample", bench=False)  # mapInPandas plumbing; rows-only
+@query(
+    "multimodal_frame_sample",
+    bench=False,
+    oracle=f"""
+    WITH {_MEDIA_BASE},
+    vid AS (SELECT i, GREATEST(len // 1024, 1) AS nf
+            FROM media WHERE i % 3 = 2)
+    SELECT i AS media_id,
+           ((nf + 1) // 2)::BIGINT AS n_frames,
+           (((nf - 1) // 2) * 2)::BIGINT AS max_idx
+    FROM vid
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
+    """Every-2nd-frame sampling over video blobs: the stub emits
+    frames 0, 2, ... below nf = max(1, len // 1024), so the per-blob
+    count/max are pure integer functions of the blob length."""
     from ..operators.multimodal import sample_frames, synthesize_media
 
     media = synthesize_media(spark, n=120)
     return (
-        sample_frames(media, every_n=2)
+        # use_ffmpeg=False pins the stub tier: with ffmpeg installed
+        # the auto tier would find 0 frames in the synthetic garbage
+        # and the oracle would mismatch — environment-independence is
+        # the contract for driver-checked entries
+        sample_frames(media, every_n=2, use_ffmpeg=False)
         .groupBy("media_id")
-        .agg(F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_idx").cast("long").alias("max_idx"),
+        )
         .orderBy("media_id")
     )
 
 
-@query("multimodal_resize", bench=False)  # mapInPandas plumbing; rows-only
+@query(
+    "multimodal_resize",
+    bench=False,
+    # mirrors _resize_image_stub exactly: scale = min(1, 128/max(w,h))
+    # (one IEEE division), new dims truncate w*scale, byte budget
+    # truncates len * area-ratio — L*nw*nh < 2^53 so the DOUBLE
+    # product is exact and both engines floor the same value.
+    oracle=f"""
+    WITH {_MEDIA_BASE},
+    img AS (SELECT i, len,
+                   64 + (h % 1024) AS w,
+                   64 + ((h // 1024) % 1024) AS ht
+            FROM media WHERE i % 3 = 0),
+    sc AS (SELECT i, len, w, ht,
+                  LEAST(1.0, 128.0 / GREATEST(w, ht)) AS scale
+           FROM img),
+    dims AS (SELECT i, len, w, ht,
+                    GREATEST(1, FLOOR(w * scale))::BIGINT AS nw,
+                    GREATEST(1, FLOOR(ht * scale))::BIGINT AS nh
+             FROM sc)
+    SELECT i AS media_id, nw AS width, nh AS height,
+           GREATEST(1, FLOOR((len * nw * nh)::DOUBLE / (w * ht)))::BIGINT
+               AS n_bytes
+    FROM dims
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     """Aspect-preserving resize over binary image columns (stubbed
     codec, real batch pipeline — output is a binary media column so
-    stages chain; real path unit-tested behind the PIL gate)."""
+    stages chain; real path unit-tested behind the PIL gate). The
+    oracle recomputes the stub's dims and truncated byte budget from
+    the synthetic byte formula."""
     from ..operators.multimodal import resize_images, synthesize_media
 
     media = synthesize_media(spark, n=120)
     return resize_images(media, max_side=128, use_pil=False).select(
-        "media_id", "width", "height", F.length("content").alias("n_bytes")
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
     ).orderBy("media_id")
 
 
-@query("multimodal_audio_energy", bench=False)  # mapInPandas plumbing; rows-only
+@query(
+    "multimodal_audio_energy",
+    bench=False,
+    # raw-byte path: sample s = (byte - 128)/128 is an exact dyadic,
+    # s*s sums are exactly representable in float64 (multiples of
+    # 2^-14 bounded by 256), so SUM order is irrelevant; sqrt is
+    # correctly rounded IEEE; per-window RMS floor-grids to 1e-6 and
+    # the mean divides an exact integer sum by n — every step is
+    # engine-identical.
+    oracle=f"""
+    WITH {_MEDIA_BASE},
+    aud AS (SELECT i, len, GREATEST(len // 256, 1) AS n
+            FROM media WHERE i % 3 = 1),
+    -- generate_series can't take lateral column bounds in DuckDB:
+    -- cross-join the max-length series (len <= 4224) and filter
+    samp AS (SELECT a.i, a.n, j // 256 AS w,
+                    ((((a.i*7 + j) % 256) - 128) / 128.0) AS s
+             FROM aud a, generate_series(0, 4223) g(j)
+             WHERE j < CASE WHEN a.len >= 256 THEN a.n * 256
+                            ELSE a.len END),
+    win AS (SELECT i, n, w,
+                   FLOOR(SQRT(SUM(s * s) / COUNT(*)) * 1e6) AS rms6
+            FROM samp GROUP BY i, n, w)
+    SELECT i AS media_id, n::INT AS n_windows,
+           FLOOR(SUM(rms6) / n) / 1e6 AS mean_energy,
+           MAX(rms6) / 1e6 AS peak_energy
+    FROM win GROUP BY i, n
+    """,
+)
 def multimodal_audio_energy(spark, sf_dir):
     """Windowed RMS energy per audio blob — real numpy window math
     over Arrow batches (bytes as unsigned samples; codec decode slots
-    in front of the same windowing)."""
+    in front of the same windowing). The oracle re-derives every
+    sample from the synthetic byte formula and replays the windowed
+    RMS in SQL."""
     from ..operators.multimodal import audio_features, synthesize_media
 
     media = synthesize_media(spark, n=120)
-    return audio_features(media, window_bytes=256).orderBy("media_id")
+    # use_soundfile=False pins the raw-byte tier (the synthetic blobs
+    # are not decodable audio on any tier, but the pin makes the
+    # oracle's environment-independence explicit)
+    return audio_features(media, window_bytes=256, use_soundfile=False).orderBy(
+        "media_id"
+    )

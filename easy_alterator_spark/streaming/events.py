@@ -296,6 +296,15 @@ def run_to_memory(
     overriding drain would silently inherit the temporary override —
     holding the lock guarantees no override is in effect while any
     drain plans.
+
+    NOT REENTRANT: the (non-reentrant) lock is held across the whole
+    drain — start() through awaitTermination — so a nested
+    run_to_memory on the same thread (e.g. from a foreachBatch
+    callback) deadlocks, and concurrent drains fully serialize. Both
+    are acceptable for a test helper; releasing after start() would
+    only be safe for non-overriding drains (the override must stay
+    pinned until the conf is restored), so the simple full-drain hold
+    is kept deliberately.
     """
     spark = stream.sparkSession
     with _SHUFFLE_CONF_LOCK:

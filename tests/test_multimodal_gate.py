@@ -37,25 +37,42 @@ class TestDecodeGate:
         out = mm.decode_images(mm.synthesize_media(spark, n=9))
         assert out.count() == 3
 
-    @pytest.mark.skipif(not _pil_present(), reason="PIL not installed")
-    def test_real_decode_with_pil(self, spark):
-        """With PIL present, a real PNG decodes to its true dimensions
-        and a normalized 8-bin luminance histogram."""
-        import io
+    def test_real_decode_png(self, spark):
+        """A real PNG decodes to its true dimensions and a normalized
+        8-bin luminance histogram on the auto tier — PIL when
+        installed, the builtin PNG codec otherwise (this container),
+        so the REAL path runs everywhere."""
+        from easy_alterator_spark.operators.multimodal import (
+            decode_images,
+            encode_png,
+        )
 
-        from PIL import Image
-
-        from easy_alterator_spark.operators.multimodal import decode_images
-
-        buf = io.BytesIO()
-        Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+        png = encode_png(20, 10, bytes([255, 0, 0]) * 200)  # solid red
         media = spark.createDataFrame(
-            [(1, "image", "image/png", buf.getvalue(), len(buf.getvalue()))],
+            [(1, "image", "image/png", png, len(png))],
             "media_id long, kind string, mime string, content binary, n_bytes long",
         )
-        r = decode_images(media, use_pil=True).collect()[0]
+        r = decode_images(media, use_pil=None).collect()[0]
         assert (r["width"], r["height"]) == (20, 10)
         assert abs(sum(r["features"]) - 1.0) < 1e-6
+        # red luma = 76 -> every pixel lands in bin 2 on either tier
+        assert r["features"][2] == 1.0
+
+    def test_builtin_png_codec_roundtrip(self):
+        """encode -> decode is pixel-exact for the builtin codec."""
+        import numpy as np
+
+        from easy_alterator_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rgb = bytes((x * 7 + 3) % 256 for x in range(6 * 4 * 3))
+        w, h, ch, px = decode_png(encode_png(6, 4, rgb))
+        assert (w, h, ch) == (6, 4, 3)
+        assert px.tobytes() == rgb
+        assert decode_png(b"not a png") is None
+        assert np is not None
 
     def test_resize_stub_shrinks(self, spark):
         from easy_alterator_spark.operators.multimodal import (
@@ -69,23 +86,26 @@ class TestDecodeGate:
         assert all(max(r["width"], r["height"]) <= 128 for r in rows)
         assert all(r["content"] is not None for r in rows)
 
-    @pytest.mark.skipif(not _pil_present(), reason="PIL not installed")
-    def test_real_resize_with_pil(self, spark):
-        import io
+    def test_real_resize_png(self, spark):
+        """Real aspect-preserving resize on the auto tier (PIL or the
+        builtin codec): a 400x100 PNG fit into a 200-box halves to
+        200x50, and the output is itself a decodable PNG."""
+        from easy_alterator_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
 
-        from PIL import Image
-
-        from easy_alterator_spark.operators.multimodal import resize_images
-
-        buf = io.BytesIO()
-        Image.new("RGB", (400, 100), (0, 255, 0)).save(buf, format="PNG")
+        png = encode_png(400, 100, bytes([0, 255, 0]) * 40000)
         media = spark.createDataFrame(
-            [(1, "image", "image/png", buf.getvalue(), len(buf.getvalue()))],
+            [(1, "image", "image/png", png, len(png))],
             "media_id long, kind string, mime string, content binary, n_bytes long",
         )
-        r = resize_images(media, max_side=200, use_pil=True).collect()[0]
+        r = resize_images(media, max_side=200, use_pil=None).collect()[0]
         assert (r["width"], r["height"]) == (200, 50)  # aspect preserved
-        assert Image.open(io.BytesIO(bytes(r["content"]))).size == (200, 50)
+        w, h, _ch, px = decode_png(bytes(r["content"]))
+        assert (w, h) == (200, 50)
+        assert tuple(px[0, 0]) == (0, 255, 0)  # solid green survives
 
     def test_audio_energy_real_windows(self, spark):
         """Known byte patterns give known RMS: silence (128s) -> 0,
@@ -118,16 +138,37 @@ class TestDecodeGate:
         auto = mm.sample_frames(media, every_n=1)
         assert auto.count() >= 0  # real path may yield 0 (garbage blobs)
 
-    @pytest.mark.skipif(
-        not __import__("shutil").which("ffmpeg"), reason="ffmpeg not installed"
-    )
-    def test_real_frames_with_ffmpeg(self, spark):  # pragma: no cover - needs ffmpeg
-        """With ffmpeg present, garbage blobs yield no frames (graceful)
-        and the output stays within the FRAME_SCHEMA contract."""
-        from easy_alterator_spark.operators.multimodal import sample_frames, synthesize_media
+    def test_real_frames_pngstream(self, spark):
+        """Real frame sampling from a concatenated-PNG stream (the
+        image2pipe container the ffmpeg tier emits) runs without
+        ffmpeg: every 2nd frame of a 3-frame stream is kept, each an
+        independently decodable PNG."""
+        from easy_alterator_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            sample_frames,
+        )
 
-        out = sample_frames(synthesize_media(spark, n=9), every_n=2, use_ffmpeg=True)
-        assert out.count() == 0  # synthetic bytes are not valid video
+        frames = [
+            encode_png(4, 4, bytes([shade] * 48)) for shade in (10, 120, 240)
+        ]
+        stream = b"".join(frames)
+        media = spark.createDataFrame(
+            [(1, "video", "video/x-pngstream", stream, len(stream))],
+            "media_id long, kind string, mime string, content binary, n_bytes long",
+        )
+        rows = sample_frames(media, every_n=2).collect()
+        got = {r["frame_idx"]: bytes(r["frame"]) for r in rows}
+        assert set(got) == {0, 2}
+        for idx, blob in got.items():
+            w, h, _ch, px = decode_png(blob)
+            assert (w, h) == (4, 4)
+            assert px[0, 0, 0] == (10, 120, 240)[idx]
+        if __import__("shutil").which("ffmpeg"):  # real-codec tier, if present
+            from easy_alterator_spark.operators.multimodal import synthesize_media
+
+            out = sample_frames(synthesize_media(spark, n=9), every_n=2, use_ffmpeg=True)
+            assert out.count() == 0  # synthetic bytes are not valid video
 
     def test_audio_soundfile_gate_and_autodetect(self, spark):
         from easy_alterator_spark.operators import multimodal as mm
@@ -145,37 +186,45 @@ class TestDecodeGate:
         auto = mm.audio_features(media)
         assert raw.count() == auto.count() == 3
 
-    def test_soundfile_real_decode_if_present(self, spark):
-        """With soundfile present, a real WAV decodes: pure silence ->
-        zero energy (raw-byte interpretation of a WAV would see the
-        non-zero header instead)."""
-        try:
-            import soundfile as sf
-        except ImportError:
-            pytest.skip("soundfile not installed")
+    def test_real_wav_decode(self, spark):
+        """A real PCM WAV decodes on the auto tier — soundfile when
+        installed, the stdlib ``wave`` fallback otherwise: pure
+        silence -> zero energy (the raw-byte interpretation would see
+        the non-zero RIFF header instead), 2048 samples -> 2 windows
+        of 1024."""
         import io
-
-        import numpy as np
+        import wave as wavemod
 
         from easy_alterator_spark.operators.multimodal import audio_features
 
         buf = io.BytesIO()
-        sf.write(buf, np.zeros(2048), 16000, format="WAV")
+        with wavemod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(b"\x00\x00" * 2048)
         wav = buf.getvalue()
         media = spark.createDataFrame(
             [(1, "audio", "audio/wav", wav, len(wav))],
             "media_id long, kind string, mime string, content binary, n_bytes long",
         )
-        r = audio_features(media, window_bytes=1024, use_soundfile=True).collect()[0]
+        r = audio_features(media, window_bytes=1024, use_soundfile=None).collect()[0]
         assert r["peak_energy"] == 0.0 and r["n_windows"] == 2
 
-    def test_pil_decoder_rejects_garbage_bytes(self):
-        # unit-level: the PIL path must not throw on non-image bytes
-        if not _pil_present():
-            pytest.skip("PIL not installed")
-        from easy_alterator_spark.operators.multimodal import _decode_image_pil
+    def test_real_decoders_reject_garbage_bytes(self):
+        # unit-level: every real decode tier must not throw on
+        # non-image bytes — builtin always, PIL when present
+        from easy_alterator_spark.operators.multimodal import (
+            _decode_image_builtin,
+            _resize_image_builtin,
+        )
 
-        assert _decode_image_pil(b"not an image") == (0, 0, [])
+        assert _decode_image_builtin(b"not an image") == (0, 0, [])
+        assert _resize_image_builtin(b"not an image", 64) == (0, 0, b"")
+        if _pil_present():
+            from easy_alterator_spark.operators.multimodal import _decode_image_pil
+
+            assert _decode_image_pil(b"not an image") == (0, 0, [])
 
 
 class TestHadoopFsDiscovery:
