@@ -51,6 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- round-7 changed oracle (driver-red r4-r6, HUGEINT fix) ---
     "eval_lang_id_report",
+    # --- round-7 NEW queries ---
+    "join_interval_overlap",
+    "text_trigram_novelty",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",
@@ -92,8 +95,10 @@ _PRIORITY = [
     "q18_date_bucket",
     "q24_tpch_shipping",
     "q26_tpch_large_orders",
-    # --- re-verify: r5 tiebreak fixes + float-canon edge queries ---
+    # --- re-verify: r7 asof-carry refactor consumers + r5 tiebreak
+    #     fixes + float-canon edge queries ---
     "join_point_in_time",
+    "join_time_to_next",
     "cdc_merge_upsert",
     "q15_window_lead",
     "q36_tpch_min_cost_supplier",
@@ -102,9 +107,6 @@ _PRIORITY = [
     "stats_chi_square",
     "events_funnel",
     "events_asof_join",
-    "events_range_join",
-    "stats_quantiles",
-    "stats_histogram_equidepth",
     # --- below the fold: everything else already driver-green ---
     "dedup_cluster_assign",
     "dedup_embedding_lsh",

@@ -53,7 +53,14 @@ def query(
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import analytics, extensions, relational, scaleops, schema_tools  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        corpusops,
+        extensions,
+        relational,
+        scaleops,
+        schema_tools,
+    )
 
 
 __all__ = ["QUERIES", "ORACLES", "NO_BENCH", "query", "load_all"]

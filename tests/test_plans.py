@@ -816,3 +816,28 @@ class TestOracleDtypeContract:
                         "cast the oracle (e.g. SUM(x)::BIGINT) or the query"
                     )
         assert not problems, "\n".join(problems)
+
+
+class TestRound7Plans:
+    def test_interval_overlap_is_bucketized_not_nested_loop(self, spark, queries):
+        """The session-overlap pair search must plan as an equi-join
+        on hour buckets (hash join), never a nested loop over
+        |sessions|² — the whole point of the bucketization."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["join_interval_overlap"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastNestedLoopJoin"] == 0, plan
+        assert jc["CartesianProduct"] == 0, plan
+        assert jc["BroadcastHashJoin"] + jc["SortMergeJoin"] >= 1
+
+    def test_trigram_novelty_prunes_scan(self, spark, queries):
+        from easy_alterator_spark.plans.audit import (
+            assert_reads_only,
+            formatted_plan,
+            join_counts,
+        )
+
+        df = queries["text_trigram_novelty"](spark, SF)
+        assert_reads_only(df, "doc_id", {"doc_id", "source", "text"})
+        assert join_counts(formatted_plan(df))["CartesianProduct"] == 0
