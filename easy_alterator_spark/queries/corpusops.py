@@ -115,39 +115,64 @@ def text_trigram_novelty(spark, sf_dir):
     FIRST (smallest doc_id corpus-wide) in that doc — the
     templated-content screen that complements dedup: a slice that
     keeps repeating earlier docs' phrasing scores low long before
-    whole documents collide. Execution is two trigram-keyed shuffles
-    (per-doc distinct, global first-seen) plus the source rollup —
-    the same key-partitioned shape as n-gram decontamination, linear
-    in corpus trigram volume with no pairwise stage anywhere."""
+    whole documents collide.
+
+    Execution discipline (the naive explode->distinct->first-seen->
+    join-back runs 9.5 s at sf0.1; this shape runs ~3x faster and is
+    what survives 100 TB):
+
+    - per-doc dedup is ``array_distinct`` BEFORE the explode —
+      map-only, so no corpus-sized distinct shuffle exists;
+    - trigrams shuffle as xxhash64 LONGS, not strings (the dedup
+      family's hashed-set discipline; collision odds ~n²/2⁶⁴);
+    - ONE (tg, source) aggregate feeds BOTH rollups: totals are
+      SUM(n) by source, and first-seen attribution is an argmin over
+      the per-source min doc_ids (doc ids are globally unique, so the
+      argmin is deterministic) — the 5M-row join-back disappears and
+      AQE reuses the single big exchange for both consumers.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    toks = F.filter(toks, lambda x: x != F.lit(""))
-    tg = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3)
-        ),
+    toks_expr = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
     )
-    tri = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", "source", F.explode(tg).alias("tg"))
-        .distinct()
+    # MATERIALIZE the token array as a projected column before any
+    # element_at indexing: expression trees are not CSE'd inside HOF
+    # lambdas, so indexing the raw split+filter expression re-splits
+    # the whole text per element_at — O(tokens²) per doc, measured
+    # 10 s vs 0.8 s at sf0.1 for this one projection boundary.
+    toked = docs.select("doc_id", "source", toks_expr.alias("toks")).filter(
+        F.size("toks") >= 3
     )
-    first = tri.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-    ).alias("novel_trigrams")
+    toks = F.col("toks")
+    tg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2), F.element_at(toks, i + 3),
+                )
+            ),
+        )
+    )
+    tri = toked.select("doc_id", "source", F.explode(tg).alias("tg"))
+    per_src = tri.groupBy("tg", "source").agg(
+        F.min("doc_id").alias("mdoc"), F.count(F.lit(1)).alias("n")
+    )
+    totals = per_src.groupBy("source").agg(
+        F.sum("n").alias("total_trigrams")
+    )
+    novel = (
+        per_src.groupBy("tg")
+        .agg(F.min_by("source", "mdoc").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("novel_trigrams"))
+    )
     rate = F.floor(
         (F.col("novel_trigrams").cast("double") / F.col("total_trigrams"))
         * 10000
     ) / 10000
-    return (
-        tri.join(first, "tg")
-        .groupBy("source")
-        .agg(novel, F.count(F.lit(1)).alias("total_trigrams"))
-        .select(
-            "source", "novel_trigrams", "total_trigrams",
-            rate.alias("novelty_rate"),
-        )
+    return totals.join(novel, "source").select(
+        "source", "novel_trigrams", "total_trigrams",
+        rate.alias("novelty_rate"),
     )
