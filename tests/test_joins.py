@@ -199,6 +199,37 @@ class TestAsofJoinBackward:
         )
         assert got == {100: ("second", 2)}
 
+    def test_backward_tolerance_nulls_out_stale_versions(self, spark):
+        """r7: tolerance_seconds in the BACKWARD direction — a version
+        older than the tolerance window is too stale to carry."""
+        import datetime as dt
+
+        T = dt.datetime
+        versions = [(1, T(2024, 1, 1), "a", 1)]
+        probes = [
+            (1, T(2024, 1, 1, 0, 30), 100),  # 30 min later -> in reach
+            (1, T(2024, 1, 2), 101),         # a day later -> stale
+        ]
+        got = self._run(
+            spark, probes, versions, tolerance_seconds=3600.0
+        )
+        assert got == {100: ("a",), 101: (None,)}
+
+    def test_reserved_vt_value_col_rejected(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        T = dt.datetime
+        from easy_alterator_spark.operators.joins import asof_join_backward
+
+        l = spark.createDataFrame([(1, T(2024, 1, 1), 1)], "k long, t timestamp, pid long")
+        r = spark.createDataFrame([(1, T(2024, 1, 1), "a")], "k long, vt timestamp, __vt string")
+        with pytest.raises(ValueError, match="__vt"):
+            asof_join_backward(
+                l, r, on="k", left_ts="t", right_ts="vt", value_cols=["__vt"]
+            )
+
     def test_matches_brute_force_random(self, spark):
         import datetime as dt
         import random
