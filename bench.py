@@ -57,28 +57,36 @@ def main() -> None:
         # ~0.5-1 s into unrelated queries' medians.
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(per_query.values()), 3)
-    # The driver records only the TAIL of stdout; a ~9 KB JSON line
-    # gets truncated and parses as null (BENCH_r03-r06). Print ONE
-    # compact line (worst queries only) and write the full per-query
-    # map to BENCH_DETAIL.json beside this script.
-    worst = dict(
-        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:8]
-    )
-    summary = {
-        "metric": "query_suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": worst,
-        "n_queries": len(per_query),
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-    }
+    summary = summarize(per_query, sf)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": per_query}, f, indent=1)
     print(json.dumps(summary))
+
+
+def summarize(per_query: dict[str, float], sf: str) -> dict:
+    """Compact one-line summary of a bench run.
+
+    The driver records only the TAIL of stdout and json-parses it; a
+    ~9 KB all-queries line gets truncated and parses as null
+    (BENCH_r03-r06). The contract — pinned by
+    tests/test_bench_contract.py — is ONE line, well under 4 KB, with
+    the suite total as "value" and only the worst-8 queries inlined;
+    the full per-query map goes to BENCH_DETAIL.json instead.
+    """
+    worst = dict(
+        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    return {
+        "metric": "query_suite_wall_clock",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": worst,
+        "n_queries": len(per_query),
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
 
 
 if __name__ == "__main__":
