@@ -120,3 +120,35 @@ class TestBinaryFileSource:
         # the decode stage chains directly on the ingested shape
         feats = decode_images(media.filter(media.kind == "image"))
         assert feats.count() == 1
+
+    def test_end_to_end_real_decode_from_files(self, spark, tmp_path):
+        """The full object-storage story with zero stubs: REAL media
+        files on disk -> binaryFile scan -> media table -> real decode
+        tiers (builtin PNG codec / stdlib wave) — true dimensions and
+        true silence out the other end."""
+        import wave as wavemod
+
+        from easy_alterator_spark.operators.multimodal import (
+            audio_features,
+            decode_images,
+            encode_png,
+        )
+        from easy_alterator_spark.sources.formats import media_from_binary_dir
+
+        d = tmp_path / "store"
+        d.mkdir()
+        (d / "red.png").write_bytes(encode_png(12, 7, bytes([255, 0, 0]) * 84))
+        (d / "gray.png").write_bytes(encode_png(5, 5, bytes([128] * 75)))
+        with wavemod.open(str(d / "quiet.wav"), "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * 1024)
+        media = media_from_binary_dir(spark, str(d))
+        dims = {
+            (r.width, r.height)
+            for r in decode_images(media.filter(media.kind == "image")).collect()
+        }
+        assert dims == {(12, 7), (5, 5)}
+        a = audio_features(media.filter(media.kind == "audio"), window_bytes=512).collect()[0]
+        assert a.n_windows == 2 and a.peak_energy == 0.0
