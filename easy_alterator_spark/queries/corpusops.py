@@ -156,8 +156,16 @@ def text_trigram_novelty(spark, sf_dir):
         )
     )
     tri = toked.select("doc_id", "source", F.explode(tg).alias("tg"))
-    per_src = tri.groupBy("tg", "source").agg(
-        F.min("doc_id").alias("mdoc"), F.count(F.lit(1)).alias("n")
+    # localCheckpoint (the cluster_kmeans discipline): totals and the
+    # first-seen rollup both consume per_src, but column pruning gives
+    # their exchanges different schemas so ReusedExchange never fires
+    # — without the cut the whole trigram map+shuffle runs TWICE.
+    # per_src is trigram-vocab × sources sized, far smaller than the
+    # corpus pass it saves.
+    per_src = (
+        tri.groupBy("tg", "source")
+        .agg(F.min("doc_id").alias("mdoc"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     totals = per_src.groupBy("source").agg(
         F.sum("n").alias("total_trigrams")

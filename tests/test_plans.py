@@ -831,13 +831,15 @@ class TestRound7Plans:
         assert jc["CartesianProduct"] == 0, plan
         assert jc["BroadcastHashJoin"] + jc["SortMergeJoin"] >= 1
 
-    def test_trigram_novelty_prunes_scan(self, spark, queries):
-        from easy_alterator_spark.plans.audit import (
-            assert_reads_only,
-            formatted_plan,
-            join_counts,
-        )
+    def test_trigram_novelty_single_corpus_pass(self, spark, queries):
+        """per_src is localCheckpointed so BOTH rollups (totals +
+        first-seen) read the materialized aggregate — the final plan
+        must contain NO parquet scan (the corpus map ran exactly once,
+        inside the checkpoint job) and no cartesian anywhere."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
 
         df = queries["text_trigram_novelty"](spark, SF)
-        assert_reads_only(df, "doc_id", {"doc_id", "source", "text"})
-        assert join_counts(formatted_plan(df))["CartesianProduct"] == 0
+        plan = formatted_plan(df)
+        assert "Scan parquet" not in plan and "FileScan" not in plan, plan
+        assert "ExistingRDD" in plan, plan
+        assert join_counts(plan)["CartesianProduct"] == 0
