@@ -158,7 +158,7 @@ def decode_png(content: bytes):
         ).copy()
         if ftype == 1:  # sub
             for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
         elif ftype == 2:  # up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # average
