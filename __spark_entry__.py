@@ -8,7 +8,7 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (191 of 196; the remaining 5 register
+oracle-bearing registry entry (193 of 198; the remaining 5 register
 rows-only by design: dedup_simhash, bpe_train_merges, and the three
 ddl_* fixture queries whose inputs are DDL text, not the relational
 tables). See the rotation note on ``_PRIORITY``.
@@ -42,12 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # fill: flagship pipeline, the dedup/decontaminate families, the
 # date-valued queries that exercise the driver's DATE-vs-midnight
 # canon, and the r5 tiebreak fixes. With this window the union
-# r01-r07 stamps EVERY oracle-bearing entry in the registry (191 of
-# 196; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
+# r01-r07 stamps EVERY oracle-bearing entry in the registry (193 of
+# 198; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
 # no-oracle by design and are kept OUT of the first 50 so no checked
 # slot is burned on a rows-only record). The entire registry was
 # additionally swept green this round via tools/driver_sim — now
-# dtype-strict and pandas-fetched like the driver — at sf0.01.
+# dtype-strict and pandas-fetched like the driver — at sf0.01 and
+# sf0.1, and the exact 50-entry window re-ran green end-to-end.
 _PRIORITY = [
     # --- round-7 changed oracle (driver-red r4-r6, HUGEINT fix) ---
     "eval_lang_id_report",
