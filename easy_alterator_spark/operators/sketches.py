@@ -17,7 +17,7 @@ exact computations at test scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ~2.3% default relative standard deviation for HLL++; tests assert a
@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 DISTINCT_RSD = 0.023
 # t-digest accuracy knob: higher = tighter quantiles, bigger sketch.
 PERCENTILE_ACCURACY = 10_000
+
+# 2^60: the hash60 value range; 2^53: the HLL register scale unit.
+_H60_RANGE = 1 << 60
+_REG_UNIT = 1 << 53
+
+
+def hash60(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit uniform hash as a non-negative BIGINT.
+
+    First 15 hex digits of md5(value-as-string[#salt]) — the same
+    derivation an external SQL engine replays with
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``, which is
+    what makes every sketch built on it differentially testable
+    (unlike xxhash64/HLL++ register state, which is engine-private).
+    60 bits keep the value strictly positive in an int64 and leave
+    headroom for register/bucket arithmetic.
+    """
+    s = col.cast("string")
+    if salt:
+        s = F.concat(s, F.lit("#" + salt))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
 def approx_distinct_by(
@@ -51,4 +72,171 @@ def approx_percentiles_by(
             )
             for p in probs
         ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (oracle-replayable) sketches
+#
+# The wrappers above are the production knobs — engine-native HLL++ and
+# t-digest, whose internal state no external engine reproduces. The
+# three sketches below are the differential-testing twins: built
+# entirely from hash60 + integer algebra, so DuckDB replays every
+# register/bucket bit-for-bit and the driver's value-hash gate applies
+# to an *approximate* data structure. Same mergeable shape as the real
+# thing (partial-aggregable registers / bucket counts), so the 100 TB
+# plan is identical — only the hash function differs.
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group.
+
+    (group, k_eff, kth_hash, est_distinct): keep the k smallest
+    hash60 values per group; with the k-th smallest at fraction
+    hk/2^60 of the hash space, distinct ~= (k-1) * 2^60 / hk. Groups
+    holding fewer than k distinct hashes are exact (k_eff).
+
+    Plan shape: distinct (group, hash) — map-side partial dedup, one
+    shuffle on the pair — then the rank filter, which Spark rewrites
+    to WindowGroupLimit: each map task forwards only its local k
+    smallest per group, so the second shuffle carries <= k rows per
+    group per task regardless of group size. The estimate is one IEEE
+    multiply + divide on exact operands, floor-gridded to 4 dp.
+    """
+    d = df.select(
+        F.col(group_col), hash60(F.col(value_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth_hash")
+    )
+    raw = (
+        F.lit(float(k - 1))
+        * F.lit(float(_H60_RANGE))
+        / F.col("kth_hash").cast("double")
+    )
+    est = F.when(F.col("k_eff") < k, F.col("k_eff").cast("double")).otherwise(
+        F.floor(raw * 1e4) / 1e4
+    )
+    return agg.select(
+        group_col, "k_eff", "kth_hash", est.alias("est_distinct")
+    )
+
+
+# HLL bias constant for m = 256 registers (Flajolet et al. alpha_m),
+# pre-multiplied by m^2 * 2^53 so the estimate is a single division by
+# the integer-exact scaled register sum. Kept as a Python float so the
+# identical literal lands in both the Spark plan and the oracle SQL.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_NUMERATOR = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(_REG_UNIT)
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate per group (m=256).
+
+    (group, m_present, m_zero, s_scaled, est_distinct): register index
+    = low 8 bits of hash60, rho = leading-zero count of the remaining
+    52-bit field + 1 (computed integer-exactly as 53 - len(bin(rest)));
+    registers are MAX(rho). The indicator sum sum(2^-reg) is kept
+    integer-exact by scaling each term to 2^(53-reg) (max total
+    256 * 2^53 = 2^61, inside int64), so cross-engine float summation
+    order can never flip a bit; the estimate alpha*m^2/sum is then one
+    IEEE division, floor-gridded.
+
+    Unlike KMV this needs NO distinct pre-pass: MAX absorbs duplicate
+    values, so the input streams straight into a (group, idx) partial
+    aggregate — the shuffle carries at most m rows per group per map
+    task. This is the textbook 100 TB approx-distinct shape; the
+    engine-native twin is approx_distinct_by (HLL++, bias-corrected,
+    not externally replayable).
+    """
+    h = hash60(F.col(value_col))
+    rest = F.shiftright(h, HLL_P)
+    # 52-bit field: len(bin(rest)) = floor(log2)+1 exactly, so
+    # rho = leading_zeros + 1 = (52 - len) + 1 = 53 - len; all-zero
+    # field -> 53. Integer-exact — no float log2 boundary risk.
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(F.col(group_col), (h % HLL_M).alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    byg = regs.groupBy(group_col).agg(
+        # shiftleft needs a literal shift amount in the Column API —
+        # the SQL form takes a column expression (1L keeps it int64)
+        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("s_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    s_scaled = F.col("s_present") + (F.lit(HLL_M) - F.col("m_present")) * F.lit(
+        _REG_UNIT
+    )
+    est = F.floor(F.lit(HLL_NUMERATOR) / s_scaled.cast("double") * 1e4) / 1e4
+    return byg.select(
+        group_col,
+        F.col("m_present").cast("bigint").alias("m_present"),
+        (F.lit(HLL_M) - F.col("m_present")).cast("bigint").alias("m_zero"),
+        s_scaled.cast("bigint").alias("s_scaled"),
+        est.alias("est_distinct"),
+    )
+
+
+def countmin_topk(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64, k: int = 10
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-k keys by estimated count.
+
+    (key, est_count): build a depth x width counter table (one hash
+    aggregation over the raw stream — the sketch is depth*width rows
+    TOTAL, independent of data size), collect it (model-sized, the
+    bloom-bitmap pattern), and probe every distinct key map-side via
+    array-literal lookups: est = least over the depth rows. CMS
+    guarantees est >= true count (pinned by a property test); top-k is
+    (est DESC, key ASC) — TakeOrderedAndProject, never a full sort.
+
+    At 100 TB the sketch build is a map-side partial aggregate into
+    depth*width cells, the probe plan has NO join node, and the
+    candidate set is whatever key sample you care to probe — here every
+    distinct key, the exhaustive audit form.
+    """
+    rows = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (hash60(F.col(key_col), salt=str(j)) % width).alias("bucket"),
+        )
+        for j in range(depth)
+    ]
+    sketch = (
+        df.select(F.explode(F.array(*rows)).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # The counter table IS the model — depth*width cells regardless of
+    # data size — so ship it like the bloom bitmap: one model-sized
+    # collect, then probe as array-literal lookups. Pure map-side (no
+    # join in the plan at all); a broadcast-join probe would recompute
+    # the unpersisted sketch subtree once per depth row.
+    cells = {(r["j"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    tables = [
+        F.array(*[F.lit(cells.get((j, b), 0)) for b in range(width)])
+        for j in range(depth)
+    ]
+    est = F.least(
+        *[
+            F.get(tables[j], (hash60(F.col(key_col), salt=str(j)) % width).cast("int"))
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(key_col)
+        .distinct()
+        .select(F.col(key_col), est.alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col(key_col))
+        .limit(k)
     )

@@ -60,6 +60,7 @@ def load_all() -> None:
         relational,
         scaleops,
         schema_tools,
+        sketchops,
     )
 
 

@@ -1469,3 +1469,48 @@ def text_zipf_fit(spark, sf_dir):
         (F.floor(F.regr_slope(lf, lr) * 10000) / 10000).alias("zipf_slope"),
         (F.floor(F.regr_r2(lf, lr) * 10000) / 10000).alias("r2"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    # first-order Markov transitions over each user's event stream:
+    # LAG pair counts normalized per source state; (ts, event_id)
+    # tiebreak makes the lag deterministic cross-engine
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    p AS (SELECT prev AS from_type, event_type AS to_type,
+                 COUNT(*)::BIGINT AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, SUM(n)::BIGINT AS row_total FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           FLOOR((p.n::DOUBLE / t.row_total::DOUBLE) * 1e4) / 1e4 AS prob
+    FROM p JOIN t USING (from_type)
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for each
+    (from_type -> to_type) pair, the count and conditional probability
+    P(next=to | cur=from). One window pass (user-keyed sort, the
+    events_scd2 exchange shape) into a types^2-bounded aggregate; the
+    normalizer join is dimension-sized and broadcasts. The probability
+    is one IEEE division of exact BIGINT counts, floor-gridded — the
+    driver-grade determinism recipe."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    prob = F.col("n").cast("double") / F.col("row_total").cast("double")
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.floor(prob * 1e4) / 1e4).alias("prob"),
+    )

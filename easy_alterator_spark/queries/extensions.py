@@ -2417,6 +2417,89 @@ def privacy_l_diversity(spark, sf_dir):
 
 
 @query(
+    "privacy_t_closeness",
+    # TVD in exact integer algebra: sum_s |n_cs*n - n_s*n_c| over the
+    # cells x sensitive-values grid (absent pairs count as n_s*n_c via
+    # COALESCE 0), one float division at the end. The subquery scalar
+    # (SELECT n FROM tot) is the broadcast-one-row twin of the Spark
+    # side's crossJoin(broadcast(total)).
+    oracle="""
+    WITH d AS (SELECT lang, CAST(FLOOR(n_chars / 50) AS INT) AS len_bucket,
+                      source FROM documents),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+    gs AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM d GROUP BY source),
+    cs AS (SELECT lang, len_bucket, source, COUNT(*)::BIGINT AS n_cs
+           FROM d GROUP BY 1, 2, 3),
+    ct AS (SELECT lang, len_bucket, SUM(n_cs)::BIGINT AS n_c
+           FROM cs GROUP BY 1, 2),
+    grid AS (SELECT ct.lang, ct.len_bucket, ct.n_c, gs.source, gs.n_s
+             FROM ct CROSS JOIN gs),
+    j AS (SELECT g.lang, g.len_bucket, g.n_c, g.n_s,
+                 COALESCE(cs.n_cs, 0)::BIGINT AS n_cs
+          FROM grid g LEFT JOIN cs ON cs.lang = g.lang
+               AND cs.len_bucket = g.len_bucket AND cs.source = g.source),
+    a AS (SELECT lang, len_bucket, n_c,
+                 SUM(abs(n_cs * (SELECT n FROM tot) - n_s * n_c))::BIGINT
+                   AS num
+          FROM j GROUP BY 1, 2, 3)
+    SELECT lang, len_bucket, n_c,
+           FLOOR((num::DOUBLE
+                  / (2 * n_c * (SELECT n FROM tot))::DOUBLE) * 1e4) / 1e4
+             AS tvd
+    FROM a
+    WHERE num::DOUBLE / (2 * n_c * (SELECT n FROM tot))::DOUBLE > 0.2
+    """,
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third rung after k-anonymity and
+    l-diversity: a cell can be k-large AND l-diverse yet still leak if
+    its sensitive-value DISTRIBUTION skews far from the corpus-wide
+    one (skewness attack). Per quasi-identifier cell (lang, length
+    bucket), total-variation distance between the cell's `source`
+    distribution and the global distribution; cells with TVD > t=0.2
+    are the generalization worklist.
+
+    Exactness across engines: TVD is computed on the common
+    denominator — sum_s |n_cs*n - n_s*n_c| / (2*n_c*n) — so everything
+    up to the single final division is int64 algebra (products bounded
+    by n^2; at warehouse scale swap the numerator to DECIMAL(38,0)).
+    The cells x sources grid is dimension-sized (langs x buckets x 5
+    sources); the global distribution broadcasts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("int").alias("len_bucket"),
+        "source",
+    )
+    tot = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    gs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    cs = d.groupBy("lang", "len_bucket", "source").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    ct = cs.groupBy("lang", "len_bucket").agg(F.sum("n_cs").alias("n_c"))
+    grid = ct.crossJoin(F.broadcast(gs)).crossJoin(F.broadcast(tot))
+    j = grid.join(cs, ["lang", "len_bucket", "source"], "left").withColumn(
+        "n_cs", F.coalesce(F.col("n_cs"), F.lit(0).cast("bigint"))
+    )
+    a = j.groupBy("lang", "len_bucket", "n_c", "n").agg(
+        F.sum(
+            F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("n_c"))
+        ).alias("num")
+    )
+    tvd_raw = F.col("num").cast("double") / (
+        F.lit(2) * F.col("n_c") * F.col("n")
+    ).cast("double")
+    return (
+        a.filter(tvd_raw > 0.2)
+        .select(
+            "lang",
+            "len_bucket",
+            "n_c",
+            (F.floor(tvd_raw * 1e4) / 1e4).alias("tvd"),
+        )
+    )
+
+
+@query(
     "graph_edge_support",
     # triangle support per near-dup edge: |N(a) ∩ N(b)| over the
     # undirected pair graph (the spurious-LSH-edge pruning signal)

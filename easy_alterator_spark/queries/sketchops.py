@@ -1,0 +1,193 @@
+"""Deterministic-sketch queries: the oracle-replayable twins of the
+engine-native approximate aggregates (operators/sketches.py).
+
+HLL++ and t-digest state is engine-private — no external SQL engine
+can reproduce the registers, so the production wrappers
+(approx_distinct_by / approx_percentiles_by) are testable only against
+tolerance bounds. These queries instead build the SAME sketch shapes
+(KMV order statistics, HLL registers, count-min counter tables) from
+an md5-derived 60-bit hash that DuckDB replays bit-for-bit, putting an
+*approximate data structure* under the driver's exact value-hash gate:
+every register, bucket count, and estimate digit must match.
+
+Scale notes (SCALE.md "sketches"): all three are partial-aggregable —
+KMV's rank filter plans as WindowGroupLimit (per-task top-k before the
+shuffle), HLL registers cap the shuffle at m rows per group per task,
+and the CMS table is depth*width rows total with a map-only broadcast
+probe. The 100 TB swap is hash-only (xxhash64 for md5); the plan is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import sketches as K
+from ..sources import load_table
+from . import query
+
+# DuckDB token fragment shared with extensions.py (functions/text.py::tokens)
+_DTOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+# DuckDB replay of operators/sketches.hash60: first 15 hex digits of
+# md5(value-as-string [+ '#salt']) cast through a hex literal.
+def _h60(expr: str, salt: str = "") -> str:
+    s = f"{expr} || '#{salt}'" if salt else expr
+    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+_KMV_K = 64
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type,
+                      {_h60("user_id::VARCHAR")} AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM d),
+    t AS (SELECT event_type, COUNT(*)::BIGINT AS k_eff, MAX(h) AS kth_hash
+          FROM r WHERE rn <= {_KMV_K} GROUP BY event_type)
+    SELECT event_type, k_eff, kth_hash,
+           CASE WHEN k_eff < {_KMV_K} THEN k_eff::DOUBLE
+                ELSE FLOOR(({_KMV_K - 1}.0 * 1152921504606846976.0
+                            / kth_hash::DOUBLE) * 1e4) / 1e4
+           END AS est_distinct
+    FROM t
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct users per event type: the k smallest
+    hash60 values pin the estimate (k-1)/(hk/2^60). Distinct pre-pass
+    dedupes map-side; the rank filter plans as WindowGroupLimit so
+    each task forwards <= k rows per group (plan contract pinned).
+    Small groups (< k hashes) degrade to the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.kmv_distinct_by(ev, "event_type", "user_id", k=_KMV_K)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (SELECT event_type, {_h60("event_id::VARCHAR")} AS h
+               FROM events),
+    b AS (SELECT event_type, h % {K.HLL_M} AS idx,
+                 h // {K.HLL_M} AS rest FROM h),
+    r AS (SELECT event_type, idx,
+                 MAX(CASE WHEN rest = 0 THEN 53
+                          ELSE 53 - length(bin(rest)) END) AS reg
+          FROM b GROUP BY event_type, idx),
+    g AS (SELECT event_type,
+                 SUM(1::BIGINT << (53 - reg))::BIGINT AS s_present,
+                 COUNT(*)::BIGINT AS m_present
+          FROM r GROUP BY event_type)
+    SELECT event_type, m_present,
+           ({K.HLL_M} - m_present)::BIGINT AS m_zero,
+           (s_present + ({K.HLL_M} - m_present)
+                        * 9007199254740992)::BIGINT AS s_scaled,
+           FLOOR(({K.HLL_NUMERATOR!r}
+                  / (s_present + ({K.HLL_M} - m_present)
+                                 * 9007199254740992)::DOUBLE) * 1e4) / 1e4
+             AS est_distinct
+    FROM g
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog (m=256) distinct event ids per event
+    type — HLL is the HIGH-cardinality tool (the raw estimator is
+    biased below ~2.5m distincts, and the standard linear-counting
+    correction needs ln(), which is not bit-reproducible across
+    engines; low-cardinality keys belong to KMV/exact). No distinct
+    pre-pass — MAX(rho) absorbs duplicates, so the raw stream
+    partial-aggregates into at most m register rows per group per
+    task: the canonical 100 TB approx-distinct shape. The 2^-register
+    sum is integer-scaled (2^(53-reg), exact in int64) so summation
+    order can never flip a bit across engines; the estimate is one
+    IEEE division, floor-gridded."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.hll_distinct_by(ev, "event_type", "event_id")
+
+
+_CMS_D, _CMS_W, _CMS_K = 4, 64, 10
+
+
+def _cms_oracle() -> str:
+    streams = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_h60('user_id::VARCHAR', str(j))} % {_CMS_W} AS bucket FROM events"
+        for j in range(_CMS_D)
+    )
+    probes = "\n    ".join(
+        f"JOIN sk k{j} ON k{j}.j = {j} AND k{j}.bucket = "
+        f"{_h60('u.user_id::VARCHAR', str(j))} % {_CMS_W}"
+        for j in range(_CMS_D)
+    )
+    least = ", ".join(f"k{j}.cnt" for j in range(_CMS_D))
+    return f"""
+    WITH s AS ({streams}),
+    sk AS (SELECT j, bucket, COUNT(*)::BIGINT AS cnt FROM s GROUP BY j, bucket),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, least({least}) AS est_count
+    FROM u
+    {probes}
+    ORDER BY est_count DESC, u.user_id
+    LIMIT {_CMS_K}
+    """
+
+
+@query("sketch_countmin_topk", oracle=_cms_oracle())
+def sketch_countmin_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-10 users by estimated event
+    count from a 4x64 counter table. The sketch build is one hash
+    aggregation into depth*width cells (size-independent of the data);
+    the probe is map-only against the broadcast table; top-k is
+    TakeOrderedAndProject. est >= exact is the CMS guarantee — pinned
+    as a property test over every key (tests/test_sketches.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.countmin_topk(ev, "user_id", depth=_CMS_D, width=_CMS_W, k=_CMS_K)
+
+
+_FH_DIM = 16
+
+@query(
+    "text_feature_hashing",
+    # hashing-trick featurizer (Weinberger et al.): bucket =
+    # hash60(token) % dim, sign = parity of md5 hex digit 16 — both
+    # replayed exactly in SQL; weights are pure integer sums
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DTOKS}) AS t
+                 FROM documents WHERE doc_id <= 100)
+    SELECT doc_id,
+           ({_h60("t")} % {_FH_DIM})::INT AS dim,
+           SUM(1 - 2 * (CAST(concat('0x', substr(md5(t), 16, 1)) AS INT)
+                        % 2))::BIGINT AS weight
+    FROM tok
+    GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark, sf_dir):
+    """Signed hashing-trick featurizer: each document becomes a
+    dim=16 sparse vector — bucket = hash60(token) mod dim, sign = a
+    second independent hash bit, weight = signed token count (the
+    unbiased-inner-product construction from feature-hashing ML
+    pipelines). Output exploded as (doc_id, dim, weight) rows so the
+    driver canon sees atomic columns. Plan: token explode into a
+    (doc, bucket) partial aggregate — linear, no vocabulary state,
+    which is the entire point of the trick at 100 TB: no vocab build,
+    no dictionary broadcast, identical vectors on any cluster."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    sign = 1 - 2 * (
+        F.conv(F.substring(F.md5(F.col("t")), 16, 1), 16, 10).cast("int") % 2
+    )
+    return (
+        tok.select(
+            "doc_id",
+            (K.hash60(F.col("t")) % _FH_DIM).cast("int").alias("dim"),
+            sign.alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("weight"))
+    )

@@ -831,6 +831,29 @@ class TestRound7Plans:
         assert jc["CartesianProduct"] == 0, plan
         assert jc["BroadcastHashJoin"] + jc["SortMergeJoin"] >= 1
 
+    def test_transition_matrix_broadcasts_normalizer(self, spark, queries):
+        """The per-from-type normalizer join is dimension-sized (one
+        row per event type): it must broadcast, never sort-merge on
+        the pair table."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_transition_matrix"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] >= 1, plan
+        assert jc["SortMergeJoin"] == 0, plan
+
+    def test_feature_hashing_is_explode_plus_partial_agg(self, spark, queries):
+        """The hashing trick's scale contract: no join, no window —
+        token explode straight into a (doc, bucket) hash aggregate
+        (partial + final), with no vocabulary stage anywhere."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["text_feature_hashing"](spark, SF))
+        jc = join_counts(plan)
+        assert sum(jc.values()) == 0, plan
+        assert "Generate" in plan, plan  # the token explode
+        assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
     def test_trigram_novelty_single_corpus_pass(self, spark, queries):
         """per_src is localCheckpointed so BOTH rollups (totals +
         first-seen) read the materialized aggregate — the final plan

@@ -56,6 +56,161 @@ def test_approx_percentile_within_bound(spark):
         assert abs(a95 - e95) / e95 < 0.01, (k, a95, e95)
 
 
+def test_countmin_never_underestimates(spark):
+    """The CMS guarantee: est >= exact for EVERY key (collisions only
+    inflate). Checked over all keys, not just the returned top-k."""
+    from easy_alterator_spark.operators.sketches import countmin_topk
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in countmin_topk(ev, "user_id", k=n_users).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for u, ex in exact.items():
+        assert est[u] >= ex, (u, est[u], ex)
+
+
+def test_kmv_and_hll_track_exact(spark):
+    """Deterministic sketches must estimate within coarse theory-bound
+    factors at test scale (KMV rel-err ~ 1/sqrt(k), HLL ~ 1.04/sqrt(m);
+    assert a conservative 4x of each)."""
+    from easy_alterator_spark.operators.sketches import (
+        HLL_M,
+        hll_distinct_by,
+        kmv_distinct_by,
+    )
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    kmv = {
+        r["event_type"]: (r["k_eff"], r["est_distinct"])
+        for r in kmv_distinct_by(ev, "event_type", "user_id", k=64).collect()
+    }
+    for t, ex in exact.items():
+        k_eff, est = kmv[t]
+        if k_eff < 64:
+            assert est == ex, (t, est, ex)  # sub-k groups are exact
+        else:
+            assert abs(est - ex) <= 4 * ex / 8.0, (t, est, ex)
+    # HLL accuracy holds only in its design regime (n >~ 2.5m — the raw
+    # estimator, no ln()-based small-range correction): use sf0.01
+    # event_id (~2000 distinct per type vs m=256) like the registered
+    # query; 4 sigma = 4 * 1.04/sqrt(m) = 26%.
+    ev01 = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact01 = {
+        r["event_type"]: r["n"]
+        for r in ev01.groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n"))
+        .collect()
+    }
+    hll = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct_by(ev01, "event_type", "event_id").collect()
+    }
+    for t, ex in exact01.items():
+        assert abs(hll[t] - ex) <= 4 * 1.04 * ex / (HLL_M**0.5), (t, hll[t], ex)
+
+
+def test_kmv_is_mergeable(spark):
+    """The scale property: merging per-shard KMV sketches (union the
+    k-min sets, re-take the k smallest) must equal the direct sketch
+    over the union — this is what lets per-day sketches roll up to
+    month-to-date without rescanning. Exact identity, not a bound:
+    the k smallest of a union is a function of each part's k smallest."""
+    from easy_alterator_spark.operators.sketches import kmv_distinct_by
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = kmv_distinct_by(
+        part1.unionAll(part2), "event_type", "user_id", k=16
+    )
+    # simulate shard-level sketching: each part keeps its own k-mins
+    # (as raw (group, h) rows), then the merge re-sketches the union
+    # of those TINY sets — never the raw data
+    from pyspark.sql import Window
+
+    def kmins(df):
+        from easy_alterator_spark.operators.sketches import hash60
+
+        d = df.select(F.col("event_type"), hash60(F.col("user_id")).alias("h")).distinct()
+        w = Window.partitionBy("event_type").orderBy("h")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 16).drop("rn")
+
+    tiny = kmins(part1).unionAll(kmins(part2))
+    w = Window.partitionBy("event_type").orderBy("h")
+    remerged = (
+        tiny.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth_hash"))
+    )
+    direct = {
+        r["event_type"]: (r["k_eff"], r["kth_hash"]) for r in merged.collect()
+    }
+    viamerge = {
+        r["event_type"]: (r["k_eff"], r["kth_hash"]) for r in remerged.collect()
+    }
+    assert direct == viamerge
+
+
+def test_hll_is_two_partial_aggregates_no_join(spark):
+    """HLL's scale shape: raw stream -> (group, idx) MAX(rho) partial
+    aggregate -> per-group register fold. Two aggregate levels, no
+    distinct pre-pass, no join, no window anywhere in the plan."""
+    from easy_alterator_spark.operators.sketches import hll_distinct_by
+    from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = formatted_plan(hll_distinct_by(ev, "event_type", "event_id"))
+    assert sum(join_counts(plan).values()) == 0, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
+
+
+def test_kmv_plans_window_group_limit(spark):
+    """The KMV rank filter must plan as WindowGroupLimit: each map task
+    forwards only its local top-k per group BEFORE the window shuffle —
+    the property that keeps the second exchange k-bounded at 100 TB."""
+    from easy_alterator_spark.operators.sketches import kmv_distinct_by
+    from easy_alterator_spark.plans.audit import formatted_plan
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = formatted_plan(kmv_distinct_by(ev, "event_type", "user_id"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_countmin_probe_is_joinless(spark):
+    """The CMS probe must be pure map-side (array-literal lookups on
+    the collected model-sized counter table): no join node of any kind
+    in the plan, and top-k via TakeOrderedAndProject, not a full sort."""
+    from easy_alterator_spark.operators.sketches import countmin_topk
+    from easy_alterator_spark.plans.audit import formatted_plan
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = formatted_plan(countmin_topk(ev, "user_id"))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_sketch_aggregates_stay_partial_final(spark):
     """Mergeability is the point: both sketches must show partial+final
     aggregation (ObjectHashAggregate), not a single-stage collect."""
