@@ -8,7 +8,7 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (199 of 204; the remaining 5 register
+oracle-bearing registry entry (201 of 206; the remaining 5 register
 rows-only by design: dedup_simhash, bpe_train_merges, and the three
 ddl_* fixture queries whose inputs are DDL text, not the relational
 tables). See the rotation note on ``_PRIORITY``.
@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # fill: flagship pipeline, the dedup/decontaminate families, the
 # date-valued queries that exercise the driver's DATE-vs-midnight
 # canon, and the r5 tiebreak fixes. With this window the union
-# r01-r07 stamps EVERY oracle-bearing entry in the registry (199 of
-# 204; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
+# r01-r07 stamps EVERY oracle-bearing entry in the registry (201 of
+# 206; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
 # no-oracle by design and are kept OUT of the first 50 so no checked
 # slot is burned on a rows-only record). The entire registry was
 # additionally swept green this round via tools/driver_sim — now
@@ -64,6 +64,8 @@ _PRIORITY = [
     "privacy_t_closeness",
     "events_transition_matrix",
     "text_feature_hashing",
+    "events_bitmap_retention",
+    "sketch_sample_quantiles",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -1514,3 +1514,64 @@ def events_transition_matrix(spark, sf_dir):
         "n",
         (F.floor(prob * 1e4) / 1e4).alias("prob"),
     )
+
+
+@query(
+    "events_bitmap_retention",
+    # roaring-bitmap-style retention: per-user weekly activity bitmap
+    # (BIT_OR of 1<<week, weeks < 63 fit one BIGINT), then week-w
+    # retention of the week-0 cohort is a pair of bit tests — no
+    # distinct-count per (cohort, week) cell anywhere
+    oracle="""
+    WITH bm AS (SELECT user_id,
+                       BIT_OR(1::BIGINT << CAST(datediff('day',
+                           DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT))
+                         AS bits
+                FROM events GROUP BY user_id),
+    c AS (SELECT COUNT(*)::BIGINT AS cohort_size FROM bm WHERE (bits & 1) = 1),
+    r AS (SELECT w.week_offset, COUNT(*)::BIGINT AS retained
+          FROM bm CROSS JOIN range(63) w(week_offset)
+          WHERE (bits & 1) = 1 AND ((bits >> w.week_offset) & 1) = 1
+          GROUP BY 1)
+    SELECT r.week_offset::INT AS week_offset, c.cohort_size, r.retained,
+           FLOOR((r.retained::DOUBLE / c.cohort_size::DOUBLE) * 1e4) / 1e4
+             AS rate
+    FROM r CROSS JOIN c
+    """,
+)
+def events_bitmap_retention(spark, sf_dir):
+    """Bitmap-index retention: each user's weekly activity folds into
+    ONE 8-byte bitmap (BIT_OR of 1<<week), and week-w retention of the
+    week-0 cohort becomes two bit tests over the per-user bitmaps —
+    the roaring-bitmap pattern that replaces a distinct-count per
+    (cohort, week) cell with constant-width integer state. Versus
+    events_retention_cohorts (the classic distinct-count triangle):
+    same numbers for cohort week 0, but the aggregate state here is
+    8 bytes per user regardless of how many weeks the stream spans —
+    at 100 TB the bitmap groupBy shuffles (user, int64) pairs once,
+    and every retention/engagement/overlap question after that is
+    bit algebra on the SAME materialized bitmap table. 63-week window
+    fits a BIGINT; longer horizons shard into (user, epoch) rows —
+    the plan shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")
+    bm = ev.select(
+        "user_id", F.expr("1L").alias("one"), wk.alias("wk")
+    ).select("user_id", F.expr("shiftleft(one, wk)").alias("b"))
+    bits = bm.groupBy("user_id").agg(F.expr("bit_or(b)").alias("bits"))
+    cohort = bits.filter((F.col("bits").bitwiseAND(1)) == 1)
+    csize = cohort.groupBy().agg(F.count(F.lit(1)).alias("cohort_size"))
+    offs = cohort.select(
+        "bits", F.explode(F.sequence(F.lit(0), F.lit(62))).alias("week_offset")
+    ).filter(F.expr("(shiftright(bits, week_offset) & 1) = 1"))
+    r = offs.groupBy("week_offset").agg(F.count(F.lit(1)).alias("retained"))
+    rate = F.col("retained").cast("double") / F.col("cohort_size").cast("double")
+    return r.crossJoin(F.broadcast(csize)).select(
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "cohort_size",
+        "retained",
+        (F.floor(rate * 1e4) / 1e4).alias("rate"),
+    )

@@ -191,3 +191,71 @@ def text_feature_hashing(spark, sf_dir):
         .groupBy("doc_id", "dim")
         .agg(F.sum("sign").alias("weight"))
     )
+
+
+# 20% Bernoulli rate as an integer hash threshold: floor(2^60 / 5).
+_SAMPLE_T = (1 << 60) // 5
+
+@query(
+    "sketch_sample_quantiles",
+    # rank-statistic quantiles (element at rank ceil(p*n)), NOT
+    # interpolated: the picked value is a raw data double, so there is
+    # zero float arithmetic to diverge — interpolating quantile_cont
+    # vs Spark percentile split by one ulp at a ROUND boundary when
+    # this query was first drafted (click p50: 34.18 vs 34.17)
+    oracle=f"""
+    WITH s AS (SELECT event_type, value FROM events
+               WHERE {_h60("event_id::VARCHAR")} < {_SAMPLE_T}),
+    r AS (SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM s)
+    SELECT event_type, MAX(n)::BIGINT AS n_sampled,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def sketch_sample_quantiles(spark, sf_dir):
+    """Rank-statistic quantiles over a deterministic ~20% Bernoulli
+    sample: a row is sampled iff hash60(event_id) < floor(2^60/5), so
+    the SAMPLE ITSELF is cross-engine identical, and each quantile is
+    the element at rank ceil(p*n) — a raw data value, no interpolation
+    — so the whole pipeline stays under the exact value-hash gate
+    (unlike rand()-based sampling or t-digest state). Third rung of
+    the quantile ladder after exact-interpolated (stats_quantiles) and
+    engine t-digest (approx_percentiles_by): the sample predicate is a
+    pushed-down scan filter, so at 100 TB the per-group sort cost
+    drops by the sampling rate while p50/p95/p99 error stays
+    O(1/sqrt(n_sampled)). Tail quantiles beyond p99.9 need the full
+    stream (sampling thins exactly the rows that define them) — that
+    is what the t-digest wrapper is for."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(K.hash60(F.col("event_id")) < _SAMPLE_T).select(
+        "event_type", "value"
+    )
+    w = Window.partitionBy("event_type")
+    r = s.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        rank = F.ceil(F.lit(p) * F.col("n").cast("double"))
+        return F.max(F.when(F.col("rn") == rank, F.col("value"))).alias(name)
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_sampled"),
+        pick(0.50, "p50"),
+        pick(0.95, "p95"),
+        pick(0.99, "p99"),
+    )

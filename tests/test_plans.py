@@ -854,6 +854,35 @@ class TestRound7Plans:
         assert "Generate" in plan, plan  # the token explode
         assert plan.count("HashAggregate") >= 2, plan  # partial + final
 
+    def test_bitmap_retention_is_bit_algebra_not_distinct_counts(self, spark, queries):
+        """Per-user bitmaps fold in ONE user-keyed aggregate; the only
+        join is the one-row cohort-size broadcast. No sort-merge join,
+        no per-(cohort, week) distinct-count expansion."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_bitmap_retention"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["CartesianProduct"] == 0, plan
+        assert "bit_or" in plan, plan  # the bitmap fold is the aggregate
+
+    def test_sample_quantiles_filter_precedes_all_shuffles(self, spark, queries):
+        """The deterministic Bernoulli sample must be applied at the
+        scan stage (before any Exchange), and the rank-statistic pick
+        needs no join anywhere."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["sketch_sample_quantiles"](spark, SF))
+        assert sum(join_counts(plan).values()) == 0, plan
+        # sample predicate sits in a Filter node directly over the scan
+        filter_detail = [
+            seg for seg in plan.split("\n(") if seg.startswith("2) Filter")
+        ]
+        assert filter_detail and "md5" in filter_detail[0], plan
+        # window partitioning and the final groupBy share one exchange
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, plan
+
     def test_trigram_novelty_single_corpus_pass(self, spark, queries):
         """per_src is localCheckpointed so BOTH rollups (totals +
         first-seen) read the materialized aggregate — the final plan
