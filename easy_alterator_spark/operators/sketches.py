@@ -155,19 +155,45 @@ def hll_distinct_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     engine-native twin is approx_distinct_by (HLL++, bias-corrected,
     not externally replayable).
     """
-    h = hash60(F.col(value_col))
+    regs = hll_registers(df, group_col, value_col)
+    return hll_fold(regs, group_col)
+
+
+def hll_rho(value: Column) -> tuple[Column, Column]:
+    """(register index, rho) of a value under the hash60 schedule.
+
+    Index = low HLL_P bits; rho = leading-zero count of the remaining
+    52-bit field + 1, computed integer-exactly as 53 - len(bin(rest))
+    (len(bin(x)) = floor(log2(x))+1 exactly — no float log2 boundary
+    risk); all-zero field -> 53.
+    """
+    h = hash60(value)
     rest = F.shiftright(h, HLL_P)
-    # 52-bit field: len(bin(rest)) = floor(log2)+1 exactly, so
-    # rho = leading_zeros + 1 = (52 - len) + 1 = 53 - len; all-zero
-    # field -> 53. Integer-exact — no float log2 boundary risk.
     rho = F.when(rest == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(rest))
     )
-    regs = (
-        df.select(F.col(group_col), (h % HLL_M).alias("idx"), rho.alias("rho"))
+    return (h % HLL_M), rho
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, idx, reg): the HLL register table — MAX(rho) per
+    (group, register index). MAX is what makes the sketch both
+    mergeable (shard registers combine by MAX) and streaming-safe
+    (registers are monotone under new data, so an update-mode stateful
+    aggregate holds exactly m rows of state per group)."""
+    idx, rho = hll_rho(F.col(value_col))
+    return (
+        df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
         .groupBy(group_col, "idx")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_fold(regs: DataFrame, group_col: str) -> DataFrame:
+    """Fold a register table (group, idx, reg) into the estimate row
+    (group, m_present, m_zero, s_scaled, est_distinct). The 2^-reg sum
+    is integer-scaled to 2^(53-reg) so it is exact in int64; the
+    estimate is one IEEE division, floor-gridded."""
     byg = regs.groupBy(group_col).agg(
         # shiftleft needs a literal shift amount in the Column API —
         # the SQL form takes a column expression (1L keeps it int64)

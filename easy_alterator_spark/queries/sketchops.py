@@ -67,9 +67,9 @@ def sketch_kmv_distinct(spark, sf_dir):
     return K.kmv_distinct_by(ev, "event_type", "user_id", k=_KMV_K)
 
 
-@query(
-    "sketch_hll_distinct",
-    oracle=f"""
+# shared by the batch query and its streaming twin (stream_hll_distinct):
+# a drained streaming register state must land on EXACTLY these rows
+_HLL_ORACLE = f"""
     WITH h AS (SELECT event_type, {_h60("event_id::VARCHAR")} AS h
                FROM events),
     b AS (SELECT event_type, h % {K.HLL_M} AS idx,
@@ -91,8 +91,10 @@ def sketch_kmv_distinct(spark, sf_dir):
                                  * 9007199254740992)::DOUBLE) * 1e4) / 1e4
              AS est_distinct
     FROM g
-    """,
-)
+    """
+
+
+@query("sketch_hll_distinct", oracle=_HLL_ORACLE)
 def sketch_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog (m=256) distinct event ids per event
     type — HLL is the HIGH-cardinality tool (the raw estimator is
@@ -259,3 +261,37 @@ def sketch_sample_quantiles(spark, sf_dir):
         pick(0.95, "p95"),
         pick(0.99, "p99"),
     )
+
+
+_HLL_SINK_SEQ = [0]
+
+@query("stream_hll_distinct", oracle=_HLL_ORACLE)
+def stream_hll_distinct(spark, sf_dir):
+    """STREAMING twin of sketch_hll_distinct — the reason sketches
+    exist in streaming: the register table is an update-mode stateful
+    aggregate holding at most m=256 rows of state per group FOREVER
+    (registers are MAX-monotone, so no watermark is needed and state
+    never grows with the stream), where a naive streaming distinct
+    would hold every key ever seen. The drained register state is
+    folded to the estimate batch-side with the SAME hll_fold the batch
+    query uses, and must land on exactly the batch oracle's rows —
+    registers are order-insensitive (MAX), so any file-to-micro-batch
+    split converges to the identical sketch. Update mode re-emits a
+    (group, idx) row whenever its register rises; max(reg) per key
+    over the sink recovers the final state (register values are
+    strictly increasing per re-emit)."""
+    from ..operators.sketches import hll_fold, hll_registers
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    _HLL_SINK_SEQ[0] += 1
+    name = f"stream_hll_sink_{_HLL_SINK_SEQ[0]}"
+    regs = hll_registers(
+        read_events_stream(spark, sf_dir), "event_type", "event_id"
+    )
+    run_to_memory(regs, name, output_mode="update", state_partitions=8)
+    final_regs = (
+        spark.table(name)
+        .groupBy("event_type", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return hll_fold(final_regs, "event_type")
