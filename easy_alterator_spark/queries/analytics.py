@@ -1575,3 +1575,64 @@ def events_bitmap_retention(spark, sf_dir):
         "retained",
         (F.floor(rate * 1e4) / 1e4).alias("rate"),
     )
+
+
+# Benford expected first-digit proportions log10(1+1/d), d=1..9 —
+# precomputed to shared literals so both engines parse the identical
+# doubles (correctly-rounded decimal->binary on both sides)
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+@query(
+    "stats_benford",
+    # first-significant-digit audit vs Benford's law: digits come from
+    # the exact integer cents (floor(value*100 + 0.5) — one shared
+    # IEEE multiply, exact +0.5, floor), so engines can never disagree
+    # on the digit; one row per digit, no cross-engine float summation
+    oracle=f"""
+    WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    d AS (SELECT CAST(substr(cents::VARCHAR, 1, 1) AS INT) AS digit
+          FROM c WHERE cents >= 1),
+    g AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n)::BIGINT AS total FROM g)
+    SELECT g.digit, g.n,
+           FLOOR((g.n::DOUBLE / t.total::DOUBLE) * 1e4) / 1e4 AS freq,
+           ({_BENFORD_P!r})[g.digit] AS expected
+    FROM g CROSS JOIN t
+    """,
+)
+def stats_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over event values — the
+    data-quality screen for fabricated or unit-mangled numeric
+    columns: naturally occurring multiplicative quantities put ~30.1%
+    of first significant digits at 1, and a flat or spiked digit
+    histogram flags synthetic/corrupt slices. One row per digit
+    (observed count, observed frequency, Benford expectation) so no
+    cross-engine float reduction exists; digits derive from exact
+    integer cents. One tiny hash aggregate over the stream + a one-row
+    broadcast for the total — trivially scale-stable; per-slice
+    variants group the same expression by (source, digit)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.groupBy().agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.floor(F.col("n").cast("double") / F.col("total").cast("double") * 1e4) / 1e4).alias("freq"),
+        expected.alias("expected"),
+    )
