@@ -1602,7 +1602,7 @@ _BENFORD_P = [
     t AS (SELECT SUM(n)::BIGINT AS total FROM g)
     SELECT g.digit, g.n,
            FLOOR((g.n::DOUBLE / t.total::DOUBLE) * 1e4) / 1e4 AS freq,
-           ({_BENFORD_P!r})[g.digit] AS expected
+           ({_BENFORD_P!r})[g.digit]::DOUBLE AS expected
     FROM g CROSS JOIN t
     """,
 )
