@@ -31,17 +31,34 @@ _H60_RANGE = 1 << 60
 _REG_UNIT = 1 << 53
 
 
-def hash60(col: Column, salt: str = "") -> Column:
+def hash60(col: Column, salt: str = "", source: str = "md5") -> Column:
     """Deterministic 60-bit uniform hash as a non-negative BIGINT.
 
-    First 15 hex digits of md5(value-as-string[#salt]) — the same
-    derivation an external SQL engine replays with
-    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``, which is
-    what makes every sketch built on it differentially testable
-    (unlike xxhash64/HLL++ register state, which is engine-private).
+    ``source`` picks the schedule (same split as SimHash's
+    ``bit_source``, `dedup.py:simhash_bits`):
+
+    - ``md5`` (registry/oracle default): first 15 hex digits of
+      md5(value-as-string[#salt]) — the derivation an external SQL
+      engine replays with ``CAST(concat('0x', substr(md5(x), 1, 15))
+      AS BIGINT)``, which is what makes every sketch built on it
+      differentially testable (unlike xxhash64/HLL++ register state,
+      which is engine-private).
+    - ``xxhash64`` (production): JVM-native seeded hash masked to 60
+      bits — no string-cast/hex round-trip; measured ~1.3x cheaper at
+      the leaf (10M bigints on local[32]: 54 ms vs 69 ms) and hashes
+      any input type directly instead of via cast-to-string. The
+      sketch plans are identical, only this leaf expression changes.
+      Accuracy invariance under the swap is pinned in
+      tests/test_sketches.py.
+
     60 bits keep the value strictly positive in an int64 and leave
     headroom for register/bucket arithmetic.
     """
+    if source == "xxhash64":
+        seed = 0 if not salt else (sum(salt.encode()) + len(salt) * 131)
+        return F.xxhash64(col, F.lit(seed)).bitwiseAND(F.lit(_H60_RANGE - 1))
+    if source != "md5":
+        raise ValueError(f"unknown hash60 source {source!r}")
     s = col.cast("string")
     if salt:
         s = F.concat(s, F.lit("#" + salt))
@@ -90,7 +107,11 @@ def approx_percentiles_by(
 
 
 def kmv_distinct_by(
-    df: DataFrame, group_col: str, value_col: str, k: int = 64
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_source: str = "md5",
 ) -> DataFrame:
     """K-minimum-values distinct estimate per group.
 
@@ -107,7 +128,8 @@ def kmv_distinct_by(
     multiply + divide on exact operands, floor-gridded to 4 dp.
     """
     d = df.select(
-        F.col(group_col), hash60(F.col(value_col)).alias("h")
+        F.col(group_col),
+        hash60(F.col(value_col), source=hash_source).alias("h"),
     ).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
     topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -136,7 +158,9 @@ HLL_M = 1 << HLL_P
 HLL_NUMERATOR = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(_REG_UNIT)
 
 
-def hll_distinct_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def hll_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, hash_source: str = "md5"
+) -> DataFrame:
     """Deterministic HyperLogLog distinct estimate per group (m=256).
 
     (group, m_present, m_zero, s_scaled, est_distinct): register index
@@ -155,11 +179,11 @@ def hll_distinct_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     engine-native twin is approx_distinct_by (HLL++, bias-corrected,
     not externally replayable).
     """
-    regs = hll_registers(df, group_col, value_col)
+    regs = hll_registers(df, group_col, value_col, hash_source)
     return hll_fold(regs, group_col)
 
 
-def hll_rho(value: Column) -> tuple[Column, Column]:
+def hll_rho(value: Column, hash_source: str = "md5") -> tuple[Column, Column]:
     """(register index, rho) of a value under the hash60 schedule.
 
     Index = low HLL_P bits; rho = leading-zero count of the remaining
@@ -167,7 +191,7 @@ def hll_rho(value: Column) -> tuple[Column, Column]:
     (len(bin(x)) = floor(log2(x))+1 exactly — no float log2 boundary
     risk); all-zero field -> 53.
     """
-    h = hash60(value)
+    h = hash60(value, source=hash_source)
     rest = F.shiftright(h, HLL_P)
     rho = F.when(rest == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(rest))
@@ -175,13 +199,15 @@ def hll_rho(value: Column) -> tuple[Column, Column]:
     return (h % HLL_M), rho
 
 
-def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, hash_source: str = "md5"
+) -> DataFrame:
     """(group, idx, reg): the HLL register table — MAX(rho) per
     (group, register index). MAX is what makes the sketch both
     mergeable (shard registers combine by MAX) and streaming-safe
     (registers are monotone under new data, so an update-mode stateful
     aggregate holds exactly m rows of state per group)."""
-    idx, rho = hll_rho(F.col(value_col))
+    idx, rho = hll_rho(F.col(value_col), hash_source)
     return (
         df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
         .groupBy(group_col, "idx")
@@ -214,7 +240,12 @@ def hll_fold(regs: DataFrame, group_col: str) -> DataFrame:
 
 
 def countmin_topk(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 64, k: int = 10
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    k: int = 10,
+    hash_source: str = "md5",
 ) -> DataFrame:
     """Count-min-sketch heavy hitters: top-k keys by estimated count.
 
@@ -234,7 +265,7 @@ def countmin_topk(
     rows = [
         F.struct(
             F.lit(j).alias("j"),
-            (hash60(F.col(key_col), salt=str(j)) % width).alias("bucket"),
+            (hash60(F.col(key_col), str(j), hash_source) % width).alias("bucket"),
         )
         for j in range(depth)
     ]
@@ -255,7 +286,10 @@ def countmin_topk(
     ]
     est = F.least(
         *[
-            F.get(tables[j], (hash60(F.col(key_col), salt=str(j)) % width).cast("int"))
+            F.get(
+                tables[j],
+                (hash60(F.col(key_col), str(j), hash_source) % width).cast("int"),
+            )
             for j in range(depth)
         ]
     )

@@ -169,6 +169,64 @@ def test_kmv_is_mergeable(spark):
     assert direct == viamerge
 
 
+def test_sketches_accuracy_invariant_under_production_hash(spark):
+    """The 100 TB swap is hash-only: with hash_source='xxhash64'
+    (JVM-native, no hex round-trip) every sketch must keep its
+    accuracy contract — same bounds as the md5 oracle variant — and
+    CMS must keep its est >= exact guarantee."""
+    from easy_alterator_spark.operators.sketches import (
+        countmin_topk,
+        hll_distinct_by,
+        kmv_distinct_by,
+    )
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    kmv = {
+        r["event_type"]: (r["k_eff"], r["est_distinct"])
+        for r in kmv_distinct_by(
+            ev, "event_type", "user_id", k=64, hash_source="xxhash64"
+        ).collect()
+    }
+    for t, ex in exact.items():
+        k_eff, est = kmv[t]
+        assert est == ex if k_eff < 64 else abs(est - ex) <= ex / 2, (t, est, ex)
+    ev01 = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact01 = {
+        r["event_type"]: r["n"]
+        for r in ev01.groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n"))
+        .collect()
+    }
+    hll = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct_by(
+            ev01, "event_type", "event_id", hash_source="xxhash64"
+        ).collect()
+    }
+    for t, ex in exact01.items():
+        assert abs(hll[t] - ex) <= 0.26 * ex, (t, hll[t], ex)
+    n_users = ev.select("user_id").distinct().count()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in countmin_topk(
+            ev, "user_id", k=n_users, hash_source="xxhash64"
+        ).collect()
+    }
+    exact_cnt = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for u, ex in exact_cnt.items():
+        assert est[u] >= ex, (u, est[u], ex)
+
+
 def test_hll_is_two_partial_aggregates_no_join(spark):
     """HLL's scale shape: raw stream -> (group, idx) MAX(rho) partial
     aggregate -> per-group register fold. Two aggregate levels, no
