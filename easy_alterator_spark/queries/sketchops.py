@@ -295,3 +295,33 @@ def stream_hll_distinct(spark, sf_dir):
         .agg(F.max("reg").alias("reg"))
     )
     return hll_fold(final_regs, "event_type")
+
+
+@query("sketch_hll_merge_days", oracle=_HLL_ORACLE)
+def sketch_hll_merge_days(spark, sf_dir):
+    """Incremental-rollup form of the HLL sketch: registers are built
+    PER (event_type, day) — the shape a daily pipeline materializes —
+    then MAX-merged across days and folded, and the result must equal
+    the direct whole-stream sketch exactly (register merge is lossless
+    by construction), so the same batch oracle gates it. This is the
+    sketch property that matters operationally at 100 TB: yesterday's
+    register table + today's = month-to-date distinct estimate without
+    rescanning a byte of history. Extra cost vs the direct form is one
+    more partial-aggregate level over (group, day, idx) rows — still
+    register-bounded per day per task."""
+    from ..operators.sketches import hll_fold, hll_rho
+
+    ev = load_table(spark, sf_dir, "events")
+    idx, rho = hll_rho(F.col("event_id"))
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            idx.alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "day", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = daily.groupBy("event_type", "idx").agg(F.max("reg").alias("reg"))
+    return hll_fold(merged, "event_type")
