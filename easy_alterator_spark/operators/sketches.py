@@ -239,6 +239,74 @@ def hll_fold(regs: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def theta_intersection_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_source: str = "md5",
+) -> DataFrame:
+    """Theta-sketch set intersection: estimated distinct-value overlap
+    for every pair of groups, from per-group KMV sketches alone.
+
+    (group_a, group_b, theta, n_common, est_common): per group keep
+    the k smallest hash60 values (the KMV sketch); for a pair, theta =
+    min of the two k-th minima (or 2^60 when a group holds fewer than
+    k values — its sketch IS the full set); the intersection estimate
+    is |{h in A-sketch ∩ B-sketch : h < theta}| * 2^60 / theta. When
+    both sketches are complete the estimate degrades to the exact
+    overlap. This is the DataSketches-style set-expression answer: at
+    100 TB the per-group sketches are built once (WindowGroupLimit,
+    k rows per group out), and EVERY pairwise overlap question after
+    that is arithmetic on tables of k*|groups| rows — no rescan, no
+    distinct-pair join against the raw data.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        hash60(F.col(value_col), source=hash_source).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kmin = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    stats = kmin.groupBy("g").agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth")
+    )
+    # theta per group: the k-th minimum bounds the retained region; a
+    # sub-k group retains everything -> theta = 2^60
+    theta_g = stats.select(
+        "g",
+        F.when(F.col("k_eff") < k, F.lit(_H60_RANGE))
+        .otherwise(F.col("kth"))
+        .alias("theta_g"),
+    )
+    a = kmin.select(F.col("g").alias("ga"), F.col("h").alias("h"))
+    b = kmin.select(F.col("g").alias("gb"), F.col("h").alias("h"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(theta_g.selectExpr("g as ga", "theta_g as ta")), "ga")
+        .join(F.broadcast(theta_g.selectExpr("g as gb", "theta_g as tb")), "gb")
+        .withColumn("theta", F.least("ta", "tb"))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"))
+        .agg(
+            F.max("theta").alias("theta"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    est = (
+        F.col("n_common").cast("double")
+        * F.lit(float(_H60_RANGE))
+        / F.col("theta").cast("double")
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "theta",
+        "n_common",
+        (F.floor(est * 1e4) / 1e4).alias("est_common"),
+    )
+
+
 def countmin_topk(
     df: DataFrame,
     key_col: str,

@@ -325,3 +325,46 @@ def sketch_hll_merge_days(spark, sf_dir):
     )
     merged = daily.groupBy("event_type", "idx").agg(F.max("reg").alias("reg"))
     return hll_fold(merged, "event_type")
+
+
+@query(
+    "sketch_theta_intersection",
+    # DataSketches-style theta intersection replayed in SQL: per-type
+    # KMV sketches, theta = min of the pair's k-th minima (2^60 for
+    # sub-k complete sketches), estimate = overlap below theta scaled
+    # by 2^60/theta
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type AS g,
+                      {_h60("user_id::VARCHAR")} AS h FROM events),
+    r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM d),
+    km AS (SELECT g, h FROM r WHERE rn <= {_KMV_K}),
+    st AS (SELECT g, COUNT(*)::BIGINT AS k_eff, MAX(h) AS kth
+           FROM km GROUP BY g),
+    tg AS (SELECT g, CASE WHEN k_eff < {_KMV_K} THEN 1152921504606846976
+                          ELSE kth END AS theta_g FROM st),
+    p AS (SELECT a.g AS group_a, b.g AS group_b, a.h,
+                 least(ta.theta_g, tb.theta_g) AS theta
+          FROM km a JOIN km b ON a.h = b.h AND a.g < b.g
+          JOIN tg ta ON ta.g = a.g
+          JOIN tg tb ON tb.g = b.g)
+    SELECT group_a, group_b, MAX(theta) AS theta,
+           COUNT(*)::BIGINT AS n_common,
+           FLOOR((COUNT(*)::DOUBLE * 1152921504606846976.0
+                  / MAX(theta)::DOUBLE) * 1e4) / 1e4 AS est_common
+    FROM p WHERE h < theta
+    GROUP BY 1, 2
+    """,
+)
+def sketch_theta_intersection(spark, sf_dir):
+    """Distinct-user overlap between every pair of event types,
+    estimated from the per-type KMV sketches ALONE (theta-sketch set
+    intersection). The raw data is touched once to build k-row-per-type
+    sketches (the same WindowGroupLimit reduction as
+    sketch_kmv_distinct); every pairwise — or by extension arbitrary
+    set-expression — cardinality question is then arithmetic over
+    k*|types| rows. At 100 TB this replaces a distinct self-join per
+    pair of segments with sketch reuse; sub-k pairs degrade to exact
+    overlap (theta = 2^60 makes the scale factor exactly 1.0)."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.theta_intersection_by(ev, "event_type", "user_id", k=_KMV_K)

@@ -227,6 +227,47 @@ def test_sketches_accuracy_invariant_under_production_hash(spark):
         assert est[u] >= ex, (u, est[u], ex)
 
 
+def test_theta_intersection_tracks_exact_overlap(spark):
+    """Theta intersection must track the exact pairwise distinct-user
+    overlap: exact when both sketches are complete (theta = 2^60),
+    within a coarse union-bound error otherwise."""
+    from easy_alterator_spark.operators.sketches import (
+        _H60_RANGE,
+        theta_intersection_by,
+    )
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {
+        (r["group_a"], r["group_b"]): (r["theta"], r["est_common"])
+        for r in theta_intersection_by(
+            ev, "event_type", "user_id", k=32
+        ).collect()
+    }
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .alias("a")
+        .join(
+            ev.select("event_type", "user_id").distinct().alias("b"),
+            "user_id",
+        )
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ga"), F.col("b.event_type").alias("gb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = {(r["ga"], r["gb"]): r["n"] for r in pairs.collect()}
+    for key, ex in exact.items():
+        theta, est = got.get(key, (None, 0.0))
+        if theta == _H60_RANGE:
+            assert est == ex, (key, est, ex)
+        else:
+            # k=32 sketches: generous 4/sqrt(k) relative bound + slack
+            assert abs(est - ex) <= max(10.0, 0.75 * ex), (key, est, ex)
+
+
 def test_hll_is_two_partial_aggregates_no_join(spark):
     """HLL's scale shape: raw stream -> (group, idx) MAX(rho) partial
     aggregate -> per-group register fold. Two aggregate levels, no
