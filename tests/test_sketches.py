@@ -268,6 +268,23 @@ def test_theta_intersection_tracks_exact_overlap(spark):
             assert abs(est - ex) <= max(10.0, 0.75 * ex), (key, est, ex)
 
 
+def test_theta_intersection_joins_only_sketch_sized_tables(spark):
+    """The raw data reduces through WindowGroupLimit to k rows per
+    group BEFORE any join: the pair/theta joins run over sketch-sized
+    tables (broadcast or hash), never a sort-merge over the raw
+    stream, and no cartesian exists."""
+    from easy_alterator_spark.operators.sketches import theta_intersection_by
+    from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+    from easy_alterator_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = formatted_plan(theta_intersection_by(ev, "event_type", "user_id"))
+    assert "WindowGroupLimit" in plan, plan
+    jc = join_counts(plan)
+    assert jc["CartesianProduct"] == 0, plan
+    assert jc["BroadcastNestedLoopJoin"] == 0, plan
+
+
 def test_hll_is_two_partial_aggregates_no_join(spark):
     """HLL's scale shape: raw stream -> (group, idx) MAX(rho) partial
     aggregate -> per-group register fold. Two aggregate levels, no
