@@ -307,6 +307,99 @@ def theta_intersection_by(
     )
 
 
+def theta_union_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_source: str = "md5",
+) -> DataFrame:
+    """Theta-sketch union + Jaccard for every pair of groups, from the
+    per-group KMV sketches alone.
+
+    (group_a, group_b, k_eff_union, est_union, n_common, n_union_ret,
+    est_jaccard): the union sketch of a pair is the k smallest of the
+    merged k-min sets (KMV merge is exact — see the mergeability
+    property test), estimated like any KMV sketch; the Jaccard
+    estimate is the retained-region ratio |common < theta| /
+    |union < theta| with theta = min of the pair's thetas. Together
+    with theta_intersection_by this closes the set algebra: distinct
+    counts of A, B, A∩B, A∪B, and their Jaccard, all from one scan's
+    worth of k-row-per-group sketches.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        hash60(F.col(value_col), source=hash_source).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kmin = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    stats = kmin.groupBy("g").agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("kth")
+    )
+    theta_g = stats.select(
+        "g",
+        F.when(F.col("k_eff") < k, F.lit(_H60_RANGE))
+        .otherwise(F.col("kth"))
+        .alias("theta_g"),
+    )
+    glist = stats.select("g")
+    pairs = (
+        glist.selectExpr("g as ga")
+        .join(F.broadcast(glist.selectExpr("g as gb")), F.expr("ga < gb"))
+        .join(F.broadcast(theta_g.selectExpr("g as ga", "theta_g as ta")), "ga")
+        .join(F.broadcast(theta_g.selectExpr("g as gb", "theta_g as tb")), "gb")
+        .withColumn("theta", F.least("ta", "tb"))
+        .select("ga", "gb", "theta")
+    )
+    # tag each sketch row onto every pair its group belongs to (sketch
+    # tables are k*|groups| rows — all of this is tiny-side work)
+    tagged = pairs.join(
+        kmin.selectExpr("g", "h"),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    ).select("ga", "gb", "theta", "h", "g")
+    per_h = tagged.groupBy("ga", "gb", "theta", "h").agg(
+        F.count(F.lit(1)).alias("sides")
+    )
+    # union sketch: k smallest of the merged k-mins
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    ukmin = per_h.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= k
+    )
+    uni = ukmin.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_eff_union"), F.max("h").alias("kth_union")
+    )
+    raw_u = (
+        F.lit(float(k - 1))
+        * F.lit(float(_H60_RANGE))
+        / F.col("kth_union").cast("double")
+    )
+    est_u = F.when(
+        F.col("k_eff_union") < k, F.col("k_eff_union").cast("double")
+    ).otherwise(F.floor(raw_u * 1e4) / 1e4)
+    # jaccard from the retained region below theta
+    ret = per_h.filter(F.col("h") < F.col("theta")).groupBy("ga", "gb").agg(
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("n_common"),
+        F.count(F.lit(1)).alias("n_union_ret"),
+    )
+    jac = F.floor(
+        F.col("n_common").cast("double")
+        / F.col("n_union_ret").cast("double")
+        * 1e4
+    ) / 1e4
+    return (
+        uni.join(ret, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "k_eff_union",
+            est_u.alias("est_union"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            "n_union_ret",
+            jac.alias("est_jaccard"),
+        )
+    )
+
+
 def countmin_topk(
     df: DataFrame,
     key_col: str,

@@ -368,3 +368,60 @@ def sketch_theta_intersection(spark, sf_dir):
     overlap (theta = 2^60 makes the scale factor exactly 1.0)."""
     ev = load_table(spark, sf_dir, "events")
     return K.theta_intersection_by(ev, "event_type", "user_id", k=_KMV_K)
+
+
+@query(
+    "sketch_theta_union",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type AS g,
+                      {_h60("user_id::VARCHAR")} AS h FROM events),
+    r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM d),
+    km AS (SELECT g, h FROM r WHERE rn <= {_KMV_K}),
+    st AS (SELECT g, COUNT(*)::BIGINT AS k_eff, MAX(h) AS kth
+           FROM km GROUP BY g),
+    tg AS (SELECT g, CASE WHEN k_eff < {_KMV_K} THEN 1152921504606846976
+                          ELSE kth END AS theta_g FROM st),
+    p AS (SELECT a.g AS ga, b.g AS gb,
+                 least(ta.theta_g, tb.theta_g) AS theta
+          FROM st a JOIN st b ON a.g < b.g
+          JOIN tg ta ON ta.g = a.g
+          JOIN tg tb ON tb.g = b.g),
+    tag AS (SELECT p.ga, p.gb, p.theta, k.h
+            FROM p JOIN km k ON k.g = p.ga OR k.g = p.gb),
+    ph AS (SELECT ga, gb, theta, h, COUNT(*)::BIGINT AS sides
+           FROM tag GROUP BY 1, 2, 3, 4),
+    ur AS (SELECT ga, gb, h,
+                  ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+           FROM ph),
+    uni AS (SELECT ga, gb, COUNT(*)::BIGINT AS k_eff_union,
+                   MAX(h) AS kth_union
+            FROM ur WHERE rn <= {_KMV_K} GROUP BY 1, 2),
+    ret AS (SELECT ga, gb,
+                   SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_common,
+                   COUNT(*)::BIGINT AS n_union_ret
+            FROM ph WHERE h < theta GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b, k_eff_union,
+           CASE WHEN k_eff_union < {_KMV_K} THEN k_eff_union::DOUBLE
+                ELSE FLOOR(({_KMV_K - 1}.0 * 1152921504606846976.0
+                            / kth_union::DOUBLE) * 1e4) / 1e4
+           END AS est_union,
+           n_common, n_union_ret,
+           FLOOR((n_common::DOUBLE / n_union_ret::DOUBLE) * 1e4) / 1e4
+             AS est_jaccard
+    FROM uni JOIN ret USING (ga, gb)
+    """,
+)
+def sketch_theta_union(spark, sf_dir):
+    """Distinct-user UNION size and Jaccard similarity for every pair
+    of event types, from the per-type KMV sketches alone — the other
+    half of the theta set algebra (see sketch_theta_intersection).
+    The union sketch is the k smallest of the merged k-min sets (KMV
+    merge is exact), and Jaccard is the retained-region ratio below
+    the pair theta. One raw scan builds the sketches; the pair algebra
+    runs over k*|types| rows. Segment-overlap dashboards at 100 TB are
+    exactly this shape: sketch once, answer every A-vs-B audience
+    question from the sketch table."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.theta_union_by(ev, "event_type", "user_id", k=_KMV_K)

@@ -266,6 +266,28 @@ def test_theta_intersection_tracks_exact_overlap(spark):
         else:
             # k=32 sketches: generous 4/sqrt(k) relative bound + slack
             assert abs(est - ex) <= max(10.0, 0.75 * ex), (key, est, ex)
+    # union closes the algebra: est_union must track nA + nB - overlap,
+    # exactly when the union sketch is complete (k_eff_union < k)
+    from easy_alterator_spark.operators.sketches import theta_union_by
+
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in theta_union_by(ev, "event_type", "user_id", k=32).collect():
+        key = (r["group_a"], r["group_b"])
+        ex_union = per_type[key[0]] + per_type[key[1]] - exact.get(key, 0)
+        if r["k_eff_union"] < 32:
+            assert r["est_union"] == ex_union, (key, r["est_union"], ex_union)
+        else:
+            assert abs(r["est_union"] - ex_union) <= 0.75 * ex_union, (
+                key,
+                r["est_union"],
+                ex_union,
+            )
+        assert 0.0 <= r["est_jaccard"] <= 1.0
 
 
 def test_theta_intersection_joins_only_sketch_sized_tables(spark):
