@@ -1636,3 +1636,55 @@ def stats_benford(spark, sf_dir):
         (F.floor(F.col("n").cast("double") / F.col("total").cast("double") * 1e4) / 1e4).alias("freq"),
         expected.alias("expected"),
     )
+
+
+@query(
+    "events_decayed_counts",
+    # recency-weighted popularity with a half-life of one day: weight
+    # 2^-age is dyadic, so integer-scaling to 2^(40-age) makes the SUM
+    # exact in int64 (100k terms * 2^40 < 2^58) — no float summation
+    # order exists; the score is one IEEE division by 2^40
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+    a AS (SELECT event_type,
+                 LEAST(datediff('day', CAST(ts AS DATE), (SELECT r FROM ref)),
+                       40) AS age
+          FROM events),
+    g AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                 SUM(1::BIGINT << (40 - age))::BIGINT AS w
+          FROM a GROUP BY event_type)
+    SELECT event_type, n,
+           FLOOR((w::DOUBLE / 1099511627776.0) * 1e4) / 1e4
+             AS decayed_score
+    FROM g
+    """,
+)
+def events_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed event counts per type (half-life = 1 day,
+    anchored at the newest day in the data): the trending-now
+    primitive — yesterday's event counts half, 40+-day-old events
+    round to zero. Determinism trick: the decay weight 2^-age is
+    dyadic, so scaling to the integer 2^(40-age) makes the per-group
+    SUM exact int64 arithmetic (no float summation-order hazard that a
+    general e^-lambda*age decay would have); the score is one IEEE
+    division, floor-gridded. Plan: scan -> one-row MAX broadcast ->
+    one partial-aggregated groupBy — any scale. A general half-life h
+    uses age/h in the exponent grid the same way."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.groupBy().agg(F.max(F.col("ts").cast("date")).alias("r"))
+    a = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.least(
+            F.datediff(F.col("r"), F.col("ts").cast("date")), F.lit(40)
+        ).alias("age"),
+    )
+    g = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("shiftleft(1L, 40 - age)")).alias("w"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("w").cast("double") / F.lit(1099511627776.0) * 1e4) / 1e4)
+        .alias("decayed_score"),
+    )
