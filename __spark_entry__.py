@@ -8,7 +8,7 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (207 of 212; the remaining 5 register
+oracle-bearing registry entry (208 of 213; the remaining 5 register
 rows-only by design: dedup_simhash, bpe_train_merges, and the three
 ddl_* fixture queries whose inputs are DDL text, not the relational
 tables). See the rotation note on ``_PRIORITY``.
@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-7 rotation: (a) the round-7 CHANGED query
 # (eval_lang_id_report — oracle SUM(n)::BIGINT dtype fix; red r4-r6),
-# (a') the 16 queries REGISTERED this round (interval overlap, trigram
+# (a') the 17 queries REGISTERED this round (interval overlap, trigram
 # novelty, the deterministic-sketch family incl. its streaming twin,
 # t-closeness, transition matrix, feature hashing, bitmap retention,
 # sampled quantiles — all sim-green at sf0.01 and sf0.1),
@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # fill: flagship pipeline, the dedup/decontaminate families, the
 # date-valued queries that exercise the driver's DATE-vs-midnight
 # canon, and the r5 tiebreak fixes. With this window the union
-# r01-r07 stamps EVERY oracle-bearing entry in the registry (207 of
-# 212; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
+# r01-r07 stamps EVERY oracle-bearing entry in the registry (208 of
+# 213; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
 # no-oracle by design and are kept OUT of the first 50 so no checked
 # slot is burned on a rows-only record). The entire registry was
 # additionally swept green this round via tools/driver_sim — now
@@ -73,6 +73,7 @@ _PRIORITY = [
     "sketch_theta_intersection",
     "sketch_theta_union",
     "events_decayed_counts",
+    "events_ntile_quartiles",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -1688,3 +1688,39 @@ def events_decayed_counts(spark, sf_dir):
         (F.floor(F.col("w").cast("double") / F.lit(1099511627776.0) * 1e4) / 1e4)
         .alias("decayed_score"),
     )
+
+
+@query(
+    "events_ntile_quartiles",
+    # NTILE is deterministic only under a TOTAL order — (value,
+    # event_id) — and the outputs are raw data values (min/max per
+    # tile), so no float arithmetic exists to diverge
+    oracle="""
+    WITH t AS (SELECT event_type, value,
+                      NTILE(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS tile
+               FROM events)
+    SELECT event_type, tile, COUNT(*)::BIGINT AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM t GROUP BY event_type, tile
+    """,
+)
+def events_ntile_quartiles(spark, sf_dir):
+    """Quartile banding per event type via NTILE(4): each type's
+    events split into four equal-count tiles with their value ranges —
+    the binning step behind score bands, price tiers, and equal-count
+    cohorts. Cross-engine determinism hinges on the TOTAL order
+    (value, event_id): NTILE over a non-total order is
+    engine-dependent for ties. Outputs are raw data values (counts +
+    per-tile min/max), zero float arithmetic. One window sort per
+    type-partition then a tiny aggregate; at 100 TB the same banding
+    at global scope goes through the distributed-rank decomposition in
+    operators/rank.py (stats_histogram_equidepth)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select("event_type", "value", F.ntile(4).over(w).alias("tile"))
+    return t.groupBy("event_type", "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
