@@ -74,6 +74,10 @@ _PRIORITY = [
     "sketch_theta_union",
     "events_decayed_counts",
     "events_ntile_quartiles",
+    "stats_ks_test",
+    "stats_mannwhitney",
+    "events_rfm_segments",
+    "events_level_shift",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

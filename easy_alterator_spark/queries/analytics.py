@@ -1724,3 +1724,287 @@ def events_ntile_quartiles(spark, sf_dir):
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "stats_ks_test",
+    # two-sample Kolmogorov-Smirnov, integer-exact: with per-value
+    # counts (c1, c2) and cumulative counts (cum1, cum2), the KS
+    # statistic max|F1 - F2| equals max|cum1*n2 - cum2*n1| / (n1*n2);
+    # the numerator is pure int64, so engines agree bit-for-bit and
+    # the only float is ONE IEEE division of exact integers
+    oracle="""
+    WITH g AS (SELECT value,
+                      SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)::BIGINT AS c1,
+                      SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END)::BIGINT AS c2
+               FROM events WHERE event_type IN ('purchase', 'view')
+               GROUP BY value),
+    c AS (SELECT value,
+                 (SUM(c1) OVER (ORDER BY value))::BIGINT AS cum1,
+                 (SUM(c2) OVER (ORDER BY value))::BIGINT AS cum2
+          FROM g),
+    t AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM g),
+    d AS (SELECT c.value,
+                 ABS(c.cum1 * t.n2 - c.cum2 * t.n1)::BIGINT AS diff,
+                 t.n1, t.n2
+          FROM c CROSS JOIN t),
+    m AS (SELECT MAX(diff)::BIGINT AS d_scaled FROM d)
+    SELECT d.n1, d.n2, m.d_scaled,
+           m.d_scaled::DOUBLE / (d.n1 * d.n2)::DOUBLE AS d_stat,
+           MIN(d.value) AS ks_at
+    FROM d JOIN m ON d.diff = m.d_scaled
+    GROUP BY d.n1, d.n2, m.d_scaled
+    """,
+)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    view value distributions — the standard nonparametric drift screen
+    between two corpus snapshots / traffic slices (no binning choice,
+    unlike PSI). Integer-exact formulation: D = max|cum1*n2 - cum2*n1|
+    / (n1*n2); every comparison happens in int64 and the single float
+    is one IEEE division of exactly-representable integers, so the
+    result is bit-identical cross-engine. ks_at is the value where the
+    ECDF gap peaks (MIN over maxima = deterministic tiebreak). Shape:
+    one hash aggregate to per-value counts, a global ordered cumsum
+    over DISTINCT values (vocabulary-sized, not data-sized; the 100 TB
+    swap is the two-pass distributed-rank decomposition in
+    operators/rank.py), and a one-row broadcast for (n1, n2) and the
+    max."""
+    from ..operators.nonparam import ks_2samp
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_2samp(ev, "value", "event_type", "purchase", "view")
+
+
+@query(
+    "stats_mannwhitney",
+    # Mann-Whitney U with average-rank tie handling, integer-exact:
+    # a tie group of size t ending at cumulative position cumt holds
+    # ranks averaging (2*cumt - t + 1)/2, so the DOUBLED rank sum
+    # 2*R1 = SUM(c1 * (2*cumt - t + 1)) stays int64; U statistics and
+    # the AUC effect size follow from it with one IEEE division
+    oracle="""
+    WITH g AS (SELECT value,
+                      SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)::BIGINT AS c1,
+                      SUM(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END)::BIGINT AS c2
+               FROM events WHERE event_type IN ('purchase', 'view')
+               GROUP BY value),
+    c AS (SELECT c1, c2, c1 + c2 AS t,
+                 (SUM(c1 + c2) OVER (ORDER BY value))::BIGINT AS cumt
+          FROM g),
+    s AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2,
+                 SUM(c1 * (2 * cumt - t + 1))::BIGINT AS r1_x2
+          FROM c)
+    SELECT n1, n2,
+           (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+           (2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)))::BIGINT AS u2_x2,
+           (r1_x2 - n1 * (n1 + 1))::DOUBLE
+               / (2 * n1 * n2)::DOUBLE AS auc
+    FROM s
+    """,
+)
+def stats_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the purchase and
+    view value distributions, with textbook average-rank tie handling
+    — the nonparametric location-shift test that pairs with
+    stats_ks_test's shape test, and AUC = U1/(n1*n2) is the
+    common-language effect size (P[purchase > view]). Integer-exact:
+    ranks are doubled so tie-averages stay integral; 2*R1, 2*U1, 2*U2
+    are all int64 and the one float output is a single IEEE division
+    of exact integers — bit-identical cross-engine. Same scale shape
+    as stats_ks_test: per-value counts, a distinct-values-sized global
+    cumsum (rank.py two-pass decomposition at 100 TB), one-row
+    reduction."""
+    from ..operators.nonparam import mannwhitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mannwhitney_u(ev, "value", "event_type", "purchase", "view")
+
+
+@query(
+    "events_rfm_segments",
+    # RFM segmentation: per-user recency/frequency/monetary, each
+    # NTILE(4)-banded under a TOTAL order (metric, user_id), composed
+    # into a 3-digit segment code. All-integer pipeline: days, counts,
+    # exact cents — no float exists to diverge
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      MAX(CAST(ts AS DATE)) AS last_d,
+                      COUNT(*)::BIGINT AS freq,
+                      COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                        THEN CAST(FLOOR(value * 100 + 0.5)
+                                                  AS BIGINT) END),
+                               0)::BIGINT AS cents
+               FROM events GROUP BY user_id),
+    a AS (SELECT MAX(last_d) AS anchor FROM u),
+    m AS (SELECT u.user_id,
+                 date_diff('day', u.last_d, a.anchor)::BIGINT AS rec,
+                 u.freq, u.cents
+          FROM u CROSS JOIN a),
+    t AS (SELECT cents,
+                 NTILE(4) OVER (ORDER BY rec, user_id) AS r_tile,
+                 NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+                 NTILE(4) OVER (ORDER BY cents DESC, user_id) AS m_tile
+          FROM m)
+    SELECT (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS segment,
+           COUNT(*)::BIGINT AS n_users,
+           MIN(cents)::BIGINT AS min_cents,
+           MAX(cents)::BIGINT AS max_cents
+    FROM t GROUP BY 1
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic user-value banding: recency
+    (days from a user's last event to the corpus anchor), frequency
+    (event count), monetary (exact purchase cents), each quartiled by
+    NTILE(4) under a TOTAL order (metric, user_id) so ties are
+    deterministic cross-engine, then composed into a 3-digit segment
+    (111 = best everything). Integer-only outputs (segment codes,
+    user counts, cents ranges). Shape: one user-grained aggregate, a
+    one-row anchor broadcast, three user-table-sized global NTILE
+    sorts (the 100 TB swap is per-metric distributed ranking via
+    operators/rank.py — tile = rank * 4 / n), and a 64-segment final
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        ).alias("cents"),
+    )
+    a = u.agg(F.max("last_d").alias("anchor"))
+    m = u.crossJoin(F.broadcast(a)).select(
+        "user_id",
+        F.datediff("anchor", "last_d").cast("bigint").alias("rec"),
+        "freq",
+        "cents",
+    )
+    t = m.select(
+        "cents",
+        F.ntile(4).over(Window.orderBy("rec", "user_id")).alias("r_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
+        .alias("m_tile"),
+    )
+    seg = (
+        F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+    ).cast("bigint")
+    return t.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+@query(
+    "events_level_shift",
+    # CUSUM-style changepoint per event type over the daily count
+    # series: the best split maximizes |cum_t*n - t*total| (integer!);
+    # before/after means are single IEEE divisions of exact ints at
+    # the argmax row only
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*)::BIGINT AS x
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, day, x,
+                 (SUM(x) OVER (PARTITION BY event_type
+                               ORDER BY day))::BIGINT AS cum,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS idx,
+                 (SUM(x) OVER (PARTITION BY event_type))::BIGINT AS total,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d),
+    g AS (SELECT event_type, day, cum, idx, total, n,
+                 ABS(cum * n - idx * total)::BIGINT AS gap
+          FROM c WHERE idx < n),
+    m AS (SELECT event_type, MAX(gap)::BIGINT AS gap_scaled
+          FROM g GROUP BY event_type),
+    best AS (SELECT g.event_type, MIN(g.day) AS split_day, m.gap_scaled
+             FROM g JOIN m ON g.event_type = m.event_type
+                          AND g.gap = m.gap_scaled
+             GROUP BY g.event_type, m.gap_scaled)
+    SELECT b.event_type, b.split_day, b.gap_scaled,
+           g.cum::DOUBLE / g.idx::DOUBLE AS mean_before,
+           (g.total - g.cum)::DOUBLE / (g.n - g.idx)::DOUBLE AS mean_after
+    FROM best b JOIN g ON g.event_type = b.event_type
+                       AND g.day = b.split_day
+    """,
+)
+def events_level_shift(spark, sf_dir):
+    """Changepoint (level-shift) detection per event type over the
+    daily-count series: the binary-segmentation statistic — for every
+    split t, the gap |mean(1..t) - mean(t+1..n)| scaled by t*(n-t)*n
+    to the integer |cum_t*n - t*total| — peaks at the most likely
+    shift day (earliest-day tiebreak). The volume-anomaly screen for
+    ingest pipelines: a collapsed source or a doubled feed shows up as
+    the argmax split with divergent before/after means. Integer-exact
+    comparisons; the two means are single IEEE divisions of exact
+    integers computed only at the winning row. Shape: data-sized work
+    is ONE (type, day) count aggregate; everything after runs on the
+    days-per-type table (bounded by the calendar), windowed PER TYPE —
+    no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wc).alias("cum"),
+        F.row_number().over(wt.orderBy("day")).alias("idx"),
+        F.sum("x").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    g = c.filter(F.col("idx") < F.col("n")).select(
+        "event_type",
+        "day",
+        "cum",
+        "idx",
+        "total",
+        "n",
+        F.abs(F.col("cum") * F.col("n") - F.col("idx") * F.col("total")).alias(
+            "gap"
+        ),
+    )
+    m = g.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.max("gap").alias("gap_scaled")
+    )
+    best = (
+        g.join(
+            F.broadcast(m),
+            (F.col("event_type") == F.col("m_type"))
+            & (F.col("gap") == F.col("gap_scaled")),
+        )
+        .groupBy("m_type", "gap_scaled")
+        .agg(F.min("day").alias("split_day"))
+    )
+    return (
+        g.join(
+            F.broadcast(best),
+            (F.col("event_type") == F.col("m_type"))
+            & (F.col("day") == F.col("split_day")),
+        )
+        .select(
+            "event_type",
+            "split_day",
+            "gap_scaled",
+            (F.col("cum").cast("double") / F.col("idx").cast("double")).alias(
+                "mean_before"
+            ),
+            (
+                (F.col("total") - F.col("cum")).cast("double")
+                / (F.col("n") - F.col("idx")).cast("double")
+            ).alias("mean_after"),
+        )
+    )

@@ -895,3 +895,48 @@ class TestRound7Plans:
         assert "Scan parquet" not in plan and "FileScan" not in plan, plan
         assert "ExistingRDD" in plan, plan
         assert join_counts(plan)["CartesianProduct"] == 0
+
+
+class TestRound7bPlans:
+    def test_ks_test_joins_are_broadcast_only(self, spark, queries):
+        """Both reductions (the (n1,n2) totals and the max-gap row)
+        are one-row sides: they must broadcast; a sort-merge join on
+        the distinct-value table would shuffle it twice for nothing."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["stats_ks_test"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["ShuffledHashJoin"] == 0, plan
+
+    def test_mannwhitney_is_join_free(self, spark, queries):
+        """The doubled-rank-sum form needs NO join at all: per-value
+        counts -> one windowed cumsum -> one global reduce."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["stats_mannwhitney"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_level_shift_broadcasts_both_reductions(self, spark, queries):
+        """Per-type max-gap and best-split tables are type-sized (5
+        rows): both joins back to the per-(type,day) table broadcast;
+        the only exchanges partition by event_type."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_level_shift"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["BroadcastHashJoin"] >= 2, plan
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["CartesianProduct"] == 0, plan
+
+    def test_rfm_single_user_grained_aggregate(self, spark, queries):
+        """RFM's data-sized work is ONE user-grained hash aggregate;
+        the anchor is a one-row broadcast (never a shuffle join), and
+        no sort-merge join appears anywhere."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_rfm_segments"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["CartesianProduct"] == 0, plan

@@ -1,0 +1,81 @@
+"""Round-7 continuation operators: nonparametric two-sample
+statistics (KS, Mann-Whitney U) on hand-computed fixtures.
+
+Value-level semantics on constructed rows; engine-vs-DuckDB parity
+for the registered queries runs in test_queries_oracle.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def two_sample(spark):
+    # x = [1,2,2,3] (group 'a'), y = [2,3,3,4] (group 'b')
+    rows = [(1.0, "a"), (2.0, "a"), (2.0, "a"), (3.0, "a")] + [
+        (2.0, "b"),
+        (3.0, "b"),
+        (3.0, "b"),
+        (4.0, "b"),
+    ]
+    return spark.createDataFrame(rows, "value double, grp string")
+
+
+class TestKS2Samp:
+    def test_hand_computed(self, spark, two_sample):
+        from easy_alterator_spark.operators.nonparam import ks_2samp
+
+        # ECDFs at distinct values 1,2,3,4:
+        #   F1 = .25,.75,1,1 ; F2 = 0,.25,.75,1 -> D = .5 at value 2
+        # integer form: |cum1*n2 - cum2*n1| = 4,8,4,0 -> d_scaled 8
+        (row,) = ks_2samp(two_sample, "value", "grp", "a", "b").collect()
+        assert (row["n1"], row["n2"], row["d_scaled"]) == (4, 4, 8)
+        assert row["d_stat"] == 0.5
+        assert row["ks_at"] == 2.0
+
+    def test_identical_samples_give_zero(self, spark, two_sample):
+        from easy_alterator_spark.operators.nonparam import ks_2samp
+
+        same = two_sample.withColumn("grp", two_sample["value"] * 0)
+        df = same.selectExpr("value", "'a' AS grp").union(
+            same.selectExpr("value", "'b' AS grp")
+        )
+        (row,) = ks_2samp(df, "value", "grp", "a", "b").collect()
+        assert row["d_scaled"] == 0 and row["d_stat"] == 0.0
+
+    def test_missing_column_rejected(self, spark, two_sample):
+        from easy_alterator_spark.operators.nonparam import ks_2samp
+
+        with pytest.raises(ValueError, match="need columns"):
+            ks_2samp(two_sample, "nope", "grp", "a", "b")
+
+
+class TestMannWhitney:
+    def test_hand_computed(self, spark, two_sample):
+        from easy_alterator_spark.operators.nonparam import mannwhitney_u
+
+        # combined sorted [1,2,2,2,3,3,3,4]; avg ranks: 1 -> 1,
+        # 2 -> 3, 3 -> 6, 4 -> 8. R1 = 1+3+3+6 = 13, U1 = 13-10 = 3,
+        # U2 = 16-3 = 13, AUC = 3/16 (independently: pairs x>y plus
+        # half-ties = 0 + .5 + .5 + 2 = 3).
+        (row,) = mannwhitney_u(two_sample, "value", "grp", "a", "b").collect()
+        assert (row["n1"], row["n2"]) == (4, 4)
+        assert row["u1_x2"] == 6 and row["u2_x2"] == 26
+        assert row["auc"] == 3 / 16
+
+    def test_u1_plus_u2_is_2_n1_n2(self, spark, two_sample):
+        from easy_alterator_spark.operators.nonparam import mannwhitney_u
+
+        (row,) = mannwhitney_u(two_sample, "value", "grp", "a", "b").collect()
+        assert row["u1_x2"] + row["u2_x2"] == 2 * row["n1"] * row["n2"]
+
+    def test_disjoint_samples_saturate_auc(self, spark):
+        from easy_alterator_spark.operators.nonparam import mannwhitney_u
+
+        df = spark.createDataFrame(
+            [(10.0, "a"), (11.0, "a"), (1.0, "b"), (2.0, "b")],
+            "value double, grp string",
+        )
+        (row,) = mannwhitney_u(df, "value", "grp", "a", "b").collect()
+        assert row["auc"] == 1.0 and row["u1_x2"] == 2 * 4
