@@ -78,6 +78,8 @@ _PRIORITY = [
     "stats_mannwhitney",
     "events_rfm_segments",
     "events_level_shift",
+    "layout_compaction_bins",
+    "feature_target_encode",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -2008,3 +2008,110 @@ def events_level_shift(spark, sf_dir):
             ).alias("mean_after"),
         )
     )
+
+
+@query(
+    "layout_compaction_bins",
+    # small-file compaction planning: sequential first-fit of docs
+    # into ~4 KB target bins per source via an exclusive-prefix-sum
+    # window — bin = floor(bytes_before / target). All integers
+    oracle="""
+    WITH c AS (SELECT source, doc_id, n_chars,
+                      COALESCE(SUM(n_chars) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS before
+               FROM documents)
+    SELECT source, (before // 4096)::BIGINT AS bin,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS bytes,
+           MIN(doc_id)::BIGINT AS first_doc,
+           MAX(doc_id)::BIGINT AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def layout_compaction_bins(spark, sf_dir):
+    """Compaction planning for the small-files problem: assign each
+    document (stand-in for a data file, sized by n_chars) to a target
+    ~4 KB output bin by sequential first-fit in (source, doc_id)
+    order — bin = floor(exclusive_prefix_bytes / target). This is the
+    planner behind OPTIMIZE/rewrite_data_files-style file compaction:
+    contiguous inputs coalesce, bins are ~target-sized except where a
+    single oversized input spills its own bin. Integer-exact
+    throughout. Shape: one per-source window cumsum (partitioned — no
+    global sort) into a (source, bin)-grained aggregate; at 100 TB
+    the file manifest, not the data, is the input, so this plans
+    petabyte compactions from a gigabyte manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    )
+    return c.groupBy(
+        "source", F.floor(F.col("before") / 4096).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "feature_target_encode",
+    # smoothed target encoding (empirical-Bayes shrinkage toward the
+    # global rate, m=20): numerator and denominator are cross-
+    # multiplied to exact integers so the rate is ONE IEEE division —
+    # (pos*gcnt + m*gpos) / ((cnt+m)*gcnt)
+    oracle="""
+    WITH g AS (SELECT o_orderpriority AS category,
+                      COUNT(*)::BIGINT AS cnt,
+                      SUM(CASE WHEN o_orderstatus = 'F'
+                               THEN 1 ELSE 0 END)::BIGINT AS pos
+               FROM orders GROUP BY 1),
+    t AS (SELECT SUM(cnt)::BIGINT AS gcnt, SUM(pos)::BIGINT AS gpos FROM g)
+    SELECT g.category, g.cnt, g.pos,
+           g.pos::DOUBLE / g.cnt::DOUBLE AS rate_raw,
+           (g.pos * t.gcnt + 20 * t.gpos)::DOUBLE
+               / ((g.cnt + 20) * t.gcnt)::DOUBLE AS rate_smoothed
+    FROM g CROSS JOIN t
+    """,
+)
+def feature_target_encode(spark, sf_dir):
+    """Smoothed target encoding — the standard categorical-feature
+    transform for training tables: replace a category with its
+    empirical-Bayes-shrunk positive rate, rate = (pos + m*global_rate)
+    / (cnt + m) with m=20, so rare categories pull toward the global
+    rate instead of memorizing noise. Cross-multiplied to exact
+    integers (pos*gcnt + m*gpos over (cnt+m)*gcnt) so each output is
+    ONE IEEE division of exactly-representable int64s — bit-identical
+    cross-engine, no float summation anywhere. Shape: one category-
+    grained aggregate plus a one-row global broadcast; category
+    cardinality bounds every post-aggregate stage, so the encoder is
+    a pure map-side lookup table at training time."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("pos"),
+    )
+    t = g.agg(F.sum("cnt").alias("gcnt"), F.sum("pos").alias("gpos"))
+    m = 20
+    return g.crossJoin(F.broadcast(t)).select(
+        "category",
+        "cnt",
+        "pos",
+        (F.col("pos").cast("double") / F.col("cnt").cast("double")).alias(
+            "rate_raw"
+        ),
+        (
+            (F.col("pos") * F.col("gcnt") + m * F.col("gpos")).cast("double")
+            / ((F.col("cnt") + m) * F.col("gcnt")).cast("double")
+        ).alias("rate_smoothed"),
+    )

@@ -940,3 +940,22 @@ class TestRound7bPlans:
         jc = join_counts(plan)
         assert jc["SortMergeJoin"] == 0, plan
         assert jc["CartesianProduct"] == 0, plan
+
+    def test_compaction_bins_join_free_single_source_exchange(self, spark, queries):
+        """The compaction planner is join-free: one window partitioned
+        by source, one aggregate — nothing shuffles twice."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["layout_compaction_bins"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_target_encode_global_rate_broadcasts(self, spark, queries):
+        """The global-rate side is one row: it must broadcast onto the
+        category table, never shuffle it."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["feature_target_encode"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["ShuffledHashJoin"] == 0, plan

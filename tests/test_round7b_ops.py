@@ -8,6 +8,7 @@ for the registered queries runs in test_queries_oracle.py.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture()
@@ -79,3 +80,68 @@ class TestMannWhitney:
         )
         (row,) = mannwhitney_u(df, "value", "grp", "a", "b").collect()
         assert row["auc"] == 1.0 and row["u1_x2"] == 2 * 4
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+class TestCompactionBins:
+    def test_bins_are_contiguous_and_disjoint_per_source(self, spark, queries):
+        rows = queries["layout_compaction_bins"](spark, SF).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, bins in by_src.items():
+            bins.sort(key=lambda r: r["bin"])
+            for a, b in zip(bins, bins[1:]):
+                # first-fit in doc_id order: later bin = later docs
+                assert a["last_doc"] < b["first_doc"], (src, a, b)
+            for r in bins:
+                assert r["first_doc"] <= r["last_doc"]
+                assert r["n_docs"] >= 1 and r["bytes"] >= 1
+
+    def test_bytes_reconcile_with_source_totals(self, spark, queries):
+        from easy_alterator_spark.sources import load_table
+
+        got = {
+            (r["source"], r["bin"]): r["bytes"]
+            for r in queries["layout_compaction_bins"](spark, SF).collect()
+        }
+        want = {
+            r["source"]: r["total"]
+            for r in load_table(spark, SF, "documents")
+            .groupBy("source")
+            .agg(F.sum("n_chars").alias("total"))
+            .collect()
+        }
+        per_src = {}
+        for (src, _), b in got.items():
+            per_src[src] = per_src.get(src, 0) + b
+        assert per_src == want
+
+
+class TestTargetEncode:
+    def test_smoothed_rate_shrinks_toward_global(self, spark, queries):
+        rows = queries["feature_target_encode"](spark, SF).collect()
+        gpos = sum(r["pos"] for r in rows)
+        gcnt = sum(r["cnt"] for r in rows)
+        grate = gpos / gcnt
+        for r in rows:
+            lo, hi = sorted((r["rate_raw"], grate))
+            assert lo - 1e-12 <= r["rate_smoothed"] <= hi + 1e-12, r
+
+    def test_smoothing_matches_closed_form(self, spark, queries):
+        rows = queries["feature_target_encode"](spark, SF).collect()
+        gpos = sum(r["pos"] for r in rows)
+        gcnt = sum(r["cnt"] for r in rows)
+        for r in rows:
+            want = (r["pos"] * gcnt + 20 * gpos) / ((r["cnt"] + 20) * gcnt)
+            assert r["rate_smoothed"] == pytest.approx(want, abs=0, rel=0)
