@@ -80,6 +80,9 @@ _PRIORITY = [
     "events_level_shift",
     "layout_compaction_bins",
     "feature_target_encode",
+    "join_nearest_event",
+    "dq_slice_scan",
+    "events_acf",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

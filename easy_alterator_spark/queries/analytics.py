@@ -2115,3 +2115,248 @@ def feature_target_encode(spark, sf_dir):
             / ((F.col("cnt") + m) * F.col("gcnt")).cast("double")
         ).alias("rate_smoothed"),
     )
+
+
+@query(
+    "join_nearest_event",
+    # nearest-event as-of join (either direction, ties -> backward):
+    # the union-and-window decomposition — ONE user-partitioned sort
+    # gives every click its last prior and first following purchase
+    # via RANGE frames (peers at equal ts included on both sides, so
+    # tie semantics are engine-independent); gaps are integer micros
+    oracle="""
+    WITH u AS (SELECT user_id, ts, event_type,
+                      CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END AS pus
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (SELECT user_id, ts, event_type,
+                 MAX(pus) OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS prev_us,
+                 MIN(pus) OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS next_us
+          FROM u),
+    c AS (SELECT user_id,
+                 CASE
+                   WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+                   WHEN prev_us IS NULL THEN next_us - epoch_us(ts)
+                   WHEN next_us IS NULL THEN epoch_us(ts) - prev_us
+                   WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                        THEN epoch_us(ts) - prev_us
+                   ELSE next_us - epoch_us(ts)
+                 END AS gap_us
+          FROM w WHERE event_type = 'click')
+    SELECT user_id, COUNT(*)::BIGINT AS n_clicks,
+           COUNT(gap_us)::BIGINT AS n_matched,
+           COALESCE(SUM(gap_us), 0)::BIGINT AS sum_gap_us,
+           MAX(gap_us)::BIGINT AS max_gap_us
+    FROM c GROUP BY user_id
+    """,
+)
+def join_nearest_event(spark, sf_dir):
+    """Nearest-event as-of join — each click matched to its temporally
+    NEAREST purchase by the same user, either direction, ties to the
+    backward match (the attribution primitive when causality can run
+    both ways, e.g. click-near-purchase sessionization). Spark has no
+    nearest-join operator; the scalable decomposition is union both
+    streams and run ONE user-partitioned sort: RANGE-framed MAX/MIN
+    carry the last prior and first following purchase timestamp onto
+    every click (RANGE frames include equal-ts peers on BOTH sides,
+    pinning tie semantics identically cross-engine), then pick the
+    smaller integer-microsecond gap. No join at all — two window
+    passes over one sort (cf. operators/joins.py as-of carry, which
+    this generalizes bidirectionally). Per-user aggregate output keeps
+    every value int64."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros("ts")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", us).alias("pus"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max("pus").over(wp).alias("prev_us"),
+        F.min("pus").over(wn).alias("next_us"),
+    )
+    back = us - F.col("prev_us")
+    fwd = F.col("next_us") - us
+    gap = (
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("prev_us").isNull(), fwd)
+        .when(F.col("next_us").isNull(), back)
+        .when(back <= fwd, back)
+        .otherwise(fwd)
+    )
+    c = w.filter(F.col("event_type") == "click").select(
+        "user_id", gap.alias("gap_us")
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("gap_us").alias("n_matched"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@query(
+    "dq_slice_scan",
+    # slice-finder: which (lang), (source), (lang,source) slice
+    # over/under-produces low-quality docs — GROUPING SETS lattice in
+    # one Expand+shuffle, lift cross-multiplied to exact integers so
+    # each output is one IEEE division
+    oracle="""
+    WITH b AS (SELECT lang, source,
+                      CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS bad
+               FROM documents),
+    t AS (SELECT COUNT(*)::BIGINT AS gcnt, SUM(bad)::BIGINT AS gbad FROM b),
+    s AS (SELECT COALESCE(lang, 'ALL') AS lang,
+                 COALESCE(source, 'ALL') AS source,
+                 COUNT(*)::BIGINT AS cnt, SUM(bad)::BIGINT AS bad
+          FROM b GROUP BY GROUPING SETS ((lang), (source), (lang, source)))
+    SELECT s.lang, s.source, s.cnt, s.bad,
+           (s.bad * t.gcnt)::DOUBLE / (s.cnt * t.gbad)::DOUBLE AS lift
+    FROM s CROSS JOIN t
+    """,
+)
+def dq_slice_scan(spark, sf_dir):
+    """Anomalous-slice scan — the data-quality 'slice finder': for
+    every slice in the (lang), (source), (lang, source) lattice, the
+    lift of its low-quality rate (n_chars < 200) against the corpus
+    rate. Slices with lift >> 1 localize a broken extractor or a
+    polluted crawl source BEFORE training. One GROUPING SETS
+    Expand + one shuffle covers all three aggregation levels (never
+    three scans); the global rate is a one-row broadcast and lift is
+    cross-multiplied to exact integers — one IEEE division per row,
+    bit-identical cross-engine. Dimension cardinality bounds every
+    post-aggregate stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        "source",
+        F.when(F.col("n_chars") < 200, 1).otherwise(0).alias("bad"),
+    )
+    t = b.agg(F.count(F.lit(1)).alias("gcnt"), F.sum("bad").alias("gbad"))
+    s = (
+        b.groupingSets([["lang"], ["source"], ["lang", "source"]], "lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bad").alias("bad"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "cnt",
+            "bad",
+        )
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "cnt",
+        "bad",
+        (
+            (F.col("bad") * F.col("gcnt")).cast("double")
+            / (F.col("cnt") * F.col("gbad")).cast("double")
+        ).alias("lift"),
+    )
+
+
+@query(
+    "events_acf",
+    # autocorrelation of the per-type daily-count series at calendar
+    # lags 1..7: Pearson r from six INTEGER moment sums (m, Sx, Sy,
+    # Sxy, Sxx, Syy) joined on day+lag — missing days align correctly
+    # because the lag is calendar arithmetic, not row offset; the only
+    # floats are correctly-rounded sqrt/mul/div of exact integers
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*)::BIGINT AS x
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT unnest(range(1, 8)) AS lag),
+    p AS (SELECT a.event_type, l.lag, a.x AS x1, b.x AS x2
+          FROM d a CROSS JOIN l
+          JOIN d b ON b.event_type = a.event_type
+                  AND b.day = a.day + l.lag::INT),
+    s AS (SELECT event_type, lag, COUNT(*)::BIGINT AS m,
+                 SUM(x1)::BIGINT AS sx, SUM(x2)::BIGINT AS sy,
+                 SUM(x1 * x2)::BIGINT AS sxy,
+                 SUM(x1 * x1)::BIGINT AS sxx,
+                 SUM(x2 * x2)::BIGINT AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT event_type, lag::BIGINT AS lag, m,
+           (m * sxy - sx * sy)::DOUBLE
+               / (sqrt((m * sxx - sx * sx)::DOUBLE)
+                  * sqrt((m * syy - sy * sy)::DOUBLE)) AS acf
+    FROM s WHERE m >= 2 AND m * sxx > sx * sx AND m * syy > sy * sy
+    """,
+)
+def events_acf(spark, sf_dir):
+    """Autocorrelation function of each event type's daily-count
+    series at calendar lags 1..7 days — the seasonality screen (a
+    weekly cycle shows as an acf(7) spike) and the independence check
+    behind every forecasting model. Lags join on day + lag (calendar
+    arithmetic), so missing days align honestly instead of silently
+    shifting like a row-offset LAG would. Pearson r folds to six
+    integer moment sums — all comparisons exact; the final expression
+    is correctly-rounded IEEE ops (sqrt, mul, div) on exact integers,
+    identical cross-engine. Shape: data-sized work is ONE (type, day)
+    aggregate; the lag join and moments run on the days-per-type
+    table (calendar-bounded), with the 7-row lag list a broadcast
+    explode."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    probe = d.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        F.col("x").alias("x1"),
+        F.date_add("day", F.col("lag")).alias("day2"),
+    )
+    d2 = d.select(
+        F.col("event_type").alias("e2"),
+        F.col("day").alias("day2"),
+        F.col("x").alias("x2"),
+    )
+    p = probe.join(
+        d2, (probe["event_type"] == d2["e2"]) & (probe["day2"] == d2["day2"])
+    )
+    s = p.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x1").alias("sx"),
+        F.sum("x2").alias("sy"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sxy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sxx"),
+        F.sum(F.col("x2") * F.col("x2")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        s.filter(
+            (F.col("m") >= 2) & (denx > 0) & (deny > 0)
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            "m",
+            (num / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))).alias(
+                "acf"
+            ),
+        )
+    )

@@ -959,3 +959,32 @@ class TestRound7bPlans:
         jc = join_counts(plan)
         assert jc["SortMergeJoin"] == 0, plan
         assert jc["ShuffledHashJoin"] == 0, plan
+
+    def test_nearest_event_is_join_free(self, spark, queries):
+        """Nearest-join decomposes to ONE user-partitioned sort with
+        two RANGE-framed window passes — zero joins of any kind."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["join_nearest_event"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_slice_scan_single_expand_no_shuffle_join(self, spark, queries):
+        """All three lattice levels ride one Expand + one shuffle; the
+        global-rate side is a one-row broadcast."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["dq_slice_scan"](spark, SF))
+        assert plan.count("Expand") >= 1, plan
+        jc = join_counts(plan)
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["ShuffledHashJoin"] == 0, plan
+
+    def test_acf_never_plans_a_cartesian(self, spark, queries):
+        """The 7-row lag list explodes via broadcast; the lag join is
+        an equi-join on (type, day+lag) — no cartesian anywhere."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_acf"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0, plan

@@ -145,3 +145,96 @@ class TestTargetEncode:
         for r in rows:
             want = (r["pos"] * gcnt + 20 * gpos) / ((r["cnt"] + 20) * gcnt)
             assert r["rate_smoothed"] == pytest.approx(want, abs=0, rel=0)
+
+
+def _write_events(spark, tmp_path, rows):
+    """Minimal events table a registered query can load from a dir."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestNearestEvent:
+    def test_direction_choice_and_tiebreak(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        t = lambda s: dt.fromisoformat(f"2024-01-01 {s}")
+        rows = [
+            # user 1: purchase 10:00, clicks at 09:59 (fwd 60s),
+            # 10:02 (back 120s), purchase 10:04 -> nearest fwd 120s
+            (1, t("10:00:00"), 1, "purchase", 1.0, "{}"),
+            (2, t("09:59:00"), 1, "click", 1.0, "{}"),
+            (3, t("10:02:00"), 1, "click", 1.0, "{}"),
+            (4, t("10:04:00"), 1, "purchase", 1.0, "{}"),
+            # user 2: click equidistant (60s both ways) -> backward
+            (5, t("11:00:00"), 2, "purchase", 1.0, "{}"),
+            (6, t("11:01:00"), 2, "click", 1.0, "{}"),
+            (7, t("11:02:00"), 2, "purchase", 1.0, "{}"),
+            # user 3: click with no purchase -> unmatched
+            (8, t("12:00:00"), 3, "click", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["user_id"]: r
+            for r in queries["join_nearest_event"](spark, sf).collect()
+        }
+        assert got[1]["n_matched"] == 2
+        assert got[1]["sum_gap_us"] == (60 + 120) * 1_000_000
+        assert got[2]["sum_gap_us"] == 60 * 1_000_000  # tie -> backward
+        assert got[3]["n_clicks"] == 1 and got[3]["n_matched"] == 0
+        assert got[3]["sum_gap_us"] == 0 and got[3]["max_gap_us"] is None
+
+    def test_same_timestamp_purchase_matches_at_zero(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        rows = [
+            (1, dt(2024, 1, 1, 10, 0, 0), 1, "purchase", 1.0, "{}"),
+            (2, dt(2024, 1, 1, 10, 0, 0), 1, "click", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["join_nearest_event"](spark, sf).collect()
+        assert row["n_matched"] == 1 and row["max_gap_us"] == 0
+
+
+class TestACF:
+    def test_perfect_alternation_gives_minus_one_at_lag_1(
+        self, spark, tmp_path, queries
+    ):
+        from datetime import datetime as dt
+
+        # daily counts 1,3,1,3,... (type 'a'): acf(1) = -1, acf(2) = 1
+        rows = []
+        eid = 0
+        for day in range(1, 11):
+            n = 1 if day % 2 else 3
+            for k in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt(2024, 1, day, 12, k), 1, "a", 1.0, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["lag"]: r["acf"] for r in queries["events_acf"](spark, sf).collect()
+        }
+        assert got[1] == pytest.approx(-1.0)
+        assert got[2] == pytest.approx(1.0)
+
+    def test_calendar_lag_skips_missing_days(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        # days 1,2,4,5 present; lag-1 pairs are (1,2) and (4,5) only —
+        # a row-offset LAG would wrongly pair (2,4)
+        rows = []
+        eid = 0
+        for day, n in [(1, 1), (2, 2), (4, 3), (5, 4)]:
+            for k in range(n):
+                eid += 1
+                rows.append((eid, dt(2024, 1, day, 12, k), 1, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["lag"]: r for r in queries["events_acf"](spark, sf).collect()}
+        assert got[1]["m"] == 2
+        # pairs (1,2),(3,4): both moments rise together -> r = +1
+        assert got[1]["acf"] == pytest.approx(1.0)
