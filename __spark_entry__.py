@@ -83,6 +83,9 @@ _PRIORITY = [
     "join_nearest_event",
     "dq_slice_scan",
     "events_acf",
+    "events_velocity_flags",
+    "events_user_entropy",
+    "stats_srm_check",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -2360,3 +2360,168 @@ def events_acf(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "events_velocity_flags",
+    # abuse/fraud velocity screen: max events per user in any trailing
+    # 10-minute window, via an integer RANGE frame over epoch seconds
+    # (peers at equal seconds included — engine-independent); integer
+    # outputs only
+    oracle="""
+    WITH e AS (SELECT user_id, epoch(ts)::BIGINT AS sec FROM events),
+    w AS (SELECT user_id,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                                RANGE BETWEEN 600 PRECEDING
+                                      AND CURRENT ROW)::BIGINT AS burst
+          FROM e)
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           MAX(burst)::BIGINT AS max_burst_10m,
+           CASE WHEN MAX(burst) >= 3 THEN 1 ELSE 0 END::BIGINT AS flagged
+    FROM w GROUP BY user_id
+    """,
+)
+def events_velocity_flags(spark, sf_dir):
+    """Velocity screen — the rate-limit/abuse primitive: for every
+    user, the maximum number of events inside ANY trailing 10-minute
+    window, flagged at >= 3. A scraper or credential-stuffing run
+    shows as max_burst_10m way above the human baseline. The sliding
+    window is an integer RANGE frame over epoch seconds (value-based,
+    so equal-second peers are in-frame on both engines — no row-order
+    tie hazard), partitioned per user: one sort per user partition,
+    no self-join, no explode of candidate windows. All outputs int64.
+    At 100 TB this is the same per-key windowed shape as
+    events_rolling_7d — partition-parallel, shuffle bounded by the
+    user key."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    b = e.select("user_id", F.count(F.lit(1)).over(w).alias("burst"))
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("burst").alias("max_burst_10m"),
+        F.when(F.max("burst") >= 3, 1).otherwise(0).cast("bigint").alias("flagged"),
+    )
+
+
+@query(
+    "events_user_entropy",
+    # behavioral-entropy segmentation: per-user Shannon entropy over
+    # the event-type mix. Counts pivot to FIXED columns so the 5-term
+    # entropy sum is a fixed left-to-right expression tree (no
+    # aggregation-order float hazard); ln is the only libm call and
+    # the result is floor-gridded to 1e-4
+    oracle="""
+    WITH p AS (SELECT user_id,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
+                      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c2,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c3,
+                      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c4,
+                      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c5,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           (c1 > 0)::INT + (c2 > 0)::INT + (c3 > 0)::INT
+               + (c4 > 0)::INT + (c5 > 0)::INT AS n_types,
+           FLOOR((
+             (CASE WHEN c1 > 0 THEN -(c1::DOUBLE / n::DOUBLE) * ln(c1::DOUBLE / n::DOUBLE) ELSE 0 END)
+             + (CASE WHEN c2 > 0 THEN -(c2::DOUBLE / n::DOUBLE) * ln(c2::DOUBLE / n::DOUBLE) ELSE 0 END)
+             + (CASE WHEN c3 > 0 THEN -(c3::DOUBLE / n::DOUBLE) * ln(c3::DOUBLE / n::DOUBLE) ELSE 0 END)
+             + (CASE WHEN c4 > 0 THEN -(c4::DOUBLE / n::DOUBLE) * ln(c4::DOUBLE / n::DOUBLE) ELSE 0 END)
+             + (CASE WHEN c5 > 0 THEN -(c5::DOUBLE / n::DOUBLE) * ln(c5::DOUBLE / n::DOUBLE) ELSE 0 END)
+           ) * 1e4) / 1e4 AS entropy
+    FROM p
+    """,
+)
+def events_user_entropy(spark, sf_dir):
+    """Behavioral entropy per user — Shannon entropy of each user's
+    event-type mix: bots pin near 0 (one repeated action), engaged
+    humans spread toward ln(5). The float hazard of entropy-by-group
+    (SUM of p*ln p in engine-chosen order) is designed out by pivoting
+    the counts to FIXED per-type columns, so the 5-term sum is one
+    left-to-right expression tree evaluated identically by both
+    engines; each p is a single IEEE division of exact integers, ln is
+    correctly-rounded libm, and the output is floor-gridded at 1e-4.
+    One user-grained aggregate, map-side partial, no window, no join —
+    the cheapest possible shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"c{i+1}")
+        for i, t in enumerate(cols)
+    ]
+    p = ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+
+    def term(c):
+        q = F.col(c).cast("double") / n
+        return F.when(F.col(c) > 0, -q * F.log(q)).otherwise(F.lit(0.0))
+
+    ent = term("c1") + term("c2") + term("c3") + term("c4") + term("c5")
+    n_types = sum(
+        (F.col(f"c{i}") > 0).cast("int") for i in range(1, 6)
+    )
+    return p.select(
+        "user_id",
+        "n",
+        n_types.alias("n_types"),
+        (F.floor(ent * 1e4) / 1e4).alias("entropy"),
+    )
+
+
+@query(
+    "stats_srm_check",
+    # sample-ratio-mismatch guard for hash-bucketed A/B assignment:
+    # users split by md5-parity (the oracle-replayable hash60), per-
+    # type distinct-user counts per arm, and the 1-dof chi-square
+    # (nA-nB)^2/(nA+nB) as one IEEE division of exact integers
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id,
+                      (CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 15))
+                            AS BIGINT) % 2) AS arm
+               FROM events),
+    g AS (SELECT event_type,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+          FROM a GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           ((n_a - n_b) * (n_a - n_b))::DOUBLE
+               / (n_a + n_b)::DOUBLE AS chi2_1dof
+    FROM g
+    """,
+)
+def stats_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the first gate of every A/B
+    readout: with users hash-assigned 50/50 (md5-parity via the
+    oracle-replayable hash60, same leaf as the sketch family; swap to
+    xxhash64 in production), a per-slice arm imbalance beyond the
+    1-dof chi-square (nA-nB)^2/(nA+nB) flags broken bucketing or
+    differential logging before anyone reads the metric. Integer
+    counts of DISTINCT users per (event_type, arm); the statistic is
+    one IEEE division of exact integers. One distinct aggregate +
+    one tiny group — scale-stable."""
+    from ..operators.sketches import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_type",
+        "user_id",
+        (hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).distinct()
+    g = a.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        ((d * d).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")).alias(
+            "chi2_1dof"
+        ),
+    )

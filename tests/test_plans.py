@@ -988,3 +988,29 @@ class TestRound7bPlans:
         plan = formatted_plan(queries["events_acf"](spark, SF))
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0, plan
+
+    def test_velocity_single_user_sort_no_join(self, spark, queries):
+        """The trailing-window burst is one RANGE frame per user
+        partition — no self-join, no candidate-window explode."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_velocity_flags"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_user_entropy_is_one_aggregate(self, spark, queries):
+        """Pivoted entropy: one user-grained hash aggregate, zero
+        joins, zero windows — the fixed-column design's whole point."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_user_entropy"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        assert "Window" not in plan, plan
+
+    def test_srm_check_join_free(self, spark, queries):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["stats_srm_check"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan

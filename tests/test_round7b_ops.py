@@ -238,3 +238,80 @@ class TestACF:
         assert got[1]["m"] == 2
         # pairs (1,2),(3,4): both moments rise together -> r = +1
         assert got[1]["acf"] == pytest.approx(1.0)
+
+
+class TestVelocityFlags:
+    def test_trailing_window_counts_and_flag(self, spark, tmp_path, queries):
+        from datetime import datetime as dt, timedelta as td
+
+        base = dt(2024, 1, 1, 10, 0, 0)
+        rows = [
+            # user 1: 0s, 300s, 599s (all within one 600s window), 1200s
+            (1, base, 1, "view", 1.0, "{}"),
+            (2, base + td(seconds=300), 1, "view", 1.0, "{}"),
+            (3, base + td(seconds=599), 1, "view", 1.0, "{}"),
+            (4, base + td(seconds=1200), 1, "view", 1.0, "{}"),
+            # user 2: two events an hour apart
+            (5, base, 2, "view", 1.0, "{}"),
+            (6, base + td(hours=1), 2, "view", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["user_id"]: r
+            for r in queries["events_velocity_flags"](spark, sf).collect()
+        }
+        assert got[1]["max_burst_10m"] == 3 and got[1]["flagged"] == 1
+        assert got[2]["max_burst_10m"] == 1 and got[2]["flagged"] == 0
+
+    def test_boundary_is_inclusive_600s(self, spark, tmp_path, queries):
+        from datetime import datetime as dt, timedelta as td
+
+        base = dt(2024, 1, 1)
+        rows = [
+            (1, base, 1, "view", 1.0, "{}"),
+            (2, base + td(seconds=600), 1, "view", 1.0, "{}"),
+            (3, base + td(seconds=601), 2, "view", 1.0, "{}"),
+            (4, base + td(seconds=1202), 2, "view", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["user_id"]: r["max_burst_10m"]
+            for r in queries["events_velocity_flags"](spark, sf).collect()
+        }
+        assert got[1] == 2  # exactly 600s apart -> in frame
+        assert got[2] == 1  # 601s apart -> out of frame
+
+
+class TestUserEntropy:
+    def test_hand_computed_entropy(self, spark, tmp_path, queries):
+        import math
+        from datetime import datetime as dt
+
+        rows = [
+            (1, dt(2024, 1, 1, 1), 1, "click", 1.0, "{}"),
+            (2, dt(2024, 1, 1, 2), 1, "click", 1.0, "{}"),
+            (3, dt(2024, 1, 1, 3), 1, "view", 1.0, "{}"),
+            (4, dt(2024, 1, 1, 4), 1, "view", 1.0, "{}"),
+            (5, dt(2024, 1, 1, 5), 2, "error", 1.0, "{}"),
+            (6, dt(2024, 1, 1, 6), 2, "error", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["user_id"]: r
+            for r in queries["events_user_entropy"](spark, sf).collect()
+        }
+        want = math.floor(math.log(2) * 1e4) / 1e4
+        assert got[1]["n_types"] == 2 and got[1]["entropy"] == want
+        assert got[2]["n_types"] == 1 and got[2]["entropy"] == 0.0
+
+
+class TestSRM:
+    def test_chi2_zero_iff_balanced_and_invariant_total(self, spark, queries):
+        rows = queries["stats_srm_check"](spark, SF).collect()
+        for r in rows:
+            assert r["n_a"] >= 0 and r["n_b"] >= 0
+            if r["n_a"] == r["n_b"]:
+                assert r["chi2_1dof"] == 0.0
+            else:
+                want = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
+                assert r["chi2_1dof"] == pytest.approx(want, rel=0, abs=0)
