@@ -86,6 +86,9 @@ _PRIORITY = [
     "events_velocity_flags",
     "events_user_entropy",
     "stats_srm_check",
+    "events_cohort_ltv",
+    "events_lorenz_deciles",
+    "text_rake_scores",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -2525,3 +2525,210 @@ def stats_srm_check(spark, sf_dir):
             "chi2_1dof"
         ),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    # cohort LTV curve: cumulative purchase cents per signup cohort by
+    # week offset — the revenue twin of events_retention_cohorts.
+    # Cohort comes from a per-user MIN window (no join); cents are
+    # exact integers, so the cumulative sum is int64-exact
+    oracle="""
+    WITH f AS (SELECT user_id, ts, event_type, value,
+                      MIN(ts) OVER (PARTITION BY user_id) AS ft
+               FROM events),
+    p AS (SELECT CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+                 (date_diff('day', CAST(date_trunc('week', ft) AS DATE),
+                            CAST(date_trunc('week', ts) AS DATE)) // 7)::INT
+                     AS week_offset,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM f WHERE event_type = 'purchase'),
+    g AS (SELECT cohort_week, week_offset,
+                 COUNT(*)::BIGINT AS n_purchases,
+                 SUM(cents)::BIGINT AS cents
+          FROM p GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_purchases, cents,
+           (SUM(cents) OVER (PARTITION BY cohort_week
+                             ORDER BY week_offset))::BIGINT AS cum_cents
+    FROM g
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve — cumulative purchase revenue per signup
+    cohort by week offset, the revenue companion to
+    events_retention_cohorts: 'how much has the week-N cohort spent by
+    week N+k' is the curve every growth model is fit to. The cohort
+    label is a per-user MIN window (no join with a firsts table);
+    revenue is exact integer cents so the per-cohort cumulative sum is
+    int64-exact — zero float anywhere. Shape: one user-partitioned
+    window over the raw stream, a (cohort, offset)-grained aggregate
+    (calendar-bounded output), and a tiny per-cohort cumsum window."""
+    ev = load_table(spark, sf_dir, "events")
+    ft = F.min("ts").over(Window.partitionBy("user_id"))
+    f = ev.select("user_id", "ts", "event_type", "value", ft.alias("ft"))
+    cohort = F.to_date(F.date_trunc("week", "ft"))
+    wk = F.to_date(F.date_trunc("week", "ts"))
+    p = f.filter(F.col("event_type") == "purchase").select(
+        cohort.alias("cohort_week"),
+        (F.datediff(wk, cohort) / 7).cast("int").alias("week_offset"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = p.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("cents"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "cohort_week",
+        "week_offset",
+        "n_purchases",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+    )
+
+
+@query(
+    "events_lorenz_deciles",
+    # Lorenz-curve deciles of event concentration: users NTILE(10)-
+    # banded by activity under a TOTAL order; cumulative share is one
+    # IEEE division of exact integer cumsums — the 'top 10% of users
+    # produce X% of traffic' readout behind stats_gini's scalar
+    oracle="""
+    WITH u AS (SELECT user_id, COUNT(*)::BIGINT AS cnt
+               FROM events GROUP BY user_id),
+    d AS (SELECT cnt,
+                 NTILE(10) OVER (ORDER BY cnt DESC, user_id) AS decile
+          FROM u),
+    g AS (SELECT decile, COUNT(*)::BIGINT AS n_users,
+                 SUM(cnt)::BIGINT AS events
+          FROM d GROUP BY decile),
+    c AS (SELECT decile, n_users, events,
+                 (SUM(events) OVER (ORDER BY decile))::BIGINT AS cum_events,
+                 (SUM(events) OVER ())::BIGINT AS total
+          FROM g)
+    SELECT decile::BIGINT AS decile, n_users, events, cum_events,
+           cum_events::DOUBLE / total::DOUBLE AS cum_share
+    FROM c
+    """,
+)
+def events_lorenz_deciles(spark, sf_dir):
+    """Lorenz-curve deciles — the concentration readout behind
+    stats_gini's scalar: users banded into activity deciles (NTILE(10)
+    under the TOTAL order (cnt DESC, user_id) so ties are
+    deterministic), with each decile's event share and the cumulative
+    share ('the top decile produces X% of traffic'). All counts and
+    cumsums are int64; each share is one IEEE division of exact
+    integers. Shape: one user-grained aggregate, one user-table NTILE
+    sort (rank.py decomposition at 100 TB), then 10-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    d = u.select(
+        "cnt",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cnt").desc(), "user_id"))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("cnt").alias("events")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_users",
+        "events",
+        F.sum("events").over(wcum).alias("cum_events"),
+        F.sum("events").over(wall).alias("total"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "events",
+        "cum_events",
+        (F.col("cum_events").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@query(
+    "text_rake_scores",
+    # RAKE keyword scoring: phrases are maximal stopword-free token
+    # runs (phrase_id = running stopword count per doc), deg(w) sums
+    # the containing phrase lengths, freq(w) counts occurrences;
+    # score = deg/freq is one IEEE division of exact integers
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)),
+                                     '\\s+'), x -> x <> '') AS t
+                  FROM documents),
+    p AS (SELECT doc_id, u.tok, u.pos,
+                 CASE WHEN u.tok IN ('the','a','of','and','to','in','is','it')
+                      THEN 1 ELSE 0 END AS stop
+          FROM toks, LATERAL (SELECT unnest(t) AS tok,
+                                     generate_subscripts(t, 1) AS pos) u),
+    s AS (SELECT doc_id, tok, stop,
+                 SUM(stop) OVER (PARTITION BY doc_id
+                                 ORDER BY pos)::BIGINT AS phrase_id
+          FROM p),
+    w AS (SELECT doc_id, tok, phrase_id,
+                 COUNT(*) OVER (PARTITION BY doc_id, phrase_id)::BIGINT
+                     AS phrase_len
+          FROM s WHERE stop = 0),
+    g AS (SELECT tok AS term, COUNT(*)::BIGINT AS freq,
+                 SUM(phrase_len)::BIGINT AS deg
+          FROM w GROUP BY tok)
+    SELECT term, freq, deg,
+           deg::DOUBLE / freq::DOUBLE AS score
+    FROM g WHERE freq >= 5
+    """,
+)
+def text_rake_scores(spark, sf_dir):
+    """RAKE keyword scores (Rapid Automatic Keyword Extraction) —
+    content words scored by deg/freq, where deg sums the lengths of
+    the stopword-free phrases each occurrence sits in: words that
+    travel in long content phrases score high, isolated filler scores
+    1.0. The co-occurrence structure needs NO pair table: phrase
+    membership is a running stopword count (one per-doc window over
+    token positions), phrase length one more window, and deg/freq a
+    vocabulary-grained aggregate — score is one IEEE division of exact
+    integers. freq >= 5 bounds the output to real vocabulary. Shape:
+    explode -> two doc-partitioned windows -> one hash aggregate; no
+    join, nothing global."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.when(F.col("tok").isin(*T.STOPWORDS), 1).otherwise(0).alias("stop"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    s = p.select(
+        "doc_id",
+        "tok",
+        "stop",
+        F.sum("stop").over(wdoc).alias("phrase_id"),
+    )
+    wphrase = Window.partitionBy("doc_id", "phrase_id")
+    w = s.filter(F.col("stop") == 0).select(
+        "tok", F.count(F.lit(1)).over(wphrase).alias("phrase_len")
+    )
+    g = w.groupBy(F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("deg")
+    )
+    return g.filter(F.col("freq") >= 5).select(
+        "term",
+        "freq",
+        "deg",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("score"),
+    )

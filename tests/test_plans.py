@@ -1014,3 +1014,21 @@ class TestRound7bPlans:
         plan = formatted_plan(queries["stats_srm_check"](spark, SF))
         jc = join_counts(plan)
         assert all(v == 0 for v in jc.values()), plan
+
+    def test_cohort_ltv_no_join_two_windows(self, spark, queries):
+        """Cohort labelling is a per-user MIN window on the stream —
+        never a join against a firsts table."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_cohort_ltv"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_rake_no_join_no_pair_table(self, spark, queries):
+        """RAKE's co-occurrence comes from running-count windows, not
+        a token-pair self-join — the O(len^2) trap."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["text_rake_scores"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan

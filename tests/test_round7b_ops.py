@@ -315,3 +315,78 @@ class TestSRM:
             else:
                 want = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
                 assert r["chi2_1dof"] == pytest.approx(want, rel=0, abs=0)
+
+
+class TestCohortLTV:
+    def test_cumulative_cents_per_cohort(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        # one user, first event Mon 2024-01-01 (cohort week), purchases
+        # in weeks 0, 0, 2 of 1.50, 2.25, 4.00
+        rows = [
+            (1, dt(2024, 1, 1, 9), 1, "purchase", 1.50, "{}"),
+            (2, dt(2024, 1, 3, 9), 1, "purchase", 2.25, "{}"),
+            (3, dt(2024, 1, 16, 9), 1, "purchase", 4.00, "{}"),
+            (4, dt(2024, 1, 2, 9), 1, "view", 9.99, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = sorted(
+            queries["events_cohort_ltv"](spark, sf).collect(),
+            key=lambda r: r["week_offset"],
+        )
+        assert [(r["week_offset"], r["cents"], r["cum_cents"]) for r in got] == [
+            (0, 375, 375),
+            (2, 400, 775),
+        ]
+
+    def test_cohort_anchored_to_first_event_not_first_purchase(
+        self, spark, tmp_path, queries
+    ):
+        from datetime import datetime as dt
+
+        # first event week 2024-01-01 (view); purchase two weeks later
+        # must land at offset 2, not 0
+        rows = [
+            (1, dt(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+            (2, dt(2024, 1, 15, 9), 1, "purchase", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["events_cohort_ltv"](spark, sf).collect()
+        assert row["week_offset"] == 2 and row["cum_cents"] == 100
+
+
+class TestLorenzDeciles:
+    def test_monotone_and_terminal_share(self, spark, queries):
+        rows = sorted(
+            queries["events_lorenz_deciles"](spark, SF).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        shares = [r["cum_share"] for r in rows]
+        assert all(a <= b for a, b in zip(shares, shares[1:]))
+        assert shares[-1] == 1.0
+        # deciles ordered by activity desc: per-decile events decrease
+        ev = [r["events"] for r in rows]
+        assert all(a >= b for a, b in zip(ev, ev[1:]))
+
+
+class TestRakeScores:
+    def test_score_is_at_least_one_and_deg_counts_phrase_lengths(
+        self, spark, tmp_path, queries
+    ):
+        # doc: "deep learning of the deep net" ->
+        # phrases: [deep, learning], [deep, net]
+        # deg(deep)=2+2=4 freq=2 score=2 ; learning/net deg=2 freq=1
+        df = spark.createDataFrame(
+            [(1, "deep learning of the deep net", "en", "s", 29)] * 5,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn("doc_id", F.monotonically_increasing_id())
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["term"]: r
+            for r in queries["text_rake_scores"](spark, str(tmp_path)).collect()
+        }
+        assert got["deep"]["freq"] == 10 and got["deep"]["deg"] == 20
+        assert got["deep"]["score"] == 2.0
+        assert got["learning"]["score"] == 2.0
+        assert all(r["score"] >= 1.0 for r in got.values())
