@@ -89,6 +89,8 @@ _PRIORITY = [
     "events_cohort_ltv",
     "events_lorenz_deciles",
     "text_rake_scores",
+    "stats_welch_ttest",
+    "dedup_impact_report",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

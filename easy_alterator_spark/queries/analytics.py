@@ -2732,3 +2732,162 @@ def text_rake_scores(spark, sf_dir):
         "deg",
         (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("score"),
     )
+
+
+@query(
+    "stats_welch_ttest",
+    # Welch's unequal-variance t-test on exact integer cents: each
+    # group folds to (n, Sx, Sxx) int64 moments; mean and sample
+    # variance are single divisions of exact integers ((n*Sxx - Sx^2)
+    # / (n*(n-1))) and t / Welch-Satterthwaite df are fixed
+    # correctly-rounded IEEE expression trees — identical cross-engine
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE event_type IN ('purchase', 'view')),
+    s AS (SELECT
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::BIGINT AS sx1,
+            SUM(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END)::BIGINT AS sxx1,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n2,
+            SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)::BIGINT AS sx2,
+            SUM(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END)::BIGINT AS sxx2
+          FROM c),
+    e AS (SELECT n1, n2,
+                 sx1::DOUBLE / n1::DOUBLE AS mean1,
+                 sx2::DOUBLE / n2::DOUBLE AS mean2,
+                 ((n1 * sxx1 - sx1 * sx1)::DOUBLE
+                     / (n1 * (n1 - 1))::DOUBLE) / n1::DOUBLE AS a1,
+                 ((n2 * sxx2 - sx2 * sx2)::DOUBLE
+                     / (n2 * (n2 - 1))::DOUBLE) / n2::DOUBLE AS a2
+          FROM s)
+    SELECT n1, n2, mean1, mean2,
+           (mean1 - mean2) / sqrt(a1 + a2) AS t_stat,
+           ((a1 + a2) * (a1 + a2))
+               / (a1 * a1 / (n1 - 1)::DOUBLE
+                  + a2 * a2 / (n2 - 1)::DOUBLE) AS df
+    FROM e
+    """,
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between purchase and view
+    values (exact integer cents) — the parametric member of the A/B
+    family (stats_srm_check gates the split, stats_mannwhitney /
+    stats_ks_test are the nonparametric siblings). Each arm folds
+    map-side to three int64 moments (n, sum, sum-of-squares); sample
+    variance is ONE division of exact integers via n*Sxx - Sx^2, and
+    t plus the Welch-Satterthwaite df are fixed expression trees of
+    correctly-rounded IEEE ops — bit-identical cross-engine, no
+    aggregation-order float hazard anywhere. One row out of one
+    conditional aggregate: join-free, window-free. int64 headroom:
+    n*Sxx stays under 2^63 through sf1; beyond that, split moments by
+    day and combine (the sums stay exact)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    c = ev.select("event_type", cents.alias("cents"))
+
+    def m(t, expr):
+        return F.sum(F.when(F.col("event_type") == t, expr).otherwise(F.lit(0)))
+
+    s = c.agg(
+        m("purchase", F.lit(1)).alias("n1"),
+        m("purchase", F.col("cents")).alias("sx1"),
+        m("purchase", F.col("cents") * F.col("cents")).alias("sxx1"),
+        m("view", F.lit(1)).alias("n2"),
+        m("view", F.col("cents")).alias("sx2"),
+        m("view", F.col("cents") * F.col("cents")).alias("sxx2"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    e = s.select(
+        "n1",
+        "n2",
+        (d("sx1") / d("n1")).alias("mean1"),
+        (d("sx2") / d("n2")).alias("mean2"),
+        (
+            (
+                (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast(
+                    "double"
+                )
+                / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+            )
+            / d("n1")
+        ).alias("a1"),
+        (
+            (
+                (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast(
+                    "double"
+                )
+                / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+            )
+            / d("n2")
+        ).alias("a2"),
+    )
+    se2 = F.col("a1") + F.col("a2")
+    return e.select(
+        "n1",
+        "n2",
+        "mean1",
+        "mean2",
+        ((F.col("mean1") - F.col("mean2")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (
+                F.col("a1") * F.col("a1") / (F.col("n1") - 1).cast("double")
+                + F.col("a2") * F.col("a2") / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("df"),
+    )
+
+
+@query(
+    "dedup_impact_report",
+    # ops report for exact dedup: per source, how many docs the
+    # min-id-keeper rule drops and how many chars it saves — the
+    # keeper is a per-fingerprint MIN window; all outputs int64
+    oracle="""
+    WITH f AS (SELECT doc_id, source, n_chars,
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                          AS fp
+               FROM documents),
+    k AS (SELECT doc_id, source, n_chars,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                      THEN 0 ELSE 1 END AS dropped
+          FROM f)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(dropped)::BIGINT AS n_dropped,
+           SUM(CASE WHEN dropped = 1 THEN n_chars ELSE 0 END)::BIGINT
+               AS chars_saved
+    FROM k GROUP BY source
+    """,
+)
+def dedup_impact_report(spark, sf_dir):
+    """Dedup impact report — the ops readout that justifies the dedup
+    stage: per source, how many documents the exact-dedup keeper rule
+    (min doc_id per canonical-text fingerprint, same canon as
+    dedup_exact / operators/dedup.exact_dedup_survivors) would drop
+    and how many chars it saves. Slices with outsized savings localize
+    mirror/scraper sources. The keeper is a per-fingerprint MIN window
+    — one shuffle on the fingerprint (document text never crosses the
+    wire beyond its hash+size), then a source-grained aggregate. All
+    outputs int64."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "source", "n_chars", T.fingerprint(F.col("text")).alias("fp")
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    k = f.select(
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") == keeper, 0).otherwise(1).alias("dropped"),
+    )
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dropped").alias("n_dropped"),
+        F.sum(F.when(F.col("dropped") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_saved"
+        ),
+    )

@@ -1032,3 +1032,23 @@ class TestRound7bPlans:
         plan = formatted_plan(queries["text_rake_scores"](spark, SF))
         jc = join_counts(plan)
         assert all(v == 0 for v in jc.values()), plan
+
+    def test_welch_is_one_conditional_aggregate(self, spark, queries):
+        """Six int64 moments fold in ONE map-side-partial aggregate —
+        no join, no window, one row out."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["stats_welch_ttest"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        assert "Window" not in plan, plan
+
+    def test_dedup_impact_shuffles_hash_not_text(self, spark, queries):
+        """The keeper window shuffles on the md5 fingerprint; the
+        document text column must not survive past the scan
+        projection."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["dedup_impact_report"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan

@@ -390,3 +390,70 @@ class TestRakeScores:
         assert got["deep"]["score"] == 2.0
         assert got["learning"]["score"] == 2.0
         assert all(r["score"] >= 1.0 for r in got.values())
+
+
+class TestWelchTTest:
+    def test_symmetric_zero_for_identical_groups(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        rows = []
+        eid = 0
+        for v in (1.0, 2.0, 3.0, 4.0):
+            for t in ("purchase", "view"):
+                eid += 1
+                rows.append((eid, dt(2024, 1, 1, eid), eid, t, v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["stats_welch_ttest"](spark, sf).collect()
+        assert row["mean1"] == row["mean2"]
+        assert row["t_stat"] == 0.0
+        # equal n, equal var -> df = 2(n-1)
+        assert row["df"] == pytest.approx(6.0)
+
+    def test_hand_computed_t(self, spark, tmp_path, queries):
+        import math
+        from datetime import datetime as dt
+
+        # purchase cents {100,200,300}, view cents {400,400}
+        rows = [
+            (1, dt(2024, 1, 1, 1), 1, "purchase", 1.0, "{}"),
+            (2, dt(2024, 1, 1, 2), 2, "purchase", 2.0, "{}"),
+            (3, dt(2024, 1, 1, 3), 3, "purchase", 3.0, "{}"),
+            (4, dt(2024, 1, 1, 4), 4, "view", 4.0, "{}"),
+            (5, dt(2024, 1, 1, 5), 5, "view", 4.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["stats_welch_ttest"](spark, sf).collect()
+        # var1 = 10000 (sample), var2 = 0; se2 = 10000/3
+        want_t = (200.0 - 400.0) / math.sqrt(10000.0 / 3.0)
+        assert row["t_stat"] == pytest.approx(want_t)
+        assert row["df"] == pytest.approx(2.0)  # a2 = 0 -> df = n1-1
+
+
+class TestDedupImpact:
+    def test_savings_match_duplicate_layout(self, spark, tmp_path, queries):
+        rows = [
+            (1, "same text", "en", "srcA", 9),
+            (2, "same text", "en", "srcA", 9),
+            (3, "same  text", "en", "srcB", 10),  # canon-equal, dropped
+            (4, "unique", "en", "srcB", 6),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in queries["dedup_impact_report"](spark, str(tmp_path)).collect()
+        }
+        assert got["srcA"]["n_dropped"] == 1 and got["srcA"]["chars_saved"] == 9
+        assert got["srcB"]["n_dropped"] == 1 and got["srcB"]["chars_saved"] == 10
+
+    def test_total_drops_reconcile_with_dedup_exact(self, spark, queries):
+        from easy_alterator_spark.sources import load_table
+
+        n_docs = load_table(spark, SF, "documents").count()
+        survivors = queries["dedup_exact"](spark, SF).count()
+        dropped = sum(
+            r["n_dropped"]
+            for r in queries["dedup_impact_report"](spark, SF).collect()
+        )
+        assert dropped == n_docs - survivors
