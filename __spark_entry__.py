@@ -8,7 +8,7 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (208 of 213; the remaining 5 register
+oracle-bearing registry entry (223 of 228; the remaining 5 register
 rows-only by design: dedup_simhash, bpe_train_merges, and the three
 ddl_* fixture queries whose inputs are DDL text, not the relational
 tables). See the rotation note on ``_PRIORITY``.
@@ -36,23 +36,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-7 rotation: (a) the round-7 CHANGED query
 # (eval_lang_id_report — oracle SUM(n)::BIGINT dtype fix; red r4-r6),
-# (a') the 17 queries REGISTERED this round (interval overlap, trigram
-# novelty, the deterministic-sketch family incl. its streaming twin,
-# t-closeness, transition matrix, feature hashing, bitmap retention,
-# sampled quantiles — all sim-green at sf0.01 and sf0.1),
+# (a') the 17 queries REGISTERED in the first r7 session (interval
+# overlap, trigram novelty, the deterministic-sketch family incl. its
+# streaming twin, t-closeness, transition matrix, feature hashing,
+# bitmap retention, sampled quantiles),
+# (a'') the 17 queries REGISTERED in the r7 continuation session
+# (KS / Mann-Whitney / Welch / SRM A/B-stats family, RFM segments,
+# level-shift changepoint, compaction bins, target encoding,
+# nearest-event join, slice scan, calendar-lag ACF, velocity flags,
+# user entropy, cohort LTV, Lorenz deciles, RAKE scores, dedup impact
+# — every one sim-green at sf0.01 AND sf0.1 before its commit),
 # (b) the 4 queries that gained oracles this round (the multimodal
 # decode family — recomputable-bytes oracles replace no_oracle),
 # (c) the 4 never-driver-checked round-6 entries, then (d) re-verify
-# fill: flagship pipeline, the dedup/decontaminate families, the
-# date-valued queries that exercise the driver's DATE-vs-midnight
-# canon, and the r5 tiebreak fixes. With this window the union
-# r01-r07 stamps EVERY oracle-bearing entry in the registry (208 of
-# 213; the other 5 — dedup_simhash, bpe_train_merges, ddl_* — are
-# no-oracle by design and are kept OUT of the first 50 so no checked
-# slot is burned on a rows-only record). The entire registry was
-# additionally swept green this round via tools/driver_sim — now
-# dtype-strict and pandas-fetched like the driver — at sf0.01 and
-# sf0.1, and the exact 50-entry window re-ran green end-to-end.
+# fill: flagship pipeline plus the heavy dedup/decontaminate entries.
+# With this window the union r01-r07 stamps EVERY oracle-bearing
+# entry in the registry (223 of 228; the other 5 — dedup_simhash,
+# bpe_train_merges, ddl_* — are no-oracle by design and are kept OUT
+# of the first 50 so no checked slot is burned on a rows-only
+# record). The exact 50-entry window re-ran green end-to-end through
+# tools/driver_sim (dtype-strict, pandas-fetched like the driver) at
+# sf0.01 before the final commit of the session.
 _PRIORITY = [
     # --- round-7 changed oracle (driver-red r4-r6, HUGEINT fix) ---
     "eval_lang_id_report",
