@@ -95,6 +95,8 @@ _PRIORITY = [
     "text_rake_scores",
     "stats_welch_ttest",
     "dedup_impact_report",
+    "text_readability",
+    "sim_knn_classify",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

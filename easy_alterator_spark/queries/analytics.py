@@ -2891,3 +2891,67 @@ def dedup_impact_report(spark, sf_dir):
             "chars_saved"
         ),
     )
+
+
+@query(
+    "text_readability",
+    # Flesch reading-ease from three exact integer counts per doc
+    # (words, sentence-ending punctuation runs, vowel groups); the
+    # score is a fixed IEEE tree over two exact-int divisions,
+    # floor-gridded at 1e-4
+    oracle="""
+    WITH c AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(lower(trim(text)),
+                          '\\s+'), x -> x <> ''))::BIGINT AS words,
+                      GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                               1)::BIGINT AS sentences,
+                      GREATEST(len(regexp_extract_all(lower(text),
+                               '[aeiouy]+')), 1)::BIGINT AS syllables
+               FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           FLOOR((206.835
+                  - 1.015 * (words::DOUBLE / sentences::DOUBLE)
+                  - 84.6 * (syllables::DOUBLE / words::DOUBLE)) * 1e4)
+               / 1e4 AS fk_score
+    FROM c WHERE words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic readability
+    screen for training-corpus curation (garbled OCR and template spam
+    score far outside the human band). All three inputs are exact
+    integer counts from single regex passes: words (whitespace
+    tokens), sentences (runs of [.!?], floored at 1), syllables
+    (vowel-group runs, the standard heuristic). The score is a fixed
+    expression tree — two IEEE divisions of exact integers, literal
+    multiplies, subtractions — identical cross-engine, floor-gridded
+    at 1e-4. Pure map-side projection: no shuffle AT ALL until the
+    consumer aggregates; the cheapest possible 100 TB shape."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(T.tokens(F.col("text"))).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    ).cast("bigint")
+    c = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    fk = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return c.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (F.floor(fk * 1e4) / 1e4).alias("fk_score"),
+    )

@@ -3111,3 +3111,81 @@ def stream_running_totals(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@query(
+    "sim_knn_classify",
+    # kNN auto-labeling over the embedding column: k=5 cosine
+    # neighbors per probe (deterministic (score DESC, n_id) order,
+    # same kernel as sim_topk_bruteforce), majority vote with
+    # (votes DESC, label ASC) tiebreak; integer votes
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb AS qv, label AS true_label
+          FROM v WHERE vec_id < 20),
+    scored AS (SELECT q.q_id, q.true_label, c.vec_id AS n_id, c.label,
+                      list_dot_product(qv, c.emb)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(c.emb, c.emb))) AS score
+               FROM q JOIN v c ON c.vec_id <> q.q_id),
+    r AS (SELECT q_id, true_label, label,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, n_id) AS rnk
+          FROM scored),
+    votes AS (SELECT q_id, true_label, label, COUNT(*)::BIGINT AS votes
+              FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+    w AS (SELECT q_id, true_label, label AS pred_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY votes DESC, label) AS vr
+          FROM votes)
+    SELECT q_id, pred_label::BIGINT AS pred_label, votes,
+           true_label::BIGINT AS true_label,
+           (pred_label = true_label)::BIGINT AS correct
+    FROM w WHERE vr = 1
+    """,
+)
+def sim_knn_classify(spark, sf_dir):
+    """kNN auto-labeling — predict each probe's label from the
+    majority vote of its k=5 cosine neighbors: the workhorse for
+    propagating a small set of human labels across an embedded corpus
+    (topic tagging, quality-tier assignment) before training. Rides
+    the SAME Arrow brute-force kernel as sim_topk_bruteforce
+    (deterministic (score DESC, n_id) neighbor order), adds a keyed
+    label lookup and an integer majority vote with (votes DESC, label
+    ASC) tiebreak — the vote layer is all int64. Scale: probes
+    broadcast against the corpus exactly like the deployed ANN path;
+    swap the brute-force arm for sim_ann_ivf's bucketed probe at
+    corpus scale and the vote layer is unchanged (k rows per probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    knn = S.brute_force_topk_arrow(probes, emb, k=5)
+    labels = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("nl"))
+    truth = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").cast("bigint").alias("true_label")
+    )
+    votes = (
+        knn.join(labels, "n_id")
+        .groupBy("q_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = votes.select(
+        "q_id",
+        "nl",
+        "votes",
+        F.row_number()
+        .over(
+            Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("nl"))
+        )
+        .alias("vr"),
+    ).filter(F.col("vr") == 1)
+    return (
+        w.join(F.broadcast(truth), "q_id")
+        .select(
+            "q_id",
+            F.col("nl").cast("bigint").alias("pred_label"),
+            "votes",
+            "true_label",
+            (F.col("nl") == F.col("true_label")).cast("bigint").alias("correct"),
+        )
+    )

@@ -1052,3 +1052,23 @@ class TestRound7bPlans:
         plan = formatted_plan(queries["dedup_impact_report"](spark, SF))
         jc = join_counts(plan)
         assert all(v == 0 for v in jc.values()), plan
+
+    def test_readability_is_pure_projection(self, spark, queries):
+        """Three regex counts + a fixed float tree: the plan must be a
+        scan + project with NO exchange at all."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["text_readability"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        assert "Exchange" not in plan, plan
+
+    def test_knn_vote_layer_keeps_truth_broadcast(self, spark, queries):
+        """The probe-truth lookup is probe-sized: broadcast, never a
+        shuffle of the vote table."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["sim_knn_classify"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0, plan
+        assert jc["BroadcastHashJoin"] >= 1, plan

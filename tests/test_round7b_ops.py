@@ -457,3 +457,53 @@ class TestDedupImpact:
             for r in queries["dedup_impact_report"](spark, SF).collect()
         )
         assert dropped == n_docs - survivors
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark, tmp_path, queries):
+        import math
+
+        # "the cat sat. it ran!" -> words 5, sentences 2, syllables 5
+        # (e, a, a, i, a) -> 206.835 - 1.015*2.5 - 84.6*1.0
+        spark.createDataFrame(
+            [(1, "the cat sat. it ran!", "en", "s", 20)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        (row,) = queries["text_readability"](spark, str(tmp_path)).collect()
+        assert (row["words"], row["sentences"], row["syllables"]) == (5, 2, 5)
+        want = math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1e4) / 1e4
+        assert row["fk_score"] == want
+
+    def test_no_terminal_punctuation_floors_sentences_at_one(
+        self, spark, tmp_path, queries
+    ):
+        spark.createDataFrame(
+            [(1, "just a fragment", "en", "s", 15)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        (row,) = queries["text_readability"](spark, str(tmp_path)).collect()
+        assert row["sentences"] == 1
+
+
+class TestKnnClassify:
+    def test_votes_and_majority_invariants(self, spark, queries):
+        rows = queries["sim_knn_classify"](spark, SF).collect()
+        assert len(rows) == 20  # one prediction per probe
+        for r in rows:
+            assert 1 <= r["votes"] <= 5
+            assert r["correct"] in (0, 1)
+            assert (r["pred_label"] == r["true_label"]) == bool(r["correct"])
+
+    def test_self_vector_excluded_from_neighbors(self, spark, queries):
+        # planted clusters: with self included every probe would vote
+        # for itself at cosine 1.0; the invariant that catches self-
+        # inclusion is votes <= 5 AND the kernel's n_id != q_id
+        # contract, checked directly on the knn output
+        from easy_alterator_spark.operators import similarity as S
+        from easy_alterator_spark.sources import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        knn = S.brute_force_topk_arrow(
+            emb.filter(F.col("vec_id") < 5), emb, k=5
+        ).collect()
+        assert all(r["q_id"] != r["n_id"] for r in knn)
