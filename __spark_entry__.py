@@ -97,6 +97,7 @@ _PRIORITY = [
     "dedup_impact_report",
     "text_readability",
     "sim_knn_classify",
+    "stream_user_entropy",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

@@ -2408,14 +2408,9 @@ def events_velocity_flags(spark, sf_dir):
     )
 
 
-@query(
-    "events_user_entropy",
-    # behavioral-entropy segmentation: per-user Shannon entropy over
-    # the event-type mix. Counts pivot to FIXED columns so the 5-term
-    # entropy sum is a fixed left-to-right expression tree (no
-    # aggregation-order float hazard); ln is the only libm call and
-    # the result is floor-gridded to 1e-4
-    oracle="""
+# Shared by events_user_entropy and its streaming twin
+# stream_user_entropy — both must land on the identical rows.
+_USER_ENTROPY_ORACLE = """
     WITH p AS (SELECT user_id,
                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
                       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c2,
@@ -2435,7 +2430,39 @@ def events_velocity_flags(spark, sf_dir):
              + (CASE WHEN c5 > 0 THEN -(c5::DOUBLE / n::DOUBLE) * ln(c5::DOUBLE / n::DOUBLE) ELSE 0 END)
            ) * 1e4) / 1e4 AS entropy
     FROM p
-    """,
+    """
+
+_ENTROPY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _entropy_select(p):
+    """Fold fixed per-type count columns c1..c5 + n to the entropy
+    output — shared by the batch query and its streaming twin so both
+    evaluate the identical expression tree."""
+    n = F.col("n").cast("double")
+
+    def term(c):
+        q = F.col(c).cast("double") / n
+        return F.when(F.col(c) > 0, -q * F.log(q)).otherwise(F.lit(0.0))
+
+    ent = term("c1") + term("c2") + term("c3") + term("c4") + term("c5")
+    n_types = sum((F.col(f"c{i}") > 0).cast("int") for i in range(1, 6))
+    return p.select(
+        "user_id",
+        "n",
+        n_types.alias("n_types"),
+        (F.floor(ent * 1e4) / 1e4).alias("entropy"),
+    )
+
+
+@query(
+    "events_user_entropy",
+    # behavioral-entropy segmentation: per-user Shannon entropy over
+    # the event-type mix. Counts pivot to FIXED columns so the 5-term
+    # entropy sum is a fixed left-to-right expression tree (no
+    # aggregation-order float hazard); ln is the only libm call and
+    # the result is floor-gridded to 1e-4
+    oracle=_USER_ENTROPY_ORACLE,
 )
 def events_user_entropy(spark, sf_dir):
     """Behavioral entropy per user — Shannon entropy of each user's
@@ -2449,28 +2476,61 @@ def events_user_entropy(spark, sf_dir):
     One user-grained aggregate, map-side partial, no window, no join —
     the cheapest possible shape."""
     ev = load_table(spark, sf_dir, "events")
-    cols = ["click", "error", "purchase", "signup", "view"]
     aggs = [
         F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"c{i+1}")
-        for i, t in enumerate(cols)
+        for i, t in enumerate(_ENTROPY_TYPES)
     ]
     p = ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
-    n = F.col("n").cast("double")
+    return _entropy_select(p)
 
-    def term(c):
-        q = F.col(c).cast("double") / n
-        return F.when(F.col(c) > 0, -q * F.log(q)).otherwise(F.lit(0.0))
 
-    ent = term("c1") + term("c2") + term("c3") + term("c4") + term("c5")
-    n_types = sum(
-        (F.col(f"c{i}") > 0).cast("int") for i in range(1, 6)
+@query(
+    "stream_user_entropy",
+    # STREAMING twin of events_user_entropy, same batch oracle: the
+    # per-(user, type) count is an update-mode stateful aggregate with
+    # BOUNDED state (<= 5 rows per user forever, counts SUM-monotone,
+    # no watermark needed); drained re-emits fold by max(cnt) and go
+    # through the SAME _entropy_select expression tree
+    oracle=_USER_ENTROPY_ORACLE,
+)
+def stream_user_entropy(spark, sf_dir):
+    """Streaming behavioral entropy — the bounded-state streaming twin
+    of events_user_entropy: the running (user_id, event_type) count is
+    an update-mode stateful aggregate whose state is at most
+    |types| = 5 rows per user FOREVER (counts are SUM-monotone, so no
+    watermark is required and re-emitted rows are strictly
+    increasing; max(cnt) over the sink recovers final state — the
+    same recovery contract as stream_hll_distinct's registers). The
+    drained counts pivot through the IDENTICAL _entropy_select
+    expression tree as the batch query, and the batch oracle gates
+    both — any divergence between micro-batched and whole-table
+    counting fails the value-hash."""
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    _ENTROPY_SINK_SEQ[0] += 1
+    name = f"stream_user_entropy_sink_{_ENTROPY_SINK_SEQ[0]}"
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .count()
     )
-    return p.select(
-        "user_id",
-        "n",
-        n_types.alias("n_types"),
-        (F.floor(ent * 1e4) / 1e4).alias("entropy"),
+    run_to_memory(counts, name, output_mode="update", state_partitions=8)
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("count").alias("cnt"))
     )
+    aggs = [
+        F.sum(
+            F.when(F.col("event_type") == t, F.col("cnt")).otherwise(F.lit(0))
+        ).alias(f"c{i+1}")
+        for i, t in enumerate(_ENTROPY_TYPES)
+    ]
+    p = final.groupBy("user_id").agg(*aggs, F.sum("cnt").alias("n"))
+    return _entropy_select(p)
+
+
+_ENTROPY_SINK_SEQ = [0]
 
 
 @query(

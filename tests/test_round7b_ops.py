@@ -507,3 +507,16 @@ class TestKnnClassify:
             emb.filter(F.col("vec_id") < 5), emb, k=5
         ).collect()
         assert all(r["q_id"] != r["n_id"] for r in knn)
+
+
+class TestStreamUserEntropy:
+    def test_stream_equals_batch_rows(self, spark, queries):
+        batch = {
+            r["user_id"]: (r["n"], r["n_types"], r["entropy"])
+            for r in queries["events_user_entropy"](spark, SF).collect()
+        }
+        stream = {
+            r["user_id"]: (r["n"], r["n_types"], r["entropy"])
+            for r in queries["stream_user_entropy"](spark, SF).collect()
+        }
+        assert stream == batch
