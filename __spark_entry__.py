@@ -98,6 +98,9 @@ _PRIORITY = [
     "text_readability",
     "sim_knn_classify",
     "stream_user_entropy",
+    "events_new_vs_returning",
+    "events_dow_profile",
+    "events_stickiness",
     # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
     "multimodal_image_features",
     "multimodal_frame_sample",

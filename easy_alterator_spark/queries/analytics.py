@@ -3015,3 +3015,148 @@ def text_readability(spark, sf_dir):
         "syllables",
         (F.floor(fk * 1e4) / 1e4).alias("fk_score"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    # growth decomposition: per day, users active for the first time
+    # vs returning — first-day labels come from a per-user MIN window
+    # over the (user, day) distinct table, join-free; all integers
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    f AS (SELECT user_id, day,
+                 CASE WHEN day = MIN(day) OVER (PARTITION BY user_id)
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ud)
+    SELECT day, COUNT(*)::BIGINT AS active_users,
+           SUM(is_new)::BIGINT AS new_users,
+           (COUNT(*) - SUM(is_new))::BIGINT AS returning_users
+    FROM f GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """New-vs-returning decomposition — the growth-accounting daily
+    split: how much of each day's active base is first-ever-seen vs
+    retained. The first-day label is a per-user MIN window over the
+    (user, day) DISTINCT table (never a join against a firsts table),
+    so the whole query is two aggregates and one user-partitioned
+    window, all int64. The (user, day) distinct grain bounds
+    everything downstream by users x days, not by raw event volume —
+    the standard first step for any activity accounting at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    is_new = F.when(
+        F.col("day") == F.min("day").over(Window.partitionBy("user_id")), 1
+    ).otherwise(0)
+    f = ud.select("day", is_new.alias("is_new"))
+    return f.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("is_new").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
+    )
+
+
+@query(
+    "events_dow_profile",
+    # weekday seasonality index per event type: observed share vs the
+    # uniform 1/7 expectation, as (n*7)/total — one IEEE division of
+    # exact integers per row. Monday-start weekday on both engines
+    # (Spark weekday() == DuckDB isodow()-1)
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      (isodow(CAST(ts AS DATE)) - 1)::BIGINT AS weekday,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n)::BIGINT AS total FROM d GROUP BY 1)
+    SELECT d.event_type, d.weekday, d.n,
+           (d.n * 7)::DOUBLE / t.total::DOUBLE AS dow_index
+    FROM d JOIN t USING (event_type)
+    """,
+)
+def events_dow_profile(spark, sf_dir):
+    """Day-of-week seasonality index per event type — observed weekday
+    volume against the uniform 1/7 expectation (index 1.0 = no weekly
+    cycle; the complement to events_acf's lag-7 spike). Weekday is
+    Monday-start on both engines (Spark weekday() == DuckDB
+    isodow()-1 — dayofweek() is Sunday-start in Spark and a classic
+    cross-engine trap). One (type, weekday) aggregate, a 5-row
+    normalizer broadcast, and one IEEE division of exact integers per
+    output row."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.weekday("ts").cast("bigint").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("n").alias("total")
+    )
+    return (
+        d.join(F.broadcast(t), d["event_type"] == t["t_type"])
+        .select(
+            "event_type",
+            "weekday",
+            "n",
+            ((F.col("n") * 7).cast("double") / F.col("total").cast("double")).alias(
+                "dow_index"
+            ),
+        )
+    )
+
+
+@query(
+    "events_stickiness",
+    # DAU/MAU stickiness per day, EXACT: each (user, active-day) row
+    # covers the next 30 candidate days, so trailing-30d MAU is a
+    # distinct count over the exploded cover — day-grain work bounded
+    # by users x days. The 100 TB swap is per-day HLL registers +
+    # MAX-merge (sketch_hll_merge_days), identical query shape
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY day),
+    cover AS (SELECT DISTINCT ud.user_id,
+                     ud.day + unnest(range(0, 30))::INT AS cday
+              FROM ud),
+    mau AS (SELECT cday AS day, COUNT(*)::BIGINT AS mau
+            FROM cover GROUP BY cday)
+    SELECT dau.day, dau.dau, mau.mau,
+           dau.dau::DOUBLE / mau.mau::DOUBLE AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the engagement-frequency ratio
+    (1.0 = every monthly user is daily). Exact trailing-30-day MAU
+    without a giant window: each (user, active-day) row COVERS the 30
+    days it keeps the user 'monthly-active' for, so MAU(day) is a
+    distinct count over the exploded cover — everything is bounded by
+    users x days (activity grain), never raw event volume, and the
+    30x explode happens at that reduced grain. Joining back to DAU
+    restricts output to observed days. At 100 TB swap the exact
+    distinct for per-day HLL registers MAX-merged over the trailing
+    window (sketch_hll_merge_days is that exact machinery) — the
+    query shape is unchanged. Integer counts; stickiness is one IEEE
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    offsets = spark.range(0, 30).select(F.col("id").cast("int").alias("off"))
+    cover = (
+        ud.crossJoin(F.broadcast(offsets))
+        .select("user_id", F.date_add("day", F.col("off")).alias("cday"))
+        .distinct()
+    )
+    mau = cover.groupBy(F.col("cday").alias("m_day")).agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["m_day"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1072,3 +1072,22 @@ class TestRound7bPlans:
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0, plan
         assert jc["BroadcastHashJoin"] >= 1, plan
+
+    def test_new_vs_returning_join_free(self, spark, queries):
+        """First-day labelling is a window over the (user, day)
+        distinct table — no firsts-table join."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_new_vs_returning"](spark, SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_stickiness_cover_joins_at_day_grain(self, spark, queries):
+        """The 30x cover explode happens at (user, day) grain and the
+        DAU/MAU join is day-keyed — no cartesian, no SMJ on raw
+        events."""
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(queries["events_stickiness"](spark, SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0, plan

@@ -520,3 +520,68 @@ class TestStreamUserEntropy:
             for r in queries["stream_user_entropy"](spark, SF).collect()
         }
         assert stream == batch
+
+
+class TestNewVsReturning:
+    def test_day_one_all_new_then_split(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        rows = [
+            (1, dt(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+            (2, dt(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+            (3, dt(2024, 1, 2, 9), 1, "view", 1.0, "{}"),  # returning
+            (4, dt(2024, 1, 2, 9), 3, "view", 1.0, "{}"),  # new
+            (5, dt(2024, 1, 2, 10), 3, "view", 1.0, "{}"),  # same day dup
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            str(r["day"]): (r["active_users"], r["new_users"], r["returning_users"])
+            for r in queries["events_new_vs_returning"](spark, sf).collect()
+        }
+        assert got["2024-01-01"] == (2, 2, 0)
+        assert got["2024-01-02"] == (2, 1, 1)
+
+
+class TestStickiness:
+    def test_active_day_counts_toward_next_30(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        # user 1 active day 1 only; user 2 active day 1 and day 31.
+        # day 1: DAU 2, MAU 2 -> 1.0
+        # day 31: DAU 1 (user 2); MAU: user 1's day-1 cover ends day 30,
+        # user 2 covered by both -> MAU 1 -> stickiness 1.0... so use
+        # day 15 instead: no DAU row (no events) -> absent from output
+        rows = [
+            (1, dt(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+            (2, dt(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+            (3, dt(2024, 1, 31, 9), 2, "view", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            str(r["day"]): r
+            for r in queries["events_stickiness"](spark, sf).collect()
+        }
+        assert set(got) == {"2024-01-01", "2024-01-31"}
+        assert got["2024-01-01"]["dau"] == 2 and got["2024-01-01"]["mau"] == 2
+        # day 31: user 1's 30-day cover (days 1..30) has expired
+        assert got["2024-01-31"]["dau"] == 1 and got["2024-01-31"]["mau"] == 1
+
+    def test_stickiness_bounded_and_dau_le_mau(self, spark, queries):
+        for r in queries["events_stickiness"](spark, SF).collect():
+            assert r["dau"] <= r["mau"]
+            assert 0 < r["stickiness"] <= 1.0
+
+
+class TestDowProfile:
+    def test_index_averages_to_one_weighted(self, spark, queries):
+        rows = queries["events_dow_profile"](spark, SF).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for t, rs in by_type.items():
+            assert all(0 <= r["weekday"] <= 6 for r in rs)
+            total = sum(r["n"] for r in rs)
+            # sum of n*index = 7 * sum(n^2)/total... instead check the
+            # defining identity per row and the share-sum invariant
+            for r in rs:
+                assert r["dow_index"] == pytest.approx(r["n"] * 7 / total)
