@@ -8,7 +8,7 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (223 of 228; the remaining 5 register
+oracle-bearing registry entry (231 of 236; the remaining 5 register
 rows-only by design: dedup_simhash, bpe_train_merges, and the three
 ddl_* fixture queries whose inputs are DDL text, not the relational
 tables). See the rotation note on ``_PRIORITY``.
@@ -40,18 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # overlap, trigram novelty, the deterministic-sketch family incl. its
 # streaming twin, t-closeness, transition matrix, feature hashing,
 # bitmap retention, sampled quantiles),
-# (a'') the 17 queries REGISTERED in the r7 continuation session
+# (a'') the 23 queries REGISTERED in the r7 continuation session
 # (KS / Mann-Whitney / Welch / SRM A/B-stats family, RFM segments,
 # level-shift changepoint, compaction bins, target encoding,
 # nearest-event join, slice scan, calendar-lag ACF, velocity flags,
-# user entropy, cohort LTV, Lorenz deciles, RAKE scores, dedup impact
-# — every one sim-green at sf0.01 AND sf0.1 before its commit),
+# user entropy + its bounded-state streaming twin, cohort LTV, Lorenz
+# deciles, RAKE scores, dedup impact, Flesch readability, kNN
+# auto-labeling, new-vs-returning, weekday profile, DAU/MAU
+# stickiness — every one sim-green at sf0.01 AND sf0.1 before its
+# commit),
 # (b) the 4 queries that gained oracles this round (the multimodal
 # decode family — recomputable-bytes oracles replace no_oracle),
-# (c) the 4 never-driver-checked round-6 entries, then (d) re-verify
-# fill: flagship pipeline plus the heavy dedup/decontaminate entries.
+# (c) the 4 never-driver-checked round-6 entries, then (d) the
+# flagship pipeline as the one re-verify slot. That is exactly 50:
+# every slot is a never-driver-stamped entry except the flagship.
 # With this window the union r01-r07 stamps EVERY oracle-bearing
-# entry in the registry (223 of 228; the other 5 — dedup_simhash,
+# entry in the registry (231 of 236; the other 5 — dedup_simhash,
 # bpe_train_merges, ddl_* — are no-oracle by design and are kept OUT
 # of the first 50 so no checked slot is burned on a rows-only
 # record). The exact 50-entry window re-ran green end-to-end through

@@ -111,14 +111,18 @@ def get_spark(
         # 16g keeps GC out of the measured path (measured ~1 s/query on
         # dedup_minhash_lsh at sf0.1 vs 8g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # 140 registered queries × several codegen stages each overflow
+        # 230+ registered queries × several codegen stages each overflow
         # the JVM's default 240 MB reserved code cache in one long
         # session ("CodeCache is full. Compiler has been disabled"),
         # after which everything runs interpreted/deoptimized — seen as
         # a broad ~0.5-1 s/query inflation late in full-suite runs.
+        # 512 MB sufficed at ~200 queries; at 230 the suite tail showed
+        # 2x inflation on the heavy dedup queries again (in-suite 9.2 s
+        # vs 4.2 s standalone), so 768 MB + segmented cache keeps the
+        # sweeper effective for the whole run.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=768m -XX:+SegmentedCodeCache",
         )
         .config("spark.ui.enabled", "false")
     )
