@@ -585,3 +585,59 @@ class TestDowProfile:
             # defining identity per row and the share-sum invariant
             for r in rs:
                 assert r["dow_index"] == pytest.approx(r["n"] * 7 / total)
+
+
+class TestNonparamProperties:
+    """Property tests against an independent numpy reference
+    implementation (rank-based, no shared code with the operator)."""
+
+    @staticmethod
+    def _np_ks(x, y):
+        import numpy as np
+
+        allv = np.unique(np.concatenate([x, y]))
+        c1 = np.searchsorted(np.sort(x), allv, side="right")
+        c2 = np.searchsorted(np.sort(y), allv, side="right")
+        diff = np.abs(c1 * len(y) - c2 * len(x))
+        return int(diff.max())
+
+    @staticmethod
+    def _np_u1_x2(x, y):
+        import numpy as np
+
+        comb = np.concatenate([x, y])
+        order = np.argsort(comb, kind="stable")
+        sc = comb[order]
+        r = np.empty(len(sc))
+        i = 0
+        while i < len(sc):
+            j = i
+            while j < len(sc) and sc[j] == sc[i]:
+                j += 1
+            r[i:j] = (i + 1 + j) / 2
+            i = j
+        ranks = np.empty(len(comb))
+        ranks[order] = r
+        r1 = ranks[: len(x)].sum()
+        return int(round(2 * r1)) - len(x) * (len(x) + 1)
+
+    def test_matches_numpy_reference_on_random_samples(self, spark):
+        import random
+
+        from easy_alterator_spark.operators.nonparam import ks_2samp, mannwhitney_u
+
+        rng = random.Random(7)
+        for trial in range(3):
+            # small value alphabet forces heavy ties
+            x = [float(rng.randint(0, 9)) for _ in range(rng.randint(2, 40))]
+            y = [float(rng.randint(0, 9)) for _ in range(rng.randint(2, 40))]
+            rows = [(v, "a") for v in x] + [(v, "b") for v in y]
+            df = spark.createDataFrame(rows, "value double, grp string")
+            (ks,) = ks_2samp(df, "value", "grp", "a", "b").collect()
+            (mw,) = mannwhitney_u(df, "value", "grp", "a", "b").collect()
+            import numpy as np
+
+            xa, ya = np.array(x), np.array(y)
+            assert ks["d_scaled"] == self._np_ks(xa, ya), (trial, x, y)
+            assert mw["u1_x2"] == self._np_u1_x2(xa, ya), (trial, x, y)
+            assert mw["u1_x2"] + mw["u2_x2"] == 2 * len(x) * len(y)
