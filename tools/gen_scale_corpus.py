@@ -117,6 +117,40 @@ def gen_embeddings(n: int, seed: int):
     )
 
 
+EVENTS_BASE = 100_000
+USERS_BASE = 1_500
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def gen_events(n: int, n_users: int, seed: int):
+    """sf0.1-shaped events table: 30 days of naive-micros timestamps,
+    zipf-ish per-user activity (skewed keys are the property the
+    per-user window families are measured under), 5 types, lognormal
+    values. Users scale with rows so per-user streams stay ~constant
+    — the honest 100 TB regime (more users, not 10x-deeper users)."""
+    rng = np.random.default_rng(seed)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    span_us = 30 * 86_400 * 1_000_000
+    # zipf-ish user draw: weights 1/(rank+5)
+    w = 1.0 / (np.arange(n_users) + 5.0)
+    users = rng.choice(n_users, size=n, p=w / w.sum()) + 1
+    ts = base_us + rng.integers(0, span_us, size=n)
+    types = rng.choice(len(EVENT_TYPES), size=n)
+    values = np.round(np.exp(rng.normal(3.0, 1.0, size=n)), 2)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users.astype(np.int64), pa.int64()),
+            "event_type": pa.array(
+                [EVENT_TYPES[i] for i in types], pa.string()
+            ),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
 def main(out_root: str = "/root/repo/.scale") -> None:
     import os
 
@@ -132,7 +166,19 @@ def main(out_root: str = "/root/repo/.scale") -> None:
             pq.write_table(
                 vecs, os.path.join(d, "embeddings.parquet"), row_group_size=ROW_GROUP
             )
-            print(d, docs.num_rows, "docs,", vecs.num_rows, "vectors")
+            evs = gen_events(EVENTS_BASE * mult, USERS_BASE * mult, seed=42 + mult)
+            pq.write_table(
+                evs, os.path.join(d, "events.parquet"), row_group_size=ROW_GROUP
+            )
+            print(
+                d,
+                docs.num_rows,
+                "docs,",
+                vecs.num_rows,
+                "vectors,",
+                evs.num_rows,
+                "events",
+            )
 
 
 if __name__ == "__main__":

@@ -29,16 +29,31 @@ FAMILIES = [
     ("sim_ann_ivf", "vecs"),
     ("dedup_semantic", "vecs"),
 ]
-SCALES = [(1, 5000, 2000), (3, 15000, 6000), (10, 50000, 20000)]
+# round-7 continuation families (events-grained; run with
+# `python tools/scale_rehearsal.py <reps> gen r7`)
+FAMILIES_R7 = [
+    ("events_stickiness", "events"),
+    ("events_velocity_flags", "events"),
+    ("join_nearest_event", "events"),
+    ("events_rfm_segments", "events"),
+    ("stats_ks_test", "events"),
+    ("text_rake_scores", "docs"),
+]
+SCALES = [
+    (1, 5000, 2000, 100_000),
+    (3, 15000, 6000, 300_000),
+    (10, 50000, 20000, 1_000_000),
+]
 
 
-def main(reps: int = 2, prefix: str = "gen") -> None:
+def main(reps: int = 2, prefix: str = "gen", fam: str = "core") -> None:
+    families = FAMILIES_R7 if fam == "r7" else FAMILIES
     load_all()
     spark = get_spark("scale-rehearsal", master="local[32]")
     results: dict[str, dict[int, float]] = {}
-    for mult, _, _ in SCALES:
+    for mult, *_ in SCALES:
         sf_dir = f"/root/repo/.scale/{prefix}{mult}"
-        for name, _kind in FAMILIES:
+        for name, _kind in families:
             q = QUERIES[name]
             q(spark, sf_dir).collect()  # warm (plan + page cache)
             best = min(
@@ -48,9 +63,12 @@ def main(reps: int = 2, prefix: str = "gen") -> None:
             print(f"{prefix}{mult} {name}: {best:.2f}s", flush=True)
     print("\n| family | rows base | t(1x) | t(3x) | t(10x) | exp 1->3 | exp 3->10 |")
     print("|---|---|---|---|---|---|---|")
-    for name, kind in FAMILIES:
+    for name, kind in families:
         r = results[name]
-        n = {m: (d if kind == "docs" else v) for m, d, v in SCALES}
+        n = {
+            m: (d if kind == "docs" else (v if kind == "vecs" else e))
+            for m, d, v, e in SCALES
+        }
         e13 = math.log(r[3] / r[1]) / math.log(n[3] / n[1])
         e310 = math.log(r[10] / r[3]) / math.log(n[10] / n[3])
         print(
@@ -69,4 +87,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 2,
         sys.argv[2] if len(sys.argv) > 2 else "gen",
+        sys.argv[3] if len(sys.argv) > 3 else "core",
     )
