@@ -1091,3 +1091,49 @@ class TestRound7bPlans:
         plan = formatted_plan(queries["events_stickiness"](spark, SF))
         jc = join_counts(plan)
         assert jc["CartesianProduct"] == 0, plan
+
+    def test_continuation_queries_prune_scans(self, spark, queries):
+        """Column pruning is the first 100 TB lever: every continuation
+        query's parquet scan must read only the columns its expressions
+        need — a scan dragging `props` or `text` it never uses is a
+        silent 10x on real data."""
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        cases = [
+            ("stats_ks_test", "event_type", {"event_type", "value"}),
+            ("stats_mannwhitney", "event_type", {"event_type", "value"}),
+            ("stats_welch_ttest", "event_type", {"event_type", "value"}),
+            ("stats_srm_check", "event_type", {"event_type", "user_id"}),
+            (
+                "events_velocity_flags",
+                "user_id",
+                {"user_id", "ts"},
+            ),
+            (
+                "events_rfm_segments",
+                "user_id",
+                {"user_id", "ts", "event_type", "value"},
+            ),
+            ("events_level_shift", "event_type", {"event_type", "ts"}),
+            ("events_new_vs_returning", "user_id", {"user_id", "ts"}),
+            ("events_dow_profile", "event_type", {"event_type", "ts"}),
+            ("events_stickiness", "user_id", {"user_id", "ts"}),
+            ("events_user_entropy", "user_id", {"user_id", "event_type"}),
+            (
+                "dedup_impact_report",
+                "doc_id",
+                {"doc_id", "source", "n_chars", "text"},
+            ),
+            (
+                "layout_compaction_bins",
+                "source",
+                {"source", "doc_id", "n_chars"},
+            ),
+            ("text_readability", "doc_id", {"doc_id", "text"}),
+            ("text_rake_scores", "doc_id", {"doc_id", "text"}),
+            ("feature_target_encode", "o_orderpriority",
+             {"o_orderpriority", "o_orderstatus"}),
+        ]
+        for name, marker, allowed in cases:
+            df = queries[name](spark, SF)
+            assert_reads_only(df, marker, allowed)
