@@ -641,3 +641,51 @@ class TestNonparamProperties:
             assert ks["d_scaled"] == self._np_ks(xa, ya), (trial, x, y)
             assert mw["u1_x2"] == self._np_u1_x2(xa, ya), (trial, x, y)
             assert mw["u1_x2"] + mw["u2_x2"] == 2 * len(x) * len(y)
+
+
+class TestAsofCarryMirror:
+    """The forward as-of carry was rewritten from first()-over-
+    UnboundedFollowing (O(n²) per key) to a running last() over
+    REVERSED time order. Randomized equivalence against the original
+    formulation, including timestamp collisions and tiebreaks."""
+
+    def test_forward_carry_equals_naive_formulation(self, spark):
+        import random
+        from datetime import datetime as dt, timedelta as td
+
+        from pyspark.sql import Window
+        from easy_alterator_spark.operators.joins import asof_join_forward
+
+        rng = random.Random(13)
+        base = dt(2024, 1, 1)
+        # small ts alphabet forces collisions between probes/versions
+        left = [
+            (rng.randint(1, 3), base + td(seconds=rng.randint(0, 9)), i)
+            for i in range(25)
+        ]
+        right = [
+            (
+                rng.randint(1, 3),
+                base + td(seconds=rng.randint(0, 9)),
+                rng.randint(0, 99),
+            )
+            for _ in range(25)
+        ]
+        ldf = spark.createDataFrame(left, "k long, ts timestamp, probe_id long")
+        rdf = spark.createDataFrame(right, "k long, vts timestamp, ver long")
+
+        got = {
+            r["probe_id"]: r["ver"]
+            for r in asof_join_forward(
+                ldf, rdf, on="k", left_ts="ts", right_ts="vts",
+                value_cols=["ver"], right_tiebreak="ver",
+            ).collect()
+        }
+
+        # naive reference: per probe, min-vts version with vts >= ts,
+        # ties on vts broken by smallest ver (the documented contract)
+        want = {}
+        for k, ts, pid in left:
+            cands = [(vts, ver) for (rk, vts, ver) in right if rk == k and vts >= ts]
+            want[pid] = min(cands)[1] if cands else None
+        assert got == want
