@@ -689,3 +689,88 @@ class TestAsofCarryMirror:
             cands = [(vts, ver) for (rk, vts, ver) in right if rk == k and vts >= ts]
             want[pid] = min(cands)[1] if cands else None
         assert got == want
+
+
+class TestLevelShift:
+    def test_detects_planted_step(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        # type 'a': 10 days at 2/day then 10 days at 8/day ->
+        # split at day 10 (last low day), means 2.0 / 8.0
+        rows = []
+        eid = 0
+        for day in range(1, 21):
+            n = 2 if day <= 10 else 8
+            for k in range(n):
+                eid += 1
+                rows.append((eid, dt(2024, 1, day, 8, k), 1, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["events_level_shift"](spark, sf).collect()
+        assert str(row["split_day"]) == "2024-01-10"
+        assert row["mean_before"] == 2.0 and row["mean_after"] == 8.0
+        # gap at t=10: |cum*n - idx*total| = |20*20 - 10*100| = 600
+        assert row["gap_scaled"] == 600
+
+    def test_flat_series_picks_earliest_zero_gap(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        rows = [
+            (d, dt(2024, 1, d, 8), 1, "a", 1.0, "{}") for d in range(1, 6)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        (row,) = queries["events_level_shift"](spark, sf).collect()
+        assert row["gap_scaled"] == 0 and str(row["split_day"]) == "2024-01-01"
+        assert row["mean_before"] == row["mean_after"] == 1.0
+
+
+class TestRFMSegments:
+    def test_two_user_extremes(self, spark, tmp_path, queries):
+        from datetime import datetime as dt
+
+        # user 1: recent, frequent, high-spend -> tile 1 everywhere
+        # (NTILE(4) with 2 users puts rank-1 in tile 1, rank-2 in 2)
+        rows = [
+            (1, dt(2024, 1, 10, 9), 1, "purchase", 50.0, "{}"),
+            (2, dt(2024, 1, 10, 10), 1, "purchase", 50.0, "{}"),
+            (3, dt(2024, 1, 10, 11), 1, "view", 1.0, "{}"),
+            (4, dt(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["segment"]: r
+            for r in queries["events_rfm_segments"](spark, sf).collect()
+        }
+        # user 1: rec 0 (tile 1), freq 3 (tile 1), cents 10000 (tile 1)
+        # user 2: rec 9 (tile 2), freq 1 (tile 2), cents 0 (tile 2)
+        assert set(got) == {111, 222}
+        assert got[111]["n_users"] == 1 and got[111]["max_cents"] == 10000
+        assert got[222]["min_cents"] == 0
+
+
+class TestSliceScan:
+    def test_lift_identity_and_lattice_levels(self, spark, tmp_path, queries):
+        rows = [
+            # lang en: 2 docs, 1 bad; lang de: 2 docs, 1 bad
+            (1, "x", "en", "s1", 100),
+            (2, "x", "en", "s2", 300),
+            (3, "x", "de", "s1", 150),
+            (4, "x", "de", "s2", 250),
+        ]
+        import pyspark.sql.functions as _F  # noqa: F401
+
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["lang"], r["source"]): r
+            for r in queries["dq_slice_scan"](spark, str(tmp_path)).collect()
+        }
+        # lattice: 2 lang rows + 2 source rows + 4 pair rows
+        assert len(got) == 8
+        # source s1 holds both bad docs: lift = (2*4)/(2*2) = 2.0
+        assert got[("ALL", "s1")]["bad"] == 2
+        assert got[("ALL", "s1")]["lift"] == 2.0
+        assert got[("ALL", "s2")]["lift"] == 0.0
+        # lang rows are balanced: lift 1.0
+        assert got[("en", "ALL")]["lift"] == 1.0
+        assert got[("de", "ALL")]["lift"] == 1.0
