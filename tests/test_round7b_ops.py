@@ -774,3 +774,63 @@ class TestSliceScan:
         # lang rows are balanced: lift 1.0
         assert got[("en", "ALL")]["lift"] == 1.0
         assert got[("de", "ALL")]["lift"] == 1.0
+
+
+class TestStreamEntropyMultiBatch:
+    def test_state_accumulates_across_micro_batches(self, spark, tmp_path, queries):
+        """The registered twin drains the single-file source in one
+        micro-batch; this forces FOUR (maxFilesPerTrigger=1 over a
+        4-file split) so the update-mode count state actually evolves
+        across batches, then checks max(count)-recovery + the shared
+        entropy fold still land exactly on the batch rows."""
+        from easy_alterator_spark.queries.analytics import (
+            _ENTROPY_TYPES,
+            _entropy_select,
+        )
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.events import run_to_memory
+
+        SFD = "/root/testdata/sf0.001"
+        ev = load_table(spark, SFD, "events").select("user_id", "event_type")
+        src = str(tmp_path / "evsplit")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("user_id", "event_type")
+            .count()
+        )
+        run_to_memory(stream, "multi_batch_entropy_sink", output_mode="update",
+                      state_partitions=4)
+        sink = spark.table("multi_batch_entropy_sink")
+        # >1 micro-batch means at least one (user, type) re-emitted
+        # with a strictly larger count
+        re_emits = (
+            sink.groupBy("user_id", "event_type")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert re_emits > 0, "split produced only one micro-batch"
+
+        final = sink.groupBy("user_id", "event_type").agg(
+            F.max("count").alias("cnt")
+        )
+        aggs = [
+            F.sum(
+                F.when(F.col("event_type") == t, F.col("cnt")).otherwise(F.lit(0))
+            ).alias(f"c{i+1}")
+            for i, t in enumerate(_ENTROPY_TYPES)
+        ]
+        p = final.groupBy("user_id").agg(*aggs, F.sum("cnt").alias("n"))
+        got = {
+            r["user_id"]: (r["n"], r["n_types"], r["entropy"])
+            for r in _entropy_select(p).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["n_types"], r["entropy"])
+            for r in queries["events_user_entropy"](spark, SFD).collect()
+        }
+        assert got == want
