@@ -834,3 +834,43 @@ class TestStreamEntropyMultiBatch:
             for r in queries["events_user_entropy"](spark, SFD).collect()
         }
         assert got == want
+
+
+class TestStreamHLLMultiBatch:
+    def test_registers_converge_across_micro_batches(self, spark, tmp_path):
+        """stream_hll_distinct's docstring claims ANY file-to-micro-
+        batch split converges to the identical sketch (registers are
+        MAX-monotone). Prove it: 4-file split, one file per trigger,
+        drained registers MAX-folded must equal the batch registers
+        bit-for-bit."""
+        from easy_alterator_spark.operators.sketches import hll_fold, hll_registers
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.events import run_to_memory
+
+        SFD = "/root/testdata/sf0.001"
+        ev = load_table(spark, SFD, "events").select("event_type", "event_id")
+        src = str(tmp_path / "evhll")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_type string, event_id long"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        regs = hll_registers(stream, "event_type", "event_id")
+        run_to_memory(regs, "multi_batch_hll_sink", output_mode="update",
+                      state_partitions=4)
+        final = (
+            spark.table("multi_batch_hll_sink")
+            .groupBy("event_type", "idx")
+            .agg(F.max("reg").alias("reg"))
+        )
+        got = {
+            r["event_type"]: (r["est_distinct"],)
+            for r in hll_fold(final, "event_type").collect()
+        }
+        want = {
+            r["event_type"]: (r["est_distinct"],)
+            for r in hll_fold(
+                hll_registers(ev, "event_type", "event_id"), "event_type"
+            ).collect()
+        }
+        assert got == want
