@@ -2441,6 +2441,7 @@ _USER_ENTROPY_ORACLE = """
     """
 
 _ENTROPY_TYPES = ["click", "error", "purchase", "signup", "view"]
+_ENTROPY_SINK_SEQ = [0]
 
 
 def _entropy_select(p):
@@ -2536,9 +2537,6 @@ def stream_user_entropy(spark, sf_dir):
     ]
     p = final.groupBy("user_id").agg(*aggs, F.sum("cnt").alias("n"))
     return _entropy_select(p)
-
-
-_ENTROPY_SINK_SEQ = [0]
 
 
 @query(
