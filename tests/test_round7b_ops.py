@@ -874,3 +874,30 @@ class TestStreamHLLMultiBatch:
             ).collect()
         }
         assert got == want
+
+
+class TestNonparamEdges:
+    def test_one_sided_sample_yields_null_stat_not_crash(self, spark):
+        """A missing second sample is a data condition, not a crash:
+        the integer outputs stay exact (d_scaled 0 with n2 = 0) and
+        the ratio statistic surfaces as NULL — Spark's non-ANSI
+        divide-by-zero semantic — for the caller to gate."""
+        from easy_alterator_spark.operators.nonparam import ks_2samp, mannwhitney_u
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a")], "value double, grp string"
+        )
+        (ks,) = ks_2samp(df, "value", "grp", "a", "b").collect()
+        assert ks["n1"] == 2 and ks["n2"] == 0 and ks["d_scaled"] == 0
+        assert ks["d_stat"] is None
+        (mw,) = mannwhitney_u(df, "value", "grp", "a", "b").collect()
+        assert mw["n1"] == 2 and mw["n2"] == 0
+        assert mw["u1_x2"] == 0 and mw["auc"] is None
+
+    def test_both_groups_absent_yields_empty(self, spark):
+        from easy_alterator_spark.operators.nonparam import ks_2samp
+
+        df = spark.createDataFrame(
+            [(1.0, "zzz")], "value double, grp string"
+        )
+        assert ks_2samp(df, "value", "grp", "a", "b").count() == 0
