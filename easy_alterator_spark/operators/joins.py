@@ -124,7 +124,8 @@ def _asof_carry(
     """Shared union-sort carry engine behind both as-of directions.
 
     Tag probes (left) and versions (right), union, ONE shuffle+sort
-    on the key, then a single ``last``/``first`` (ignorenulls) window
+    on the key (forward scans time DESCENDING — see the frame note
+    below), then a single running ``last`` (ignorenulls) window
     carries the version struct to the probes after/before it. The
     carried values ride ONE struct column, so the window does one
     carry regardless of how many attributes the dimension has; the

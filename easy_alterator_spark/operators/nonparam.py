@@ -13,6 +13,11 @@ rank sum ``2*R1 = SUM(c1 * (2*cumt - t + 1))`` are exact integers —
 so cross-engine results are bit-identical and the only float is one
 IEEE division of exactly-representable integers.
 
+Edge semantics: if one sample is empty the integer outputs stay exact
+(counts and d_scaled/u1_x2 of 0) and the ratio statistics (d_stat,
+auc) are NULL — Spark's non-ANSI divide-by-zero — for the caller to
+gate; if both are empty the result is zero rows.
+
 Scale shape: the cumsum runs over DISTINCT values (vocabulary-sized,
 not data-sized). On a single global window that is one range-sorted
 partition; at 100 TB the swap is the two-pass distributed-rank

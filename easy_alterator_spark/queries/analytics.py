@@ -1095,11 +1095,12 @@ def join_time_to_next(spark, sf_dir):
     pipelines ("did the outcome follow this impression in the
     window"), which must read only the FUTURE side, exactly mirroring
     the leakage rule of the backward PIT lookup. Spark executes the
-    union-sort carry-backward: one shuffle+sort on user_id, one
-    first(ignorenulls) window over [current, following], tolerance as
-    a post-carry filter; the oracle is the literal correlated
-    MIN-subquery, so the two formulations checking each other IS the
-    correctness claim."""
+    union-sort carry: one shuffle+sort on user_id in REVERSED time
+    order, one running last(ignorenulls) window (never a
+    first()-over-unbounded-following, which Spark executes O(n²) per
+    key), tolerance as a post-carry filter; the oracle is the literal
+    correlated MIN-subquery, so the two formulations checking each
+    other IS the correctness claim."""
     from ..operators.joins import asof_join_forward
 
     ev = load_table(spark, sf_dir, "events")
