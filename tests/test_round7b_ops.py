@@ -901,3 +901,73 @@ class TestNonparamEdges:
             [(1.0, "zzz")], "value double, grp string"
         )
         assert ks_2samp(df, "value", "grp", "a", "b").count() == 0
+
+
+class TestRandomizedReferences:
+    def test_compaction_bins_match_python_reference(self, spark, tmp_path, queries):
+        import random
+
+        rng = random.Random(99)
+        rows = []
+        did = 0
+        for src in ("sA", "sB", "sC"):
+            for _ in range(rng.randint(1, 30)):
+                did += 1
+                rows.append((did, "t", "en", src, rng.randint(1, 9000)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        got = {
+            (r["source"], r["bin"]): (r["n_docs"], r["bytes"], r["first_doc"], r["last_doc"])
+            for r in queries["layout_compaction_bins"](spark, str(tmp_path)).collect()
+        }
+        # python reference: sequential first-fit by doc_id per source
+        want = {}
+        by_src = {}
+        for did_, _, _, src, n in rows:
+            by_src.setdefault(src, []).append((did_, n))
+        for src, docs in by_src.items():
+            docs.sort()
+            before = 0
+            for did_, n in docs:
+                b = before // 4096
+                nd, tb, fd, ld = want.get((src, b), (0, 0, did_, did_))
+                want[(src, b)] = (nd + 1, tb + n, min(fd, did_), max(ld, did_))
+                before += n
+        assert got == want
+
+    def test_stickiness_matches_python_reference(self, spark, tmp_path, queries):
+        import random
+        from datetime import datetime as dt, timedelta as td
+
+        rng = random.Random(5)
+        rows = []
+        eid = 0
+        for u in range(1, 9):
+            for _ in range(rng.randint(1, 12)):
+                eid += 1
+                d = rng.randint(0, 59)  # spans > 30 days so covers expire
+                rows.append(
+                    (eid, dt(2024, 1, 1) + td(days=d, hours=9), u, "view", 1.0, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            str(r["day"]): (r["dau"], r["mau"])
+            for r in queries["events_stickiness"](spark, sf).collect()
+        }
+        # reference: active-day sets per user
+        active = {}
+        for _, ts, u, *_ in rows:
+            active.setdefault(u, set()).add(ts.date())
+        days = sorted({d for s in active.values() for d in s})
+        want = {}
+        for d in days:
+            dau = sum(1 for s in active.values() if d in s)
+            mau = sum(
+                1
+                for s in active.values()
+                if any(0 <= (d - ad).days <= 29 for ad in s)
+            )
+            want[str(d)] = (dau, mau)
+        assert got == want
