@@ -38,8 +38,13 @@ def _value_counts(
     if value_col not in df.columns or group_col not in df.columns:
         raise ValueError(f"need columns {value_col!r}, {group_col!r}")
     g = F.col(group_col)
+    # NULL values are excluded: a NULL forms its own count group and
+    # Spark's ASC window orders NULLs first while DuckDB orders them
+    # last, so the cumsum (and hence D / U) would silently diverge —
+    # and an ECDF step at NULL is meaningless anyway. The oracles
+    # carry the matching WHERE value IS NOT NULL.
     return (
-        df.filter(g.isin(a, b))
+        df.filter(g.isin(a, b) & F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             F.sum(F.when(g == a, 1).otherwise(0)).alias("c1"),

@@ -1740,7 +1740,9 @@ def events_ntile_quartiles(spark, sf_dir):
                                THEN 1 ELSE 0 END)::BIGINT AS c1,
                       SUM(CASE WHEN event_type = 'view'
                                THEN 1 ELSE 0 END)::BIGINT AS c2
-               FROM events WHERE event_type IN ('purchase', 'view')
+               FROM events
+               WHERE event_type IN ('purchase', 'view')
+                 AND value IS NOT NULL
                GROUP BY value),
     c AS (SELECT value,
                  (SUM(c1) OVER (ORDER BY value))::BIGINT AS cum1,
@@ -1792,7 +1794,9 @@ def stats_ks_test(spark, sf_dir):
                                THEN 1 ELSE 0 END)::BIGINT AS c1,
                       SUM(CASE WHEN event_type = 'view'
                                THEN 1 ELSE 0 END)::BIGINT AS c2
-               FROM events WHERE event_type IN ('purchase', 'view')
+               FROM events
+               WHERE event_type IN ('purchase', 'view')
+                 AND value IS NOT NULL
                GROUP BY value),
     c AS (SELECT c1, c2, c1 + c2 AS t,
                  (SUM(c1 + c2) OVER (ORDER BY value))::BIGINT AS cumt
@@ -2055,8 +2059,11 @@ def layout_compaction_bins(spark, sf_dir):
         "n_chars",
         F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
     )
+    # `div` is true int64 division (Spark `/` on bigints is a double
+    # divide, exact only below 2^53 — not "integer-exact at any
+    # scale" as this planner claims for petabyte manifests).
     return c.groupBy(
-        "source", F.floor(F.col("before") / 4096).alias("bin")
+        "source", F.expr("before div 4096").alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("bytes"),
@@ -2481,8 +2488,11 @@ def events_user_entropy(spark, sf_dir):
     (SUM of p*ln p in engine-chosen order) is designed out by pivoting
     the counts to FIXED per-type columns, so the 5-term sum is one
     left-to-right expression tree evaluated identically by both
-    engines; each p is a single IEEE division of exact integers, ln is
-    correctly-rounded libm, and the output is floor-gridded at 1e-4.
+    engines; each p is a single IEEE division of exact integers. ln is
+    the one libm call — JVM Math.log and DuckDB ln are high-quality
+    but NOT guaranteed correctly rounded, so the floor-grid at 1e-4
+    makes a disagreement overwhelmingly unlikely (a 1-ulp divergence
+    would have to land exactly on a grid boundary), not impossible.
     One user-grained aggregate, map-side partial, no window, no join —
     the cheapest possible shape."""
     ev = load_table(spark, sf_dir, "events")
