@@ -57,6 +57,7 @@ def load_all() -> None:
         analytics,
         corpusops,
         extensions,
+        featureops,
         relational,
         scaleops,
         schema_tools,

@@ -1,0 +1,819 @@
+"""Round-8 feature/analytics extensions: higher-moment statistics,
+rank correlation, recursive smoothing, multi-touch attribution,
+co-occurrence recommendation, triangle counting, training-feature
+tables, seasonal-naive backtesting, and corpus vocabulary-richness.
+
+Every query keeps the repo's cross-engine discipline: integer (or
+DECIMAL/HUGEINT) exactness through every aggregation, floats only in
+FIXED expression trees of correctly-rounded IEEE ops, libm/sqrt-
+bearing outputs floor-gridded at 1e-4 with a +1e-6 boundary nudge at
+the x1e4 scale: the nudge is orders of magnitude above 1-ulp noise
+but far below the grid step, so a TRUE value sitting exactly on a
+grid point (rho = 1, kurtosis of a symmetric sample) can no longer
+truncate down a whole step from half-ulp-below rounding, while
+genuinely sub-grid differences still truncate identically on both
+engines. No UDFs, no driver loops, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+# exact integer cents — one shared IEEE multiply, exact +0.5, floor —
+# the repo-wide pattern for float `value` (see events_value_ranks)
+_CENTS = 'FLOOR("value" * 100 + 0.5)::BIGINT'
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.floor(F.col(col) * 100 + 0.5).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# stats_skew_kurtosis — exact raw-moment folds in DECIMAL(38,0)/HUGEINT
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_skew_kurtosis",
+    # raw moments S1..S4 of exact integer cents, folded in HUGEINT;
+    # A = n*S2 - S1^2 = n^2*m2, B = n^2*S3 - 3n*S1*S2 + 2*S1^3 = n^3*m3,
+    # C = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4 = n^4*m4 are exact
+    # integers (shift-invariant central-moment multiples); skewness
+    # g1 = B / (A*sqrt(A)) and excess kurtosis g2 = C/A^2 - 3 are fixed
+    # IEEE trees (correctly-rounded conversions, sqrt, mul, div)
+    oracle=f"""
+    WITH c AS (SELECT event_type, {_CENTS} AS c FROM events),
+    s AS (SELECT event_type, COUNT(*)::HUGEINT AS n,
+                 SUM(c::HUGEINT) AS s1,
+                 SUM((c * c)::HUGEINT) AS s2,
+                 SUM((c * c * c)::HUGEINT) AS s3,
+                 SUM((c * c)::HUGEINT * (c * c)::HUGEINT) AS s4
+          FROM c GROUP BY event_type),
+    m AS (SELECT event_type, n,
+                 n * s2 - s1 * s1 AS a,
+                 n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS b,
+                 n * n * n * s4 - 4 * n * n * s1 * s3
+                   + 6 * n * s1 * s1 * s2 - 3 * (s1 * s1) * (s1 * s1) AS d
+          FROM s)
+    SELECT event_type, n::BIGINT AS n,
+           FLOOR(b::DOUBLE / (a::DOUBLE * sqrt(a::DOUBLE)) * 1e4 + 1e-6) / 1e4
+               AS skewness,
+           FLOOR((d::DOUBLE / (a::DOUBLE * a::DOUBLE) - 3) * 1e4 + 1e-6) / 1e4
+               AS ex_kurtosis
+    FROM m WHERE a > 0
+    """,
+)
+def stats_skew_kurtosis(spark, sf_dir):
+    """Skewness and excess kurtosis of the value distribution per
+    event type — the moment statistics that catch heavy tails and
+    asymmetry that mean/variance screens (stats_welch_ttest) miss.
+    Exactness: values snap to integer cents; the four raw-moment sums
+    fold in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact at
+    these magnitudes (cents <= 1e5, so S4 <= n*1e20 and the largest
+    combined term 6n*S1^2*S2 stays under 1e37 for per-group n up to
+    ~2e5); A, B, C are exact integer multiples of the central moments
+    and the statistics are fixed IEEE trees over their (correctly
+    rounded) double conversions, floor-gridded at 1e-4. Shape: ONE
+    map-side-partial hash aggregate, one row per event type — the
+    cheapest distributed shape. At 100 TB the same fold applies; for
+    per-group n beyond ~1e6 shift each group by its integer mean
+    first (A/B/C are shift-invariant) to keep the fold inside
+    DECIMAL(38)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = _cents().alias("c")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c2 = (F.col("c") * F.col("c")).alias("c2")
+    base = ev.select("event_type", c).select("event_type", "c", c2)
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("c"))).alias("s1"),
+        F.sum(d38(F.col("c2"))).alias("s2"),
+        F.sum(d38(F.col("c2") * F.col("c"))).alias("s3"),
+        F.sum(d38(F.col("c2")) * d38(F.col("c2"))).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    a = n * s2 - s1 * s1
+    b = n * n * s3 - F.lit(3) * n * s1 * s2 + F.lit(2) * s1 * s1 * s1
+    dd = (
+        n * n * n * s4
+        - F.lit(4) * n * n * s1 * s3
+        + F.lit(6) * n * s1 * s1 * s2
+        - F.lit(3) * (s1 * s1) * (s1 * s1)
+    )
+    m = s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        a.cast("double").alias("ad"),
+        b.cast("double").alias("bd"),
+        dd.cast("double").alias("dd"),
+    ).filter(F.col("ad") > 0)
+    return m.select(
+        "event_type",
+        "n",
+        (
+            F.floor(F.col("bd") / (F.col("ad") * F.sqrt("ad")) * 1e4 + 1e-6)
+            / 1e4
+        ).alias("skewness"),
+        (
+            F.floor((F.col("dd") / (F.col("ad") * F.col("ad")) - 3) * 1e4 + 1e-6)
+            / 1e4
+        ).alias("ex_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_spearman — rank correlation with integer average ranks
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_spearman",
+    # Spearman rho between value-cents and epoch-seconds using DOUBLED
+    # average ranks (the stats_mannwhitney trick: a tie group of size
+    # t after cum-c smaller values has doubled rank 2*cum - c + 1, an
+    # exact int64); the five rank sums stay int64 and the final
+    # combination runs in HUGEINT before ONE fixed IEEE tree
+    oracle=f"""
+    WITH r AS (SELECT {_CENTS} AS v, epoch(ts)::BIGINT AS s FROM events),
+    vx AS (SELECT v, COUNT(*)::BIGINT AS c FROM r GROUP BY v),
+    vxr AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v) - c + 1)::BIGINT AS rx
+            FROM vx),
+    vy AS (SELECT s, COUNT(*)::BIGINT AS c FROM r GROUP BY s),
+    vyr AS (SELECT s, (2 * SUM(c) OVER (ORDER BY s) - c + 1)::BIGINT AS ry
+            FROM vy),
+    j AS (SELECT vxr.rx, vyr.ry FROM r
+          JOIN vxr ON r.v = vxr.v JOIN vyr ON r.s = vyr.s),
+    agg AS (SELECT COUNT(*)::HUGEINT AS n, SUM(rx)::HUGEINT AS sx,
+                   SUM(ry)::HUGEINT AS sy, SUM(rx * rx)::HUGEINT AS sxx,
+                   SUM(ry * ry)::HUGEINT AS syy,
+                   SUM(rx * ry)::HUGEINT AS sxy
+            FROM j)
+    SELECT n::BIGINT AS n,
+           FLOOR((n * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE)) * 1e4 + 1e-6)
+               / 1e4
+               AS spearman_rho
+    FROM agg
+    """,
+)
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation between event value and time — the
+    monotone-trend screen that Pearson (stats_corr_matrix) misses on
+    nonlinear drifts. Ranks are DOUBLED average ranks so tie groups
+    stay exactly integral (the stats_mannwhitney device): for a value
+    with c occurrences below cumulative count cum, rx = 2*cum - c + 1.
+    Both rank tables are vocabulary-sized cumsums over DISTINCT
+    values; rows join back on the value (two shuffles bounded by the
+    distinct-value count — at 100 TB swap in the two-pass distributed
+    rank of operators/rank.py). The five sums stay int64 (rx <= 2n, so
+    sum(rx*ry) <= 4n^3 — exact to n ~ 1e6); the final combination is
+    exact in DECIMAL(38,0)/HUGEINT, then rho is one fixed IEEE tree,
+    floor-gridded."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        _cents().alias("v"), F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+
+    def rank2(df, col, out):
+        cnt = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return cnt.select(
+            col,
+            (2 * F.sum("c").over(w) - F.col("c") + 1).cast("bigint").alias(out),
+        )
+
+    j = r.join(rank2(r, "v", "rx"), "v").join(rank2(r, "s", "ry"), "s")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.sum("rx")).alias("sx"),
+        d38(F.sum("ry")).alias("sy"),
+        d38(F.sum(F.col("rx") * F.col("rx"))).alias("sxx"),
+        d38(F.sum(F.col("ry") * F.col("ry"))).alias("syy"),
+        d38(F.sum(F.col("rx") * F.col("ry"))).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = (n * F.col("sxx") - sx * sx).cast("double")
+    dy = (n * F.col("syy") - sy * sy).cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        (
+            F.floor(num / (F.sqrt(dx) * F.sqrt(dy)) * 1e4 + 1e-6) / 1e4
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_smooth — recursive smoothing as an identical-order fold
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ewma_smooth",
+    # EWMA (alpha = 1/2) over each user's ordered daily-spend series.
+    # The recurrence ewma_t = 0.5*ewma_{t-1} + 0.5*x_t is evaluated as
+    # a LEFT FOLD over the day-ordered list on BOTH engines (Spark
+    # aggregate() over the tail seeded with the head; DuckDB
+    # list_reduce, which seeds with the head by definition) — the two
+    # engines execute the IDENTICAL sequence of IEEE ops, so the
+    # result is bit-identical before the defensive floor-grid
+    oracle=f"""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM({_CENTS})::BIGINT AS spend
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, COUNT(*)::BIGINT AS n_days,
+                 list(spend::DOUBLE ORDER BY day) AS xs
+          FROM d GROUP BY user_id)
+    SELECT user_id, n_days,
+           FLOOR(list_reduce(xs, (acc, x) -> 0.5 * acc + 0.5 * x) * 1e4)
+               / 1e4 AS ewma_spend
+    FROM s
+    """,
+)
+def events_ewma_smooth(spark, sf_dir):
+    """Exponentially weighted moving average of daily spend per user
+    (alpha = 1/2) — the classic recursive smoother behind burn-rate
+    and engagement-trend features, and deliberately a RECURSIVE
+    stateful computation: it cannot be a window SUM, so it exercises
+    the ordered-fold pattern. Both engines fold the day-ordered list
+    left-to-right seeded with the first element, executing the same
+    multiply/add sequence (each correctly rounded), so results agree
+    bit-for-bit; the 1e-4 floor-grid is defensive only. Scale shape:
+    per-user day series are bounded (calendar-bounded — 30 days here,
+    ~3650 for a decade), so collect_list stays KB-sized per key and
+    the whole query is one (user, day) aggregate + one user aggregate
+    — no window over raw events, no cross-row float ambiguity. The
+    100 TB form is identical; the fold is applyInPandasWithState in
+    streaming (see stream_user_entropy for the bounded-state twin
+    pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents()).alias("spend"))
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("spend").cast("double").alias("x")))
+        ).alias("sx"),
+    )
+    xs = F.transform(F.col("sx"), lambda e: e.getField("x"))
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return s.select(
+        "user_id",
+        "n_days",
+        (F.floor(ewma * 1e4) / 1e4).alias("ewma_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_positional — integer per-mille multi-touch credit
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_attribution_positional",
+    # position-based (U-shaped) attribution with INTEGER per-mille
+    # credit: 400/400 to first/last touch, 200 split over middles by
+    # integer division with the remainder assigned to the EARLIEST
+    # middles — deterministic, sums to exactly 1000 per converting
+    # user, no per-row float credit to re-aggregate
+    oracle="""
+    WITH conv AS (SELECT user_id, MIN(ROW(ts, event_id)) AS c
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id),
+    t AS (SELECT e.user_id, e.event_type,
+                 ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                    ORDER BY e.ts, e.event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY e.user_id)::BIGINT AS k
+          FROM events e JOIN conv ON e.user_id = conv.user_id
+          WHERE ROW(e.ts, e.event_id) < conv.c),
+    cr AS (SELECT event_type, user_id,
+                  CASE WHEN k = 1 THEN 1000
+                       WHEN k = 2 THEN 500
+                       WHEN pos = 1 OR pos = k THEN 400
+                       ELSE 200 // (k - 2)
+                            + CASE WHEN pos - 1 <= 200 % (k - 2)
+                                   THEN 1 ELSE 0 END
+                  END::BIGINT AS permille
+           FROM t)
+    SELECT event_type, COUNT(*)::BIGINT AS touches,
+           COUNT(DISTINCT user_id)::BIGINT AS users,
+           SUM(permille)::BIGINT AS credit_permille
+    FROM cr GROUP BY event_type
+    """,
+)
+def events_attribution_positional(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's touches — events strictly before their FIRST
+    purchase in (ts, event_id) order — credit 40% to the first touch,
+    40% to the last, 20% split across the middles. Credit is INTEGER
+    per-mille: the middle share uses integer division with the
+    remainder given to the earliest middles, so every user's path sums
+    to exactly 1000 and the channel aggregate is an int64 sum — no
+    accumulated float credit anywhere (the flaw in most attribution
+    jobs). Complements events_attribution_first_touch (100/0 rule).
+    Shape: a user-keyed min-reduce for the conversion cutoff, one
+    user-partitioned window for position/path-length, one hash
+    aggregate — all shuffles on user_id, the natural key; at 100 TB
+    identical."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
+    )
+    t = (
+        ev.join(conv, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("c"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    k, pos = F.col("k"), F.col("pos")
+    permille = (
+        F.when(k == 1, F.lit(1000))
+        .when(k == 2, F.lit(500))
+        .when((pos == 1) | (pos == k), F.lit(400))
+        .otherwise(
+            F.expr("200 div (k - 2)")
+            + F.when((pos - 1) <= F.pmod(F.lit(200), k - 2), 1).otherwise(0)
+        )
+        .cast("bigint")
+    )
+    return (
+        t.select("event_type", "user_id", permille.alias("permille"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum("permille").alias("credit_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rec_item_cooccur — co-visitation item-item similarity
+# ---------------------------------------------------------------------------
+
+@query(
+    "rec_item_cooccur",
+    # item-item collaborative filtering over co-visitation: per-user
+    # DISTINCT item sets -> per-user pair explode (bounded by the
+    # per-user item count) -> pair counts; cosine = co/sqrt(na*nb) is
+    # reported but RANKING is by integer (co DESC, item_b) so no float
+    # ordering ties decide the output
+    oracle="""
+    WITH ui AS (SELECT DISTINCT user_id,
+                       json_extract_string(props, '$.k')::INT AS item
+                FROM events),
+    ic AS (SELECT item, COUNT(*)::BIGINT AS nu FROM ui GROUP BY item),
+    co AS (SELECT a.item AS item_a, b.item AS item_b,
+                  COUNT(*)::BIGINT AS co
+           FROM ui a JOIN ui b
+             ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2),
+    sym AS (SELECT item_a, item_b, co FROM co
+            UNION ALL
+            SELECT item_b, item_a, co FROM co),
+    ranked AS (SELECT s.item_a, s.item_b, s.co,
+                      FLOOR(s.co::DOUBLE / sqrt((ia.nu * ib.nu)::DOUBLE)
+                            * 1e4 + 1e-6) / 1e4 AS cosine,
+                      ROW_NUMBER() OVER (PARTITION BY s.item_a
+                                         ORDER BY s.co DESC, s.item_b)
+                          AS rnk
+               FROM sym s JOIN ic ia ON s.item_a = ia.item
+                          JOIN ic ib ON s.item_b = ib.item
+               WHERE s.co >= 5)
+    SELECT item_a, item_b, co, cosine, rnk::BIGINT AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def rec_item_cooccur(spark, sf_dir):
+    """Item-item co-visitation recommender (the classic 'users who
+    touched A also touched B'): top-5 neighbors per item by raw
+    co-count, with the cosine co/sqrt(na*nb) reported alongside.
+    Ranking is by INTEGER (co DESC, item_b) — floats never order the
+    output, so 1-ulp cosine noise can't flip rows. Shape: distinct
+    (user, item) -> self-join on user_id (the pair explode is bounded
+    by the per-user distinct-item count; at 100 TB cap each user at
+    their top-N items first — heavy users are bots and add noise, the
+    standard production mitigation) -> pair hash-aggregate -> item
+    counts joined back (item-dimension-sized, broadcast) -> per-item
+    top-k window over item-grained groups. min-support co >= 5 keeps
+    noise pairs out."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    ic = ui.groupBy("item").agg(F.count(F.lit(1)).alias("nu"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "co",
+        )
+    ).filter(F.col("co") >= 5)
+    ia = ic.select(F.col("item").alias("item_a"), F.col("nu").alias("na"))
+    ib = ic.select(F.col("item").alias("item_b"), F.col("nu").alias("nb"))
+    ranked = (
+        sym.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            (
+                F.floor(
+                    F.col("co").cast("double")
+                    / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                    * 1e4
+                    + 1e-6
+                )
+                / 1e4
+            ).alias("cosine"),
+            F.row_number()
+            .over(
+                Window.partitionBy("item_a").orderBy(
+                    F.col("co").desc(), F.col("item_b")
+                )
+            )
+            .cast("bigint")
+            .alias("rnk"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# graph_triangles — triangle counting over the association graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_triangles",
+    # triangles over the above-average co-visitation graph: edge set =
+    # item pairs with co*n_pairs > sum_co (integer cross-multiply, no
+    # float threshold); count via the oriented two-join (a<b<c), then
+    # explode each triangle to its three corners for per-node counts
+    oracle="""
+    WITH ui AS (SELECT DISTINCT user_id,
+                       json_extract_string(props, '$.k')::INT AS item
+                FROM events),
+    co AS (SELECT a.item AS u, b.item AS v, COUNT(*)::BIGINT AS co
+           FROM ui a JOIN ui b
+             ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_pairs, SUM(co)::BIGINT AS sum_co
+            FROM co),
+    e AS (SELECT u, v FROM co CROSS JOIN tot
+          WHERE co * n_pairs > sum_co),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+    SELECT node, COUNT(*)::BIGINT AS triangles
+    FROM corners GROUP BY node
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the stronger-than-average
+    co-visitation graph — the clustering-structure primitive behind
+    community cohesion and spam-ring detection. The edge threshold is
+    the integer cross-multiply co*n_pairs > sum_co (strictly above the
+    mean co-count) so no float comparison defines the graph. Counting
+    uses the canonical oriented two-join: edges stored (u < v), wedges
+    a<b<c from e1(a,b) JOIN e2(b,c), closed by probing e3(a,c) — each
+    triangle found exactly once. At 100 TB orient edges by DEGREE
+    (low-degree endpoint first) instead of id so the wedge join is
+    bounded by sum of squared low-degrees (the standard heavy-hitter
+    mitigation); id-orientation is used here because the item universe
+    is dimension-sized. Per-node counts explode each triangle to its
+    three corners — output-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    aa, bb = ui.alias("a"), ui.alias("b")
+    co = (
+        aa.join(
+            bb,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    tot = co.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("co").alias("sum_co")
+    )
+    e = (
+        co.crossJoin(F.broadcast(tot))
+        .filter(F.col("co") * F.col("n_pairs") > F.col("sum_co"))
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+# ---------------------------------------------------------------------------
+# feature_lag_matrix — per-user training features with lags and labels
+# ---------------------------------------------------------------------------
+
+@query(
+    "feature_lag_matrix",
+    # the training-table staple: per (user, day) spend with lag-1,
+    # trailing-7-row sum/count, and the NEXT observed day's spend as
+    # the label — all exact int64 cents over one per-user day-ordered
+    # window pass
+    oracle=f"""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM({_CENTS})::BIGINT AS spend
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, day, spend,
+           LAG(spend) OVER w AS lag1_spend,
+           SUM(spend) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               ::BIGINT AS r7_sum,
+           COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               ::BIGINT AS r7_days,
+           LEAD(spend) OVER w AS next_spend
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def feature_lag_matrix(spark, sf_dir):
+    """Per-(user, day) training-feature matrix: daily spend, previous
+    observed day's spend (lag-1), trailing 7-observed-day sum and
+    count, and the NEXT observed day's spend as the supervised label —
+    the feature/label layout every churn or spend-forecast model
+    trains on. All columns are exact int64 cents; lags are row-based
+    over the observed-day series (day is unique per user after the
+    daily rollup, so row order is total and engine-independent).
+    Shape: one (user, day) hash aggregate, then ONE per-user ordered
+    window pass produces every feature AND the label — no self-joins,
+    no point-in-time join needed because the grain is already daily.
+    At 100 TB this is a single user-keyed shuffle; features stay
+    leakage-free by construction (every window frame ends at the
+    current row; the only forward-looking column is the label)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents()).alias("spend"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return d.select(
+        "user_id",
+        "day",
+        "spend",
+        F.lag("spend").over(w).alias("lag1_spend"),
+        F.sum("spend").over(w7).alias("r7_sum"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("r7_days"),
+        F.lead("spend").over(w).alias("next_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — seasonal-naive vs naive-1 backtest
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_forecast_backtest",
+    # forecast backtest on daily event counts: seasonal-naive (count at
+    # day-7) vs naive (day-1), scored on days where both forecasts
+    # exist; absolute errors are exact int64 sums, MAE is one division
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+    j AS (SELECT cur.event_type, cur.n,
+                 s.n AS f_seasonal, p.n AS f_naive
+          FROM d cur
+          JOIN d s ON s.event_type = cur.event_type
+                  AND s.day = cur.day - INTERVAL 7 DAY
+          JOIN d p ON p.event_type = cur.event_type
+                  AND p.day = cur.day - INTERVAL 1 DAY)
+    SELECT event_type, COUNT(*)::BIGINT AS n_scored,
+           SUM(ABS(n - f_seasonal))::BIGINT AS sae_seasonal,
+           SUM(ABS(n - f_naive))::BIGINT AS sae_naive,
+           SUM(ABS(n - f_seasonal))::DOUBLE / COUNT(*) AS mae_seasonal,
+           SUM(ABS(n - f_naive))::DOUBLE / COUNT(*) AS mae_naive
+    FROM j GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Forecast-model backtest on daily event counts: the seasonal
+    naive (same weekday last week) against the plain naive (yesterday)
+    — the two baselines every real forecasting pipeline must beat, and
+    the standard way to detect weekly seasonality strength (seasonal
+    MAE << naive MAE). Scored only on days where BOTH forecasts exist,
+    so the comparison is apples-to-apples. Absolute errors fold as
+    exact int64; each MAE is ONE IEEE division of exact integers —
+    deterministic, no grid needed. Shape: one (type, day) aggregate
+    (calendar-bounded — thousands of rows per type at ANY corpus
+    size), two self-joins on the tiny daily table, one aggregate; at
+    100 TB the daily rollup is the only data-sized stage."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur, s, p = d.alias("cur"), d.alias("s"), d.alias("p")
+    j = (
+        cur.join(
+            s,
+            (F.col("s.event_type") == F.col("cur.event_type"))
+            & (F.col("s.day") == F.date_sub(F.col("cur.day"), 7)),
+        )
+        .join(
+            p,
+            (F.col("p.event_type") == F.col("cur.event_type"))
+            & (F.col("p.day") == F.date_sub(F.col("cur.day"), 1)),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.col("cur.n").alias("n"),
+            F.col("s.n").alias("f_seasonal"),
+            F.col("p.n").alias("f_naive"),
+        )
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("f_seasonal"))).alias("sae_seasonal"),
+        F.sum(F.abs(F.col("n") - F.col("f_naive"))).alias("sae_naive"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("f_seasonal"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_seasonal"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("f_naive"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_trimmed_mean — robust location via rank-trimmed aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_trimmed_mean",
+    # 10%-trimmed mean per event type: total-order row_number over
+    # (cents, event_id), drop the bottom/top n//10 rows, exact int64
+    # sum over the kept band, ONE division
+    oracle=f"""
+    WITH c AS (SELECT event_type, event_id, {_CENTS} AS cents FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+          FROM c)
+    SELECT event_type, n,
+           (n - 2 * (n // 10))::BIGINT AS n_kept,
+           SUM(cents)::BIGINT AS kept_sum,
+           SUM(cents)::DOUBLE / (n - 2 * (n // 10)) AS trimmed_mean_cents
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type, n
+    """,
+)
+def stats_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean of value cents per event type — the robust
+    location estimate that survives the outliers events_winsorize
+    clamps and plain AVG swallows. The trim is rank-exact: a total
+    order over (cents, event_id) makes row_number engine-independent,
+    the bottom and top n//10 rows drop, and the kept band sums in
+    int64; the mean is ONE IEEE division of exact integers —
+    deterministic, no grid. Shape: one per-type sort (partition-
+    parallel across types) + hash aggregate. At 100 TB swap the
+    per-group sort for the two-pass distributed-rank decomposition in
+    operators/rank.py (same device as stats_histogram_equidepth) —
+    the trim boundaries become two rank lookups instead of a full
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", "event_id", _cents().alias("cents"))
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    k = F.expr("n div 10")
+    kept = r.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("event_type", "n").agg(
+        (F.col("n") - 2 * F.expr("n div 10")).cast("bigint").alias("n_kept"),
+        F.sum("cents").alias("kept_sum"),
+        (
+            F.sum("cents").cast("double")
+            / (F.col("n") - 2 * F.expr("n div 10"))
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_ratio — vocabulary-richness screen per source
+# ---------------------------------------------------------------------------
+
+_DTOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "text_hapax_ratio",
+    # vocabulary richness per source: token/type counts, hapax
+    # legomena share, type-token ratio, Herdan's C = ln(types)/
+    # ln(tokens); counts exact int64, ratios floor-gridded (C bears
+    # libm ln — see module docstring for the grid caveat)
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_DTOKS}) AS term FROM documents),
+    tc AS (SELECT source, term, COUNT(*)::BIGINT AS n
+           FROM tok GROUP BY source, term),
+    s AS (SELECT source, SUM(n)::BIGINT AS n_tokens,
+                 COUNT(*)::BIGINT AS n_types,
+                 SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+          FROM tc GROUP BY source)
+    SELECT source, n_tokens, n_types, hapax,
+           FLOOR(hapax::DOUBLE / n_types * 1e4) / 1e4 AS hapax_ratio,
+           FLOOR(n_types::DOUBLE / n_tokens * 1e4) / 1e4 AS ttr,
+           FLOOR(ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE) * 1e4 + 1e-6) / 1e4
+               AS herdan_c
+    FROM s WHERE n_tokens > 1 AND n_types > 0
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Vocabulary-richness profile per corpus source: hapax-legomena
+    share (tokens seen exactly once — high in natural prose, near zero
+    in template spam and log dumps), type-token ratio, and Herdan's C
+    (the length-robust richness exponent). Together with text_zipf_fit
+    these are the standard lexical screens for machine-generated or
+    boilerplate-heavy sources in training-data curation. Counts are
+    exact int64 through both aggregates; the two count ratios are
+    single IEEE divisions; Herdan's C bears two libm ln calls and is
+    floor-gridded at 1e-4 (high-quality but not provably
+    correctly-rounded libm — the grid makes divergence overwhelmingly
+    unlikely, not impossible). Shape: token explode -> (source, term)
+    hash aggregate -> source aggregate; both shuffles key on
+    vocabulary-sized grains, the canonical word-count shape at any
+    corpus size."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    s = tc.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    ty = F.col("n_types").cast("double")
+    return s.filter((F.col("n_tokens") > 1) & (F.col("n_types") > 0)).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "hapax",
+        (F.floor(F.col("hapax").cast("double") / ty * 1e4) / 1e4).alias(
+            "hapax_ratio"
+        ),
+        (F.floor(ty / nt * 1e4) / 1e4).alias("ttr"),
+        (F.floor(F.log(ty) / F.log(nt) * 1e4 + 1e-6) / 1e4).alias("herdan_c"),
+    )

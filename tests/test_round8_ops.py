@@ -1,0 +1,308 @@
+"""Round-8 feature/analytics queries: hand-computed value semantics on
+constructed micro-tables (written as parquet fixtures and run through
+the REGISTERED queries, so the full load_table -> query path is what's
+tested). Engine-vs-DuckDB parity runs in test_queries_oracle.py; these
+tests pin the MATH so a shared Spark/oracle misunderstanding can't
+slip through.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from easy_alterator_spark.queries import QUERIES, load_all
+
+load_all()
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, day_offset, user_id, event_type, value, props)."""
+    df = spark.createDataFrame(
+        [
+            (eid, T0 + timedelta(days=d, seconds=eid), uid, et, v, pr)
+            for (eid, d, uid, et, v, pr) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _write_docs(spark, path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for (i, t, lang, src) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+class TestEwmaSmooth:
+    def test_fold_order_and_seed(self, spark, tmp_path):
+        # user 1 daily spends 100, 200, 400 cents:
+        # seed 100 -> .5*100+.5*200 = 150 -> .5*150+.5*400 = 275
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 1.00, "{}"),
+                (2, 1, 1, "view", 2.00, "{}"),
+                (3, 2, 1, "view", 4.00, "{}"),
+            ],
+        )
+        (row,) = QUERIES["events_ewma_smooth"](spark, str(tmp_path)).collect()
+        assert (row["user_id"], row["n_days"]) == (1, 3)
+        assert row["ewma_spend"] == 275.0
+
+    def test_single_day_is_identity(self, spark, tmp_path):
+        _write_events(spark, tmp_path, [(1, 0, 7, "view", 3.50, "{}")])
+        (row,) = QUERIES["events_ewma_smooth"](spark, str(tmp_path)).collect()
+        assert row["n_days"] == 1 and row["ewma_spend"] == 350.0
+
+
+class TestAttributionPositional:
+    def test_u_shape_with_remainder(self, spark, tmp_path):
+        # user 1 path before first purchase: view, click, view, error,
+        # signup (k=5). first/last 400; middles split 200 // 3 = 66
+        # with remainder 2 to the EARLIEST middles -> 67, 67, 66.
+        # view: 400 + 67 = 467; click 67; error 66; signup 400.
+        # user 2: single view touch -> 1000. user 3: no purchase.
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 0.0, "{}"),
+                (2, 0, 1, "click", 0.0, "{}"),
+                (3, 0, 1, "view", 0.0, "{}"),
+                (4, 0, 1, "error", 0.0, "{}"),
+                (5, 0, 1, "signup", 0.0, "{}"),
+                (6, 0, 1, "purchase", 9.99, "{}"),
+                (7, 0, 2, "view", 0.0, "{}"),
+                (8, 0, 2, "purchase", 1.00, "{}"),
+                (9, 0, 3, "view", 0.0, "{}"),
+            ],
+        )
+        out = {
+            r["event_type"]: r
+            for r in QUERIES["events_attribution_positional"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["view"]["credit_permille"] == 467 + 1000
+        assert out["view"]["touches"] == 3 and out["view"]["users"] == 2
+        assert out["click"]["credit_permille"] == 67
+        assert out["error"]["credit_permille"] == 66
+        assert out["signup"]["credit_permille"] == 400
+        # every converting user's path sums to exactly 1000
+        assert sum(r["credit_permille"] for r in out.values()) == 2000
+
+    def test_two_touch_split(self, spark, tmp_path):
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 0.0, "{}"),
+                (2, 0, 1, "click", 0.0, "{}"),
+                (3, 0, 1, "purchase", 1.0, "{}"),
+            ],
+        )
+        out = {
+            r["event_type"]: r["credit_permille"]
+            for r in QUERIES["events_attribution_positional"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out == {"view": 500, "click": 500}
+
+
+class TestSkewKurtosis:
+    def test_hand_computed_moments(self, spark, tmp_path):
+        # cents [1,2,3,4,10]: mean 4, devs [-3,-2,-1,0,6]
+        # m2 = 50/5 = 10, m3 = 180/5 = 36, m4 = 1394/5 = 278.8
+        # g1 = 36/10^1.5 = 1.13841995... -> 1.1384
+        # g2 = 278.8/100 - 3 = -0.212
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (i, 0, 1, "view", c / 100.0, "{}")
+                for i, c in enumerate([1, 2, 3, 4, 10], start=1)
+            ],
+        )
+        (row,) = QUERIES["stats_skew_kurtosis"](spark, str(tmp_path)).collect()
+        assert row["n"] == 5
+        assert row["skewness"] == 1.1384
+        assert row["ex_kurtosis"] == -0.212
+
+    def test_symmetric_sample_zero_skew(self, spark, tmp_path):
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (i, 0, 1, "view", c / 100.0, "{}")
+                for i, c in enumerate([1, 2, 3, 4, 5], start=1)
+            ],
+        )
+        (row,) = QUERIES["stats_skew_kurtosis"](spark, str(tmp_path)).collect()
+        assert row["skewness"] == 0.0
+        # uniform {1..5}: m2 = 2, m4 = (16+1+0+1+16)/5 = 6.8
+        # g2 = 6.8/4 - 3 = -1.3
+        assert row["ex_kurtosis"] == -1.3
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark, tmp_path):
+        # values strictly increasing with time -> rho = 1.0
+        _write_events(
+            spark,
+            tmp_path,
+            [(i, 0, 1, "view", float(i), "{}") for i in range(1, 6)],
+        )
+        (row,) = QUERIES["stats_spearman"](spark, str(tmp_path)).collect()
+        assert row["n"] == 5 and row["spearman_rho"] == 1.0
+
+    def test_perfect_antitone(self, spark, tmp_path):
+        _write_events(
+            spark,
+            tmp_path,
+            [(i, 0, 1, "view", float(6 - i), "{}") for i in range(1, 6)],
+        )
+        (row,) = QUERIES["stats_spearman"](spark, str(tmp_path)).collect()
+        assert row["spearman_rho"] == -1.0
+
+
+class TestTrimmedMean:
+    def test_outlier_dropped(self, spark, tmp_path):
+        # cents [1..9, 1000]: n=10, k=1 -> drop 1 and 1000,
+        # kept sum 2+..+9 = 44, n_kept 8, mean 5.5
+        cents = list(range(1, 10)) + [1000]
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (i, 0, 1, "view", c / 100.0, "{}")
+                for i, c in enumerate(cents, start=1)
+            ],
+        )
+        (row,) = QUERIES["stats_trimmed_mean"](spark, str(tmp_path)).collect()
+        assert (row["n"], row["n_kept"], row["kept_sum"]) == (10, 8, 44)
+        assert row["trimmed_mean_cents"] == 5.5
+
+
+class TestRecItemCooccur:
+    def test_ranking_and_cosine(self, spark, tmp_path):
+        # 6 users with items {1,2}, 5 users with {1,3}:
+        # co(1,2)=6, co(1,3)=5; nu: 1->11, 2->6, 3->5
+        # cosine(1,2) = 6/sqrt(66) = 0.73854.. -> 0.7385
+        # cosine(1,3) = 5/sqrt(55) = 0.67419.. -> 0.6741
+        rows = []
+        eid = 1
+        for u in range(1, 7):
+            for k in (1, 2):
+                rows.append((eid, 0, u, "view", 0.0, '{"k": %d}' % k))
+                eid += 1
+        for u in range(7, 12):
+            for k in (1, 3):
+                rows.append((eid, 0, u, "view", 0.0, '{"k": %d}' % k))
+                eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = QUERIES["rec_item_cooccur"](spark, str(tmp_path)).collect()
+        got = {(r["item_a"], r["item_b"]): r for r in out}
+        assert set(got) == {(1, 2), (1, 3), (2, 1), (3, 1)}
+        assert got[(1, 2)]["rnk"] == 1 and got[(1, 3)]["rnk"] == 2
+        assert got[(1, 2)]["co"] == 6 and got[(1, 3)]["co"] == 5
+        assert got[(1, 2)]["cosine"] == 0.7385
+        assert got[(1, 3)]["cosine"] == 0.6741
+
+
+class TestGraphTriangles:
+    def test_single_triangle(self, spark, tmp_path):
+        # users 1-3 each visit items {1,2,3} -> co(1,2)=co(1,3)=co(2,3)=3
+        # user 4 visits {1,4} -> co(1,4)=1
+        # n_pairs=4, sum_co=10; edge iff co*4 > 10 -> co=3 only.
+        # one triangle (1,2,3); nodes 1,2,3 get 1 each, node 4 none.
+        rows = []
+        eid = 1
+        for u in (1, 2, 3):
+            for k in (1, 2, 3):
+                rows.append((eid, 0, u, "view", 0.0, '{"k": %d}' % k))
+                eid += 1
+        for k in (1, 4):
+            rows.append((eid, 0, 4, "view", 0.0, '{"k": %d}' % k))
+            eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = {
+            r["node"]: r["triangles"]
+            for r in QUERIES["graph_triangles"](spark, str(tmp_path)).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestFeatureLagMatrix:
+    def test_lags_rolls_and_label(self, spark, tmp_path):
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 1.00, "{}"),
+                (2, 1, 1, "view", 2.00, "{}"),
+                (3, 2, 1, "view", 4.00, "{}"),
+            ],
+        )
+        rows = sorted(
+            QUERIES["feature_lag_matrix"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["day"],
+        )
+        assert [r["spend"] for r in rows] == [100, 200, 400]
+        assert [r["lag1_spend"] for r in rows] == [None, 100, 200]
+        assert [r["r7_sum"] for r in rows] == [100, 300, 700]
+        assert [r["r7_days"] for r in rows] == [1, 2, 3]
+        assert [r["next_spend"] for r in rows] == [200, 400, None]
+
+
+class TestForecastBacktest:
+    def test_seasonal_vs_naive(self, spark, tmp_path):
+        # daily counts: day i has i events for i in 1..8; day 9 has 5.
+        # scored: day 8 (f7=1, f1=7; |8-1|=7, |8-7|=1),
+        #         day 9 (f7=2, f1=8; |5-2|=3, |5-8|=3)
+        # sae_seasonal=10, sae_naive=4; mae 5.0 and 2.0
+        rows = []
+        eid = 1
+        counts = {i: i for i in range(1, 9)}
+        counts[9] = 5
+        for d, n in counts.items():
+            for _ in range(n):
+                rows.append((eid, d, 1, "view", 0.0, "{}"))
+                eid += 1
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["events_forecast_backtest"](
+            spark, str(tmp_path)
+        ).collect()
+        assert row["n_scored"] == 2
+        assert row["sae_seasonal"] == 10 and row["sae_naive"] == 4
+        assert row["mae_seasonal"] == 5.0 and row["mae_naive"] == 2.0
+
+
+class TestHapaxRatio:
+    def test_counts_and_ratios(self, spark, tmp_path):
+        # source s1: tokens a a b -> n_tokens 3, types 2, hapax 1
+        # ttr = floor(2/3 * 1e4)/1e4 = 0.6666
+        # herdan = ln(2)/ln(3) = 0.63092.. -> 0.6309
+        _write_docs(spark, tmp_path, [(1, "a a b", "en", "s1")])
+        (row,) = QUERIES["text_hapax_ratio"](spark, str(tmp_path)).collect()
+        assert (row["n_tokens"], row["n_types"], row["hapax"]) == (3, 2, 1)
+        assert row["hapax_ratio"] == 0.5
+        assert row["ttr"] == 0.6666
+        assert row["herdan_c"] == 0.6309
+
+    def test_single_token_source_excluded(self, spark, tmp_path):
+        # n_tokens = 1 -> ln(1) = 0 denominator -> row excluded
+        _write_docs(
+            spark, tmp_path, [(1, "only", "en", "s1"), (2, "a a b", "en", "s2")]
+        )
+        rows = QUERIES["text_hapax_ratio"](spark, str(tmp_path)).collect()
+        assert [r["source"] for r in rows] == ["s2"]
