@@ -306,3 +306,113 @@ class TestHapaxRatio:
         )
         rows = QUERIES["text_hapax_ratio"](spark, str(tmp_path)).collect()
         assert [r["source"] for r in rows] == ["s2"]
+
+
+class TestRound8Plans:
+    """Physical-plan contracts for the round-8 family — the 100 TB
+    shape claims in the docstrings, pinned."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_skew_kurtosis_one_aggregate(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["stats_skew_kurtosis"](spark, self.SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        assert "Window" not in plan, plan
+
+    def test_ewma_no_join_no_window(self, spark):
+        # the fold happens inside a projection over per-user arrays —
+        # two hash aggregates, zero joins, zero windows
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["events_ewma_smooth"](spark, self.SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        assert "Window" not in plan, plan
+
+    def test_trimmed_mean_join_free(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["stats_trimmed_mean"](spark, self.SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_lag_matrix_single_window_pass(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["feature_lag_matrix"](spark, self.SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+        # every feature and the label come from ONE Window node (the
+        # formatted plan prints each node twice: tree + detail)
+        import re
+
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+    def test_hapax_join_free(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["text_hapax_ratio"](spark, self.SF))
+        jc = join_counts(plan)
+        assert all(v == 0 for v in jc.values()), plan
+
+    def test_rec_cooccur_dims_broadcast_no_cartesian(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["rec_item_cooccur"](spark, self.SF))
+        jc = join_counts(plan)
+        assert jc["CartesianProduct"] == 0, plan
+        # the two item-count lookups must broadcast (dimension-sized)
+        assert jc["BroadcastHashJoin"] >= 2, plan
+
+    def test_triangles_no_cartesian(self, spark):
+        # the mean-threshold is a one-row broadcast, never a cartesian
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["graph_triangles"](spark, self.SF))
+        assert join_counts(plan)["CartesianProduct"] == 0, plan
+
+    def test_attribution_no_cartesian(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(
+            QUERIES["events_attribution_positional"](spark, self.SF)
+        )
+        assert join_counts(plan)["CartesianProduct"] == 0, plan
+
+    def test_spearman_no_cartesian(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["stats_spearman"](spark, self.SF))
+        assert join_counts(plan)["CartesianProduct"] == 0, plan
+
+    def test_round8_scans_prune_columns(self, spark):
+        """Column pruning on every round-8 scan: dragging `props` or
+        `text` into a query that never uses them is a silent 10x at
+        100 TB."""
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        cases = [
+            ("stats_skew_kurtosis", "event_type", {"event_type", "value"}),
+            ("stats_spearman", "value", {"value", "ts"}),
+            ("events_ewma_smooth", "user_id", {"user_id", "ts", "value"}),
+            (
+                "events_attribution_positional",
+                "event_type",
+                {"user_id", "ts", "event_id", "event_type"},
+            ),
+            ("rec_item_cooccur", "props", {"user_id", "props"}),
+            ("graph_triangles", "props", {"user_id", "props"}),
+            ("feature_lag_matrix", "user_id", {"user_id", "ts", "value"}),
+            ("events_forecast_backtest", "event_type", {"event_type", "ts"}),
+            (
+                "stats_trimmed_mean",
+                "event_id",
+                {"event_type", "event_id", "value"},
+            ),
+            ("text_hapax_ratio", "source", {"source", "text"}),
+        ]
+        for name, marker, allowed in cases:
+            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
