@@ -136,7 +136,8 @@ def stats_skew_kurtosis(spark, sf_dir):
     # exact int64); the five rank sums stay int64 and the final
     # combination runs in HUGEINT before ONE fixed IEEE tree
     oracle=f"""
-    WITH r AS (SELECT {_CENTS} AS v, epoch(ts)::BIGINT AS s FROM events),
+    WITH r AS (SELECT {_CENTS} AS v,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
     vx AS (SELECT v, COUNT(*)::BIGINT AS c FROM r GROUP BY v),
     vxr AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v) - c + 1)::BIGINT AS rx
             FROM vx),
@@ -816,4 +817,487 @@ def text_hapax_ratio(spark, sf_dir):
         ),
         (F.floor(ty / nt * 1e4) / 1e4).alias("ttr"),
         (F.floor(F.log(ty) / F.log(nt) * 1e4 + 1e-6) / 1e4).alias("herdan_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan-Meier with an integer-gridded log cumprod
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_survival_km",
+    # Kaplan-Meier time-to-first-purchase (right-censored at the last
+    # observed day). The cumulative product PI(1 - d/n) is the float
+    # hazard: engines sum/multiply window prefixes in different orders
+    # (DuckDB's windowed SUM uses segment trees). Device: snap each
+    # ln(1 - d/n) to a 1e-12 INTEGER grid first — the prefix sum is
+    # then an exact int64 cumsum (order-free), and survival =
+    # exp(cum/1e12) is one libm call per row, floor-gridded + nudged
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      CAST(MIN(ts) AS DATE) AS f_day,
+                      CAST(MIN(CASE WHEN event_type = 'purchase'
+                                    THEN ts END) AS DATE) AS p_day
+               FROM events GROUP BY user_id),
+    horizon AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+    dur AS (SELECT datediff('day', f.f_day,
+                            COALESCE(f.p_day, h.end_day))::BIGINT AS t,
+                   CASE WHEN f.p_day IS NULL THEN 0 ELSE 1 END AS ev
+            FROM f CROSS JOIN horizon h),
+    g AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c
+          FROM dur GROUP BY t),
+    k AS (SELECT t, d, c,
+                 (SUM(c) OVER ())::BIGINT
+                 - COALESCE(SUM(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS n_risk
+          FROM g),
+    l AS (SELECT t, d, n_risk,
+                 CASE WHEN d < n_risk THEN
+                      FLOOR(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+                            * 1e12)::BIGINT
+                 END AS lng,
+                 CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+          FROM k),
+    s AS (SELECT t, d, n_risk,
+                 SUM(COALESCE(lng, 0)) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS cum,
+                 MAX(dead) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS zero_seen
+          FROM l)
+    SELECT t, n_risk, d AS events,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE FLOOR(exp(cum::DOUBLE / 1e12) * 1e4 + 1e-6) / 1e4
+           END AS survival
+    FROM s
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase, right-
+    censored at the last observed day — THE estimator for conversion-
+    latency and churn questions ('what fraction of users have not yet
+    purchased t days after their first touch'). The cumulative product
+    PI(1 - d_i/n_i) cannot be a raw float window sum (engines order
+    window prefix arithmetic differently — DuckDB's windowed SUM is a
+    segment tree), so each per-row ln(1 - d/n) snaps to a 1e-12
+    INTEGER grid and the prefix accumulates as an exact int64 cumsum;
+    survival is exp of the gridded sum, floor-gridded at 1e-4 with the
+    boundary nudge. The 31-row curve absorbs a <=3e-11 relative grid
+    error — invisible at the output grid. A risk set hitting zero
+    (d = n) pins survival to exactly 0.0 via an integer flag, not
+    ln(0). Shape: one user-grained aggregate, a one-row horizon
+    broadcast, then windows over the duration-grained table (calendar-
+    bounded rows at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("f_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .cast("date")
+        .alias("p_day"),
+    )
+    horizon = ev.agg(F.max("ts").cast("date").alias("end_day"))
+    dur = f.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.coalesce("p_day", "end_day"), "f_day")
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    wall = Window.partitionBy()
+    wbefore = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.select(
+        "t",
+        "d",
+        (
+            F.sum("c").over(wall)
+            - F.coalesce(F.sum("c").over(wbefore), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    lng = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e12
+        ).cast("bigint"),
+    )
+    dead = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    s = k.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(F.coalesce(lng, F.lit(0))).over(wcum).cast("bigint").alias("cum"),
+        F.max(dead).over(wcum).alias("zero_seen"),
+    )
+    return s.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("events"),
+        F.when(F.col("zero_seen") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(F.exp(F.col("cum").cast("double") / 1e12) * 1e4 + 1e-6)
+            / 1e4
+        )
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_source_log_odds — distinctive-term contrast per source
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_source_log_odds",
+    # Monroe et al. log-odds with add-one Dirichlet prior, source vs
+    # rest-of-corpus; RANKING is by the exact integer cross-multiplied
+    # rate difference y_a*n_b - y_b*n_a (floats never order rows), the
+    # z-score is reported floor-gridded
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_DTOKS}) AS term FROM documents),
+    tc AS (SELECT source, term, COUNT(*)::BIGINT AS y
+           FROM tok GROUP BY source, term),
+    tot AS (SELECT source, SUM(y)::BIGINT AS n FROM tc GROUP BY source),
+    gt AS (SELECT term, SUM(y)::BIGINT AS y_all FROM tc GROUP BY term),
+    gn AS (SELECT SUM(y)::BIGINT AS n_all,
+                  COUNT(DISTINCT term)::BIGINT AS v FROM tc),
+    j AS (SELECT tc.source, tc.term, tc.y AS ya, tot.n AS na,
+                 (gt.y_all - tc.y)::BIGINT AS yb,
+                 (gn.n_all - tot.n)::BIGINT AS nb, gn.v
+          FROM tc JOIN tot ON tc.source = tot.source
+                  JOIN gt ON tc.term = gt.term
+                  CROSS JOIN gn),
+    z AS (SELECT source, term, ya, yb,
+                 ya * nb - yb * na AS lift,
+                 FLOOR((ln((ya + 1)::DOUBLE / (na + v - ya - 1)::DOUBLE)
+                        - ln((yb + 1)::DOUBLE / (nb + v - yb - 1)::DOUBLE))
+                       / sqrt(1.0/(ya + 1) + 1.0/(yb + 1))
+                       * 1e4 + 1e-6) / 1e4 AS z_score,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY ya * nb - yb * na DESC, term)
+                     AS rnk
+          FROM j)
+    SELECT source, term, ya AS y_source, yb AS y_rest, lift::BIGINT AS lift,
+           z_score, rnk::BIGINT AS rnk
+    FROM z WHERE rnk <= 10
+    """,
+)
+def text_source_log_odds(spark, sf_dir):
+    """Distinctive terms per corpus source — the Monroe et al. (2008)
+    log-odds-ratio with an add-one Dirichlet prior against the rest of
+    the corpus, the standard 'what words characterize this slice'
+    statistic (tfidf_top_terms answers the per-DOCUMENT version).
+    The top-10 per source ranks by the exact integer cross-multiplied
+    rate difference ya*nb - yb*na (identical ordering on both engines
+    — a float z-ordering could flip 1-ulp-apart rows at the cut), with
+    the z-score reported alongside, floor-gridded + nudged. Shape:
+    token explode -> (source, term) counts -> term-global and
+    source-global rollups joined back (vocabulary-sized), one top-k
+    window per source. All count algebra is int64-exact."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y"))
+    tot = tc.groupBy("source").agg(F.sum("y").alias("n"))
+    gt = tc.groupBy("term").agg(F.sum("y").alias("y_all"))
+    gn = tc.agg(
+        F.sum("y").alias("n_all"), F.countDistinct("term").alias("v")
+    )
+    j = (
+        tc.join(F.broadcast(tot), "source")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "source",
+            "term",
+            F.col("y").alias("ya"),
+            F.col("n").alias("na"),
+            (F.col("y_all") - F.col("y")).alias("yb"),
+            (F.col("n_all") - F.col("n")).alias("nb"),
+            "v",
+        )
+    )
+    ya, yb, na, nb, v = (F.col(x) for x in ("ya", "yb", "na", "nb", "v"))
+    lift = ya * nb - yb * na
+    delta = F.log((ya + 1).cast("double") / (na + v - ya - 1).cast("double")) - F.log(
+        (yb + 1).cast("double") / (nb + v - yb - 1).cast("double")
+    )
+    sigma = F.sqrt(1.0 / (ya + 1) + 1.0 / (yb + 1))
+    z = j.select(
+        "source",
+        "term",
+        ya.alias("y_source"),
+        yb.alias("y_rest"),
+        lift.cast("bigint").alias("lift"),
+        (F.floor(delta / sigma * 1e4 + 1e-6) / 1e4).alias("z_score"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(lift.desc(), "term"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return z.filter(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival — burstiness profile per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_interarrival",
+    # interarrival gaps per type under the (ts, event_id) total order;
+    # mean and coefficient of variation from exact int64/HUGEINT gap
+    # moments — CV >> 1 is the burstiness signature
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      -- floor, not ::BIGINT: DuckDB's double->bigint
+                      -- cast ROUNDS while Spark unix_timestamp floors
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+               FROM events),
+    g AS (SELECT event_type,
+                 sec - LAG(sec) OVER (PARTITION BY event_type
+                                      ORDER BY sec, event_id) AS gap
+          FROM e),
+    s AS (SELECT event_type, COUNT(gap)::HUGEINT AS n,
+                 SUM(gap)::HUGEINT AS s1,
+                 SUM(gap::HUGEINT * gap::HUGEINT) AS s2
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n_gaps, s1::BIGINT AS sum_gap_s,
+           s1::DOUBLE / n::DOUBLE AS mean_gap_s,
+           FLOOR(sqrt((n * s2 - s1 * s1)::DOUBLE) / s1::DOUBLE * 1e4
+                 + 1e-6) / 1e4 AS cv
+    FROM s WHERE s1 > 0
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Interarrival-time profile per event type: mean gap and the
+    coefficient of variation sqrt(n*S2 - S1^2)/S1 — CV ~ 1 is Poisson
+    arrivals, CV >> 1 is the burstiness signature of batch jobs and
+    scripted traffic (the corpus-level complement of the per-user
+    events_velocity_flags screen). Gaps are exact integer seconds
+    under the (sec, event_id) total order; the two moment sums fold in
+    DECIMAL(38,0)/HUGEINT (S2 can pass int64 at large n x month-long
+    gaps), the variance numerator n*S2 - S1^2 is exact, and CV is a
+    fixed sqrt/divide tree, floor-gridded + nudged. Mean is one IEEE
+    division. Shape: one per-type ordered window for LAG, one hash
+    aggregate — partition-parallel across types at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    g = e.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.sum("gap")).alias("s1"),
+        F.sum(d38(F.col("gap")) * d38(F.col("gap"))).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.filter(s1 > 0).select(
+        "event_type",
+        n.cast("bigint").alias("n_gaps"),
+        s1.cast("bigint").alias("sum_gap_s"),
+        (s1.cast("double") / n.cast("double")).alias("mean_gap_s"),
+        (
+            F.floor(
+                F.sqrt((n * s2 - s1 * s1).cast("double"))
+                / s1.cast("double")
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_overlap — exact vocabulary Jaccard between sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_source_overlap",
+    # pairwise vocabulary overlap between sources: distinct
+    # (source, term) self-joined on term (vocabulary-sized), exact
+    # integer intersection/union, one division per pair
+    oracle=f"""
+    WITH st AS (SELECT DISTINCT source,
+                       unnest({_DTOKS}) AS term
+                FROM documents),
+    vs AS (SELECT source, COUNT(*)::BIGINT AS v FROM st GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*)::BIGINT AS inter
+              FROM st a JOIN st b
+                ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, i.inter,
+           va.v AS vocab_a, vb.v AS vocab_b,
+           i.inter::DOUBLE / (va.v + vb.v - i.inter)::DOUBLE AS jaccard
+    FROM inter i JOIN vs va ON i.source_a = va.source
+                 JOIN vs vb ON i.source_b = vb.source
+    """,
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Exact vocabulary Jaccard between every pair of corpus sources —
+    the source-level contamination/redundancy screen (two sources
+    sharing 90% of their vocabulary are near-mirrors; candidates for
+    dedup_minhash_lsh at the document level). Distinct (source, term)
+    rows self-join on term: the join is VOCABULARY-sized, never
+    document-sized, and the pair aggregate is |sources|^2-bounded.
+    Intersection and union counts are exact int64; jaccard is one IEEE
+    division — deterministic, no grid. At 100 TB the distinct
+    (source, term) table is the only corpus-order stage (one shuffle),
+    and a df-prune of ubiquitous terms bounds the per-term fanout the
+    same way dedup_minhash_df_pruned does."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    vs = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = vs.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_trending_items — rank-shift screen between two windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_trending_items",
+    # trending screen: item counts in the last 7 observed days vs the
+    # 7 before, both ranked by integer (count DESC, item); output the
+    # current top-20 with the rank shift — all-integer, horizon from a
+    # one-row MAX broadcast
+    oracle="""
+    WITH h AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+    e AS (SELECT json_extract_string(props, '$.k')::INT AS item,
+                 CAST(ts AS DATE) AS day
+          FROM events),
+    cur AS (SELECT item, COUNT(*)::BIGINT AS n_now
+            FROM e CROSS JOIN h
+            WHERE day > end_day - INTERVAL 7 DAY GROUP BY item),
+    prev AS (SELECT item, COUNT(*)::BIGINT AS n_prev
+             FROM e CROSS JOIN h
+             WHERE day <= end_day - INTERVAL 7 DAY
+               AND day > end_day - INTERVAL 14 DAY GROUP BY item),
+    rc AS (SELECT item, n_now,
+                  ROW_NUMBER() OVER (ORDER BY n_now DESC, item) AS rank_now
+           FROM cur),
+    rp AS (SELECT item, n_prev,
+                  ROW_NUMBER() OVER (ORDER BY n_prev DESC, item) AS rank_prev
+           FROM prev)
+    SELECT rc.item, rc.n_now, rp.n_prev,
+           rc.rank_now::BIGINT AS rank_now,
+           rp.rank_prev::BIGINT AS rank_prev,
+           (rp.rank_prev - rc.rank_now)::BIGINT AS rank_delta
+    FROM rc LEFT JOIN rp ON rc.item = rp.item
+    WHERE rc.rank_now <= 20
+    """,
+)
+def events_trending_items(spark, sf_dir):
+    """Trending-item screen: the current top-20 items (last 7 observed
+    days) with their rank shift against the previous 7-day window —
+    the standard 'movers' panel behind every popularity dashboard and
+    negative-sampling refresh in recsys training. Both rankings are by
+    integer (count DESC, item) so the output is engine-deterministic;
+    the window anchor is a one-row MAX(ts) broadcast, so the query
+    needs no wall clock (reproducible on any snapshot). Items absent
+    from the previous window surface rank_prev = NULL — genuinely new
+    movers. Shape: two filtered item-grained aggregates + item-
+    dimension windows + one small join; the raw-events scan is the
+    only data-sized stage at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.agg(F.max(F.col("ts").cast("date")).alias("end_day"))
+    e = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.col("ts").cast("date").alias("day"),
+    ).crossJoin(F.broadcast(h))
+    cur = (
+        e.filter(F.col("day") > F.date_sub("end_day", 7))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_now"))
+    )
+    prev = (
+        e.filter(
+            (F.col("day") <= F.date_sub("end_day", 7))
+            & (F.col("day") > F.date_sub("end_day", 14))
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_prev"))
+    )
+    rc = cur.select(
+        "item",
+        "n_now",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_now").desc(), "item"))
+        .cast("bigint")
+        .alias("rank_now"),
+    )
+    rp = prev.select(
+        "item",
+        "n_prev",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_prev").desc(), "item"))
+        .cast("bigint")
+        .alias("rank_prev"),
+    )
+    return (
+        rc.join(rp, "item", "left")
+        .filter(F.col("rank_now") <= 20)
+        .select(
+            "item",
+            "n_now",
+            "n_prev",
+            "rank_now",
+            "rank_prev",
+            (F.col("rank_prev") - F.col("rank_now")).alias("rank_delta"),
+        )
     )

@@ -416,3 +416,181 @@ class TestRound8Plans:
         ]
         for name, marker, allowed in cases:
             assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+
+
+class TestSurvivalKM:
+    def test_curve_and_censoring(self, spark, tmp_path):
+        # u1, u3: first event day0, purchase day2 -> t=2, event
+        # u2: first day0, censored at global horizon day4 -> t=4
+        # KM: t=2: n=3, d=2 -> S = 1/3; t=4: n=1, d=0 -> S stays 1/3
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 0.0, "{}"),
+                (2, 2, 1, "purchase", 1.0, "{}"),
+                (3, 0, 2, "view", 0.0, "{}"),
+                (4, 4, 2, "view", 0.0, "{}"),
+                (5, 0, 3, "view", 0.0, "{}"),
+                (6, 2, 3, "purchase", 1.0, "{}"),
+            ],
+        )
+        rows = {
+            r["t"]: r
+            for r in QUERIES["events_survival_km"](spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {2, 4}
+        assert (rows[2]["n_risk"], rows[2]["events"]) == (3, 2)
+        assert rows[2]["survival"] == 0.3333
+        assert (rows[4]["n_risk"], rows[4]["events"]) == (1, 0)
+        assert rows[4]["survival"] == 0.3333
+
+    def test_exhausted_risk_set_pins_zero(self, spark, tmp_path):
+        # every user purchases at t=1 -> d = n -> survival exactly 0.0
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, 0, 1, "view", 0.0, "{}"),
+                (2, 1, 1, "purchase", 1.0, "{}"),
+                (3, 0, 2, "view", 0.0, "{}"),
+                (4, 1, 2, "purchase", 1.0, "{}"),
+            ],
+        )
+        (row,) = QUERIES["events_survival_km"](spark, str(tmp_path)).collect()
+        assert (row["t"], row["n_risk"], row["events"]) == (1, 2, 2)
+        assert row["survival"] == 0.0
+
+
+class TestSourceLogOdds:
+    def test_counts_lift_and_z(self, spark, tmp_path):
+        import math
+
+        # s1: "x x y", s2: "y z" -> for (s1, x): ya=2 na=3 yb=0 nb=2
+        # V=3; lift = 2*2 - 0*3 = 4
+        _write_docs(
+            spark, tmp_path, [(1, "x x y", "en", "s1"), (2, "y z", "en", "s2")]
+        )
+        out = {
+            (r["source"], r["term"]): r
+            for r in QUERIES["text_source_log_odds"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        r = out[("s1", "x")]
+        assert (r["y_source"], r["y_rest"], r["lift"], r["rnk"]) == (2, 0, 4, 1)
+        delta = math.log(3 / (3 + 3 - 2 - 1)) - math.log(1 / (2 + 3 - 0 - 1))
+        z = delta / math.sqrt(1 / 3 + 1 / 1)
+        assert r["z_score"] == math.floor(z * 1e4 + 1e-6) / 1e4
+        # y appears in both at equal count; lift negative for s1 (its
+        # overall rate is lower there: 1*2 - 1*3 = -1) -> rank 2
+        assert out[("s1", "y")]["lift"] == -1
+        assert out[("s1", "y")]["rnk"] == 2
+
+
+class TestInterarrival:
+    def test_gaps_mean_cv(self, spark, tmp_path):
+        # events at seconds 0, 10, 30 -> gaps 10, 20
+        # mean 15.0; cv = sqrt(2*500 - 900)/30 = 10/30 -> 0.3333
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (0, 0, 1, "view", 0.0, "{}"),
+                (10, 0, 1, "view", 0.0, "{}"),
+                (30, 0, 2, "view", 0.0, "{}"),
+            ],
+        )
+        (row,) = QUERIES["events_interarrival"](spark, str(tmp_path)).collect()
+        assert (row["n_gaps"], row["sum_gap_s"]) == (2, 30)
+        assert row["mean_gap_s"] == 15.0
+        assert row["cv"] == 0.3333
+
+
+class TestSourceOverlap:
+    def test_jaccard(self, spark, tmp_path):
+        # s1 vocab {a,b,c}, s2 vocab {b,c,d} -> inter 2, union 4
+        _write_docs(
+            spark,
+            tmp_path,
+            [(1, "a b c", "en", "s1"), (2, "b c d b", "en", "s2")],
+        )
+        (row,) = QUERIES["corpus_source_overlap"](spark, str(tmp_path)).collect()
+        assert (row["source_a"], row["source_b"]) == ("s1", "s2")
+        assert (row["inter"], row["vocab_a"], row["vocab_b"]) == (2, 3, 3)
+        assert row["jaccard"] == 0.5
+
+
+class TestTrendingItems:
+    def test_rank_shift(self, spark, tmp_path):
+        # horizon day13. last-7 = days 7..13, prev-7 = days 0..6.
+        # item 1: 5 now (days 8,9,10,11,13), 1 prev (day 3)
+        # item 2: 2 now (days 9,10), 3 prev (days 2,3,4)
+        rows, eid = [], 1
+        for d in (8, 9, 10, 11, 13):
+            rows.append((eid, d, 1, "view", 0.0, '{"k": 1}')); eid += 1
+        rows.append((eid, 3, 1, "view", 0.0, '{"k": 1}')); eid += 1
+        for d in (9, 10):
+            rows.append((eid, d, 2, "view", 0.0, '{"k": 2}')); eid += 1
+        for d in (2, 3, 4):
+            rows.append((eid, d, 2, "view", 0.0, '{"k": 2}')); eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = {
+            r["item"]: r
+            for r in QUERIES["events_trending_items"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert (out[1]["n_now"], out[1]["n_prev"]) == (5, 1)
+        assert (out[1]["rank_now"], out[1]["rank_prev"], out[1]["rank_delta"]) \
+            == (1, 2, 1)
+        assert (out[2]["n_now"], out[2]["n_prev"]) == (2, 3)
+        assert (out[2]["rank_now"], out[2]["rank_prev"], out[2]["rank_delta"]) \
+            == (2, 1, -1)
+
+
+class TestRound8bPlans:
+    SF = "/root/testdata/sf0.001"
+
+    def test_no_cartesians_anywhere(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        for name in (
+            "events_survival_km",
+            "text_source_log_odds",
+            "corpus_source_overlap",
+            "events_trending_items",
+        ):
+            plan = formatted_plan(QUERIES[name](spark, self.SF))
+            assert join_counts(plan)["CartesianProduct"] == 0, (name, plan)
+
+    def test_interarrival_join_free(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["events_interarrival"](spark, self.SF))
+        assert all(v == 0 for v in join_counts(plan).values()), plan
+
+    def test_log_odds_rollups_broadcast(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        plan = formatted_plan(QUERIES["text_source_log_odds"](spark, self.SF))
+        jc = join_counts(plan)
+        # source totals + global one-row join must broadcast (the
+        # formatted plan prints each node twice: tree + detail, so one
+        # physical BNLJ node counts as 2)
+        assert jc["BroadcastHashJoin"] >= 1, plan
+        assert jc["BroadcastNestedLoopJoin"] <= 2, plan
+
+    def test_batch2_scans_prune_columns(self, spark):
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        cases = [
+            ("events_survival_km", "user_id", {"user_id", "ts", "event_type"}),
+            ("text_source_log_odds", "source", {"source", "text"}),
+            ("events_interarrival", "event_id",
+             {"event_type", "ts", "event_id"}),
+            ("corpus_source_overlap", "source", {"source", "text"}),
+            ("events_trending_items", "props", {"props", "ts"}),
+        ]
+        for name, marker, allowed in cases:
+            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
