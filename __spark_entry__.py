@@ -8,10 +8,12 @@ SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing registry entry (231 of 236; the remaining 5 register
-rows-only by design: dedup_simhash, bpe_train_merges, and the three
-ddl_* fixture queries whose inputs are DDL text, not the relational
-tables). See the rotation note on ``_PRIORITY``.
+oracle-bearing entry registered through round 7 (231 of 236); round 8
+adds 15 new oracle-bearing queries (queries/featureops.py), so the
+union r01-r08 covers all 246 of 251 once the r8 window below runs.
+The remaining 5 register rows-only by design: dedup_simhash,
+bpe_train_merges, and the three ddl_* fixture queries whose inputs are
+DDL text, not the relational tables.
 """
 
 from __future__ import annotations
@@ -34,131 +36,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-7 rotation: (a) the round-7 CHANGED query
-# (eval_lang_id_report — oracle SUM(n)::BIGINT dtype fix; red r4-r6),
-# (a') the 17 queries REGISTERED in the first r7 session (interval
-# overlap, trigram novelty, the deterministic-sketch family incl. its
-# streaming twin, t-closeness, transition matrix, feature hashing,
-# bitmap retention, sampled quantiles),
-# (a'') the 23 queries REGISTERED in the r7 continuation session
-# (KS / Mann-Whitney / Welch / SRM A/B-stats family, RFM segments,
-# level-shift changepoint, compaction bins, target encoding,
-# nearest-event join, slice scan, calendar-lag ACF, velocity flags,
-# user entropy + its bounded-state streaming twin, cohort LTV, Lorenz
-# deciles, RAKE scores, dedup impact, Flesch readability, kNN
-# auto-labeling, new-vs-returning, weekday profile, DAU/MAU
-# stickiness — every one sim-green at sf0.01 AND sf0.1 before its
-# commit),
-# (b) the 4 queries that gained oracles this round (the multimodal
-# decode family — recomputable-bytes oracles replace no_oracle),
-# (c) the 4 never-driver-checked round-6 entries, then (d) the
-# flagship pipeline as the one re-verify slot. That is exactly 50:
-# every slot is a never-driver-stamped entry except the flagship.
-# With this window the union r01-r07 stamps EVERY oracle-bearing
-# entry in the registry (231 of 236; the other 5 — dedup_simhash,
-# bpe_train_merges, ddl_* — are no-oracle by design and are kept OUT
-# of the first 50 so no checked slot is burned on a rows-only
-# record). The exact 50-entry window re-ran green end-to-end through
+# order. Round-8 rotation: (a) the 15 queries REGISTERED this round
+# (featureops.py — higher moments, Spearman, EWMA fold, positional
+# attribution, item co-occurrence, triangles, lag-feature matrix,
+# forecast backtest, trimmed mean, hapax, Kaplan-Meier survival,
+# source log-odds, interarrival burstiness, source vocab overlap,
+# trending items), (b) the 4 queries whose code or oracle CHANGED this
+# round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
+# layout_compaction_bins; docstring-only -> events_user_entropy),
+# (c) heavy operator families last stamped r4/r5 (df-pruned minhash,
+# blocking recall, substring family, graph lpa/khop, the sampling
+# family), (d) the date-valued / float-canon edge queries the driver
+# checks most strictly (gap_fill, ohlc, retention, seasonal,
+# pivot/unpivot), and (e) the flagship + the heavy scale queries as
+# standing re-verification. Exactly 50; the 5 no-oracle-by-design
+# entries stay out of the window so no checked slot is burned on a
+# rows-only record. The full window re-ran green through
 # tools/driver_sim (dtype-strict, pandas-fetched like the driver) at
-# sf0.01 before the final commit of the session.
+# sf0.01 before commit.
 _PRIORITY = [
-    # --- round-7 changed oracle (driver-red r4-r6, HUGEINT fix) ---
-    "eval_lang_id_report",
-    # --- round-7 NEW queries ---
-    "join_interval_overlap",
-    "text_trigram_novelty",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_countmin_topk",
-    "privacy_t_closeness",
-    "events_transition_matrix",
-    "text_feature_hashing",
-    "events_bitmap_retention",
-    "sketch_sample_quantiles",
-    "stream_hll_distinct",
-    "stats_benford",
-    "sketch_hll_merge_days",
-    "sketch_theta_intersection",
-    "sketch_theta_union",
-    "events_decayed_counts",
-    "events_ntile_quartiles",
+    # --- (a) round-8 new queries ---
+    "stats_skew_kurtosis",
+    "stats_spearman",
+    "events_ewma_smooth",
+    "events_attribution_positional",
+    "rec_item_cooccur",
+    "graph_triangles",
+    "feature_lag_matrix",
+    "events_forecast_backtest",
+    "stats_trimmed_mean",
+    "text_hapax_ratio",
+    "events_survival_km",
+    "text_source_log_odds",
+    "events_interarrival",
+    "corpus_source_overlap",
+    "events_trending_items",
+    # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",
-    "events_rfm_segments",
-    "events_level_shift",
     "layout_compaction_bins",
-    "feature_target_encode",
-    "join_nearest_event",
-    "dq_slice_scan",
-    "events_acf",
-    "events_velocity_flags",
     "events_user_entropy",
-    "stats_srm_check",
-    "events_cohort_ltv",
-    "events_lorenz_deciles",
-    "text_rake_scores",
-    "stats_welch_ttest",
-    "dedup_impact_report",
-    "text_readability",
-    "sim_knn_classify",
-    "stream_user_entropy",
-    "events_new_vs_returning",
-    "events_dow_profile",
-    "events_stickiness",
-    # --- round-7 new oracles (no_oracle -> recomputable-bytes) ---
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_audio_energy",
-    # --- never driver-checked (registered round 6) ---
-    "events_active_streaks",
-    "events_share_of_total",
-    "stats_gini",
-    "text_zipf_fit",
-    # --- re-verify: flagship + heavy operator families ---
-    "pipeline_training_corpus",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "decontaminate_ngram",
-    "decontaminate_bloom",
-    "decontaminate_semantic",
-    "doc_sample_split",
-    "doc_pack_sequences",
-    "eval_kappa",
-    "index_postings",
-    "search_hybrid_rrf",
-    "cluster_kmeans",
-    "graph_pagerank",
-    "sim_ann_pq",
-    "multimodal_exact_dedup",
-    # --- re-verify: date-valued outputs (DATE-vs-midnight canon) ---
+    # --- (c) heavy families last stamped r4/r5 ---
+    "dedup_minhash_df_pruned",
+    "dedup_blocking_recall",
+    "dedup_substring_drop",
+    "dedup_substring_stats",
+    "graph_lpa_communities",
+    "graph_khop",
+    "doc_sample_stratified",
+    "doc_sample_weighted",
+    "doc_sample_weighted_k",
+    "doc_mixture_resample",
+    "doc_training_order",
+    # --- (d) date-valued / float-canon edge queries ---
     "events_gap_fill",
     "events_ohlc_daily",
     "events_retention_cohorts",
     "events_seasonal_anomaly",
-    "sync_partition_checksums",
     "pivot_event_counts",
     "unpivot_event_stats",
-    "stream_window_counts",
-    "q18_date_bucket",
-    "q24_tpch_shipping",
-    "q26_tpch_large_orders",
-    # --- re-verify: r7 asof-carry refactor consumers + r5 tiebreak
-    #     fixes + float-canon edge queries ---
-    "join_point_in_time",
-    "join_time_to_next",
-    "cdc_merge_upsert",
-    "q15_window_lead",
-    "q36_tpch_min_cost_supplier",
-    "events_sessionize",
-    "stream_sessionize",
-    "stats_chi_square",
-    "events_funnel",
-    "events_asof_join",
+    # --- (e) flagship + heavy scale re-verification ---
+    "pipeline_training_corpus",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "decontaminate_bloom",
+    "cluster_kmeans",
+    "graph_pagerank",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "search_hybrid_rrf",
+    "search_bm25",
+    "index_postings",
+    "dedup_cluster_assign_star",
+    "multimodal_exact_dedup",
     # --- below the fold: everything else already driver-green ---
+    "eval_lang_id_report",
+    "eval_kappa",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "decontaminate_ngram",
+    "decontaminate_semantic",
+    "doc_sample_split",
+    "doc_pack_sequences",
     "dedup_cluster_assign",
     "dedup_embedding_lsh",
     "events_outliers",
