@@ -71,6 +71,7 @@ _PRIORITY = [
     "events_interarrival",
     "corpus_source_overlap",
     "events_trending_items",
+    "stream_ewma_smooth",
     # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",

@@ -212,16 +212,9 @@ def stats_spearman(spark, sf_dir):
 # events_ewma_smooth — recursive smoothing as an identical-order fold
 # ---------------------------------------------------------------------------
 
-@query(
-    "events_ewma_smooth",
-    # EWMA (alpha = 1/2) over each user's ordered daily-spend series.
-    # The recurrence ewma_t = 0.5*ewma_{t-1} + 0.5*x_t is evaluated as
-    # a LEFT FOLD over the day-ordered list on BOTH engines (Spark
-    # aggregate() over the tail seeded with the head; DuckDB
-    # list_reduce, which seeds with the head by definition) — the two
-    # engines execute the IDENTICAL sequence of IEEE ops, so the
-    # result is bit-identical before the defensive floor-grid
-    oracle=f"""
+# Shared by events_ewma_smooth and its streaming twin
+# stream_ewma_smooth — both must land on the identical rows.
+_EWMA_ORACLE = f"""
     WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       SUM({_CENTS})::BIGINT AS spend
                FROM events GROUP BY 1, 2),
@@ -232,7 +225,46 @@ def stats_spearman(spark, sf_dir):
            FLOOR(list_reduce(xs, (acc, x) -> 0.5 * acc + 0.5 * x) * 1e4)
                / 1e4 AS ewma_spend
     FROM s
-    """,
+    """
+
+_EWMA_SINK_SEQ = [0]
+
+
+def _ewma_finish(d):
+    """(user_id, day, spend) -> the EWMA output — shared by the batch
+    query and the streaming twin so both evaluate the identical fold
+    expression tree."""
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("day", F.col("spend").cast("double").alias("x"))
+            )
+        ).alias("sx"),
+    )
+    xs = F.transform(F.col("sx"), lambda e: e.getField("x"))
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return s.select(
+        "user_id",
+        "n_days",
+        (F.floor(ewma * 1e4) / 1e4).alias("ewma_spend"),
+    )
+
+
+@query(
+    "events_ewma_smooth",
+    # EWMA (alpha = 1/2) over each user's ordered daily-spend series.
+    # The recurrence ewma_t = 0.5*ewma_{t-1} + 0.5*x_t is evaluated as
+    # a LEFT FOLD over the day-ordered list on BOTH engines (Spark
+    # aggregate() over the tail seeded with the head; DuckDB
+    # list_reduce, which seeds with the head by definition) — the two
+    # engines execute the IDENTICAL sequence of IEEE ops, so the
+    # result is bit-identical before the defensive floor-grid
+    oracle=_EWMA_ORACLE,
 )
 def events_ewma_smooth(spark, sf_dir):
     """Exponentially weighted moving average of daily spend per user
@@ -254,23 +286,48 @@ def events_ewma_smooth(spark, sf_dir):
     d = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(_cents()).alias("spend"))
-    s = d.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.array_sort(
-            F.collect_list(F.struct("day", F.col("spend").cast("double").alias("x")))
-        ).alias("sx"),
+    return _ewma_finish(d)
+
+
+@query(
+    "stream_ewma_smooth",
+    # STREAMING twin of events_ewma_smooth, same batch oracle: the
+    # per-(user, day) spend is an update-mode stateful SUM with
+    # BOUNDED state (calendar-bounded rows per user) whose re-emits
+    # are monotone (cents are non-negative), so max(sum) over the
+    # sink recovers final state — the stream_user_entropy recovery
+    # contract — and the recovered daily table goes through the SAME
+    # _ewma_finish fold as the batch query
+    oracle=_EWMA_ORACLE,
+)
+def stream_ewma_smooth(spark, sf_dir):
+    """Streaming EWMA — the bounded-state streaming twin of
+    events_ewma_smooth: the running (user, day) spend is an
+    update-mode stateful aggregate whose state is calendar-bounded
+    (<= observed days per user, ~30 here; a production deployment
+    watermarks days closed and evicts), re-emitted rows are
+    SUM-monotone over non-negative cents so max(spend) over the
+    memory sink recovers the final per-day totals, and the recovered
+    table folds through the IDENTICAL _ewma_finish expression tree as
+    the batch query. The batch oracle gates both — any divergence
+    between micro-batched and whole-table daily accumulation fails
+    the value-hash."""
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    _EWMA_SINK_SEQ[0] += 1
+    name = f"stream_ewma_smooth_sink_{_EWMA_SINK_SEQ[0]}"
+    daily = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).alias("spend"))
     )
-    xs = F.transform(F.col("sx"), lambda e: e.getField("x"))
-    ewma = F.aggregate(
-        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        F.element_at(xs, 1),
-        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    run_to_memory(daily, name, output_mode="update", state_partitions=8)
+    d = (
+        spark.table(name)
+        .groupBy("user_id", "day")
+        .agg(F.max("spend").alias("spend"))
     )
-    return s.select(
-        "user_id",
-        "n_days",
-        (F.floor(ewma * 1e4) / 1e4).alias("ewma_spend"),
-    )
+    return _ewma_finish(d)
 
 
 # ---------------------------------------------------------------------------

@@ -594,3 +594,70 @@ class TestRound8bPlans:
         ]
         for name, marker, allowed in cases:
             assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+
+
+class TestStreamEwmaTwin:
+    SFD = "/root/testdata/sf0.001"
+
+    def test_registered_twin_matches_batch(self, spark):
+        got = {
+            r["user_id"]: (r["n_days"], r["ewma_spend"])
+            for r in QUERIES["stream_ewma_smooth"](spark, self.SFD).collect()
+        }
+        want = {
+            r["user_id"]: (r["n_days"], r["ewma_spend"])
+            for r in QUERIES["events_ewma_smooth"](spark, self.SFD).collect()
+        }
+        assert got == want
+
+    def test_state_accumulates_across_micro_batches(self, spark, tmp_path):
+        """The registered twin drains the single-file source in one
+        micro-batch; this forces FOUR (maxFilesPerTrigger=1 over a
+        4-file split) so the update-mode daily-spend state actually
+        evolves across batches, then checks max(spend)-recovery + the
+        shared fold still land exactly on the batch rows."""
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.queries.featureops import (
+            _cents,
+            _ewma_finish,
+        )
+        from easy_alterator_spark.sources import load_table
+        from easy_alterator_spark.streaming.events import run_to_memory
+
+        src = f"{tmp_path}/events_split"
+        ev = load_table(spark, self.SFD, "events").select(
+            "user_id", "ts", "value"
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.sum(_cents()).alias("spend"))
+        )
+        run_to_memory(
+            stream, "multi_batch_ewma_sink", output_mode="update",
+            state_partitions=4,
+        )
+        sink = spark.table("multi_batch_ewma_sink")
+        # >1 micro-batch means at least one (user, day) re-emitted
+        # with a strictly larger running spend
+        re_emits = (
+            sink.groupBy("user_id", "day")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert re_emits > 0, "split produced only one micro-batch"
+        d = sink.groupBy("user_id", "day").agg(F.max("spend").alias("spend"))
+        got = {
+            r["user_id"]: (r["n_days"], r["ewma_spend"])
+            for r in _ewma_finish(d).collect()
+        }
+        want = {
+            r["user_id"]: (r["n_days"], r["ewma_spend"])
+            for r in QUERIES["events_ewma_smooth"](spark, self.SFD).collect()
+        }
+        assert got == want
