@@ -9,11 +9,11 @@ gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
 oracle-bearing entry registered through round 7 (231 of 236); round 8
-adds 15 new oracle-bearing queries (queries/featureops.py), so the
-union r01-r08 covers all 246 of 251 once the r8 window below runs.
-The remaining 5 register rows-only by design: dedup_simhash,
-bpe_train_merges, and the three ddl_* fixture queries whose inputs are
-DDL text, not the relational tables.
+adds 19 new oracle-bearing queries (queries/featureops.py, incl. the
+stream_ewma_smooth twin), so the union r01-r08 covers all 250 of 255
+once the r8 window below runs. The remaining 5 register rows-only by
+design: dedup_simhash, bpe_train_merges, and the three ddl_* fixture
+queries whose inputs are DDL text, not the relational tables.
 """
 
 from __future__ import annotations
@@ -36,12 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-8 rotation: (a) the 15 queries REGISTERED this round
-# (featureops.py — higher moments, Spearman, EWMA fold, positional
-# attribution, item co-occurrence, triangles, lag-feature matrix,
-# forecast backtest, trimmed mean, hapax, Kaplan-Meier survival,
-# source log-odds, interarrival burstiness, source vocab overlap,
-# trending items), (b) the 4 queries whose code or oracle CHANGED this
+# order. Round-8 rotation: (a) the 19 queries REGISTERED this round
+# (featureops.py — higher moments, Spearman, EWMA fold + its streaming
+# twin, positional attribution, item co-occurrence, triangles,
+# lag-feature matrix, forecast backtest, trimmed mean, hapax,
+# Kaplan-Meier survival, source log-odds, interarrival burstiness,
+# source vocab overlap, trending items, Dirichlet query-likelihood,
+# volume alerts, degree distribution), (b) the 4 whose code or oracle CHANGED this
 # round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
 # layout_compaction_bins; docstring-only -> events_user_entropy),
 # (c) heavy operator families last stamped r4/r5 (df-pruned minhash,
@@ -72,6 +73,9 @@ _PRIORITY = [
     "corpus_source_overlap",
     "events_trending_items",
     "stream_ewma_smooth",
+    "search_lm_dirichlet",
+    "dq_volume_alerts",
+    "graph_degree_distribution",
     # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",

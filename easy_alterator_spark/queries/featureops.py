@@ -1358,3 +1358,262 @@ def events_trending_items(spark, sf_dir):
             (F.col("rank_prev") - F.col("rank_now")).alias("rank_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# search_lm_dirichlet — query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+
+@query(
+    "search_lm_dirichlet",
+    # Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001),
+    # mu = 2000: score(d) = sum_q ln((tf + mu*p_c(q)) / (dl + mu)).
+    # The output is the FULL matching-doc set (no float top-k cut —
+    # the row set is decided by integer tf > 0 alone), scores
+    # floor-gridded + nudged
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+    q AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    cstat AS (SELECT COUNT(*)::BIGINT AS c_total FROM q),
+    cf AS (SELECT term, COUNT(*)::BIGINT AS cf FROM q
+           WHERE term IN ('window', 'shuffle', 'broadcast')
+           GROUP BY term),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM q
+           WHERE term IN ('window', 'shuffle', 'broadcast')
+           GROUP BY doc_id, term),
+    scored AS (SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,
+                      SUM(ln((tf.tf::DOUBLE
+                              + 2000.0 * cf.cf::DOUBLE / s.c_total::DOUBLE)
+                             / (b.dl + 2000.0))) AS raw
+               FROM tf JOIN cf USING (term)
+                       JOIN base b ON tf.doc_id = b.doc_id
+                       CROSS JOIN cstat s
+               GROUP BY tf.doc_id)
+    SELECT doc_id, n_terms,
+           FLOOR(raw * 1e4 + 1e-6) / 1e4 AS score
+    FROM scored
+    """,
+)
+def search_lm_dirichlet(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, mu = 2000) — the language-modeling ranker that
+    complements search_bm25's tf saturation: score(d) = sum over query
+    terms of ln((tf + mu*p_collection) / (dl + mu)). The result set is
+    every document matching >= 1 query term — membership is decided by
+    INTEGER tf alone, so no float ordering picks rows (the bm25 query
+    demonstrates the top-k form; this one demonstrates the full-score
+    surface a downstream fusion like search_hybrid_rrf consumes).
+    Counts are exact int64; each score is a <= |query|-term sum of
+    fixed log trees, floor-gridded + nudged. Shape: map-side query-
+    vocabulary cut before the (doc, term) aggregate — the posting
+    explode only materializes the 3 query terms; collection stats are
+    one-row broadcasts. Same single-shuffle skeleton as search_bm25 at
+    any corpus size."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = ["window", "shuffle", "broadcast"]
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    base = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    q = toks.select("doc_id", F.explode("t").alias("term"))
+    cstat = q.agg(F.count(F.lit(1)).alias("c_total"))
+    qf = q.filter(F.col("term").isin(qterms))
+    cf = qf.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tf = qf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .join(base, "doc_id")
+        .crossJoin(F.broadcast(cstat))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.log(
+                    (
+                        F.col("tf").cast("double")
+                        + 2000.0
+                        * F.col("cf").cast("double")
+                        / F.col("c_total").cast("double")
+                    )
+                    / (F.col("dl") + 2000.0)
+                )
+            ).alias("raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_terms",
+        (F.floor(F.col("raw") * 1e4 + 1e-6) / 1e4).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_volume_alerts — day-over-day volume anomaly screen
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_volume_alerts",
+    # ops data-quality screen: per (type, day) count vs the EXACT
+    # median of the trailing 7 prior days (sorted 7-element list,
+    # 4th element — pure integers); spike/drop flags by integer
+    # cross-multiply, no float thresholds
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day, n,
+                 list(n) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                     AS prior
+          FROM d),
+    m AS (SELECT event_type, day, n,
+                 list_sort(prior)[4]::BIGINT AS med7
+          FROM w WHERE len(prior) = 7)
+    SELECT event_type, day, n, med7,
+           CASE WHEN n * 2 > 3 * med7 THEN 1 ELSE 0 END::BIGINT AS spike,
+           CASE WHEN n * 2 < med7 THEN 1 ELSE 0 END::BIGINT AS drop_alert
+    FROM m
+    """,
+)
+def dq_volume_alerts(spark, sf_dir):
+    """Day-over-day volume anomaly screen per event type — the
+    pipeline-ops staple ('did yesterday's ingest spike 1.5x or halve
+    vs the trailing week?'). The baseline is the EXACT median of the
+    7 prior days: the window collects the 7 trailing counts as a list,
+    sorts it, and takes the 4th element — all integers, no percentile
+    estimator, no float baseline. Spike (n > 1.5x median) and drop
+    (n < 0.5x median) flags are integer cross-multiplies (n*2 vs
+    3*med / med), so no float comparison anywhere in the query. Days
+    without a full 7-day history are excluded (no cold-start false
+    alarms). Shape: daily rollup (the only data-sized stage), then a
+    7-element window over the calendar-bounded daily table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    m = (
+        d.select(
+            "event_type",
+            "day",
+            "n",
+            F.collect_list("n").over(w).alias("prior"),
+        )
+        .filter(F.size("prior") == 7)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.element_at(F.array_sort("prior"), 4).cast("bigint").alias("med7"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "day",
+        "n",
+        "med7",
+        F.when(F.col("n") * 2 > 3 * F.col("med7"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("spike"),
+        F.when(F.col("n") * 2 < F.col("med7"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("drop_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — degree histogram + power-law slope
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_degree_distribution",
+    # degree histogram of the above-average co-visitation graph +
+    # log-log regression slope (the text_zipf_fit device applied to
+    # graph structure); degrees and frequencies exact int64, slope
+    # floor-gridded + nudged
+    oracle="""
+    WITH ui AS (SELECT DISTINCT user_id,
+                       json_extract_string(props, '$.k')::INT AS item
+                FROM events),
+    co AS (SELECT a.item AS u, b.item AS v, COUNT(*)::BIGINT AS co
+           FROM ui a JOIN ui b
+             ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_pairs, SUM(co)::BIGINT AS sum_co
+            FROM co),
+    e AS (SELECT u, v FROM co CROSS JOIN tot
+          WHERE co * n_pairs > sum_co),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    h AS (SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM deg
+          GROUP BY degree),
+    s AS (SELECT FLOOR(regr_slope(ln(n_nodes::DOUBLE), ln(degree::DOUBLE))
+                       * 1e4 + 1e-6) / 1e4 AS slope
+          FROM h WHERE degree > 0)
+    SELECT h.degree, h.n_nodes, s.slope
+    FROM h CROSS JOIN s WHERE h.degree > 0
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the above-average co-visitation graph with
+    the log-log power-law slope attached — the first diagnostic run on
+    any production graph (a slope near -2..-3 says scale-free hub
+    structure; flat says the threshold produced a near-clique, which
+    changes every downstream join's cost model — see graph_triangles'
+    degree-orientation note). Degrees and histogram counts are exact
+    int64 from two hash aggregates; the slope is one regr_slope over
+    the histogram-sized table (the text_zipf_fit device), floor-
+    gridded + nudged, identical on every row. Shape: the co-visitation
+    aggregate is the only data-sized stage; degree and histogram
+    grains are item-dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    aa, bb = ui.alias("a"), ui.alias("b")
+    co = (
+        aa.join(
+            bb,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    tot = co.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("co").alias("sum_co")
+    )
+    e = (
+        co.crossJoin(F.broadcast(tot))
+        .filter(F.col("co") * F.col("n_pairs") > F.col("sum_co"))
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    h = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    s = h.filter(F.col("degree") > 0).agg(
+        (
+            F.floor(
+                F.regr_slope(
+                    F.log(F.col("n_nodes").cast("double")),
+                    F.log(F.col("degree").cast("double")),
+                )
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("slope")
+    )
+    return (
+        h.filter(F.col("degree") > 0)
+        .crossJoin(F.broadcast(s))
+        .select("degree", "n_nodes", "slope")
+    )

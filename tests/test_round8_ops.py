@@ -661,3 +661,65 @@ class TestStreamEwmaTwin:
             for r in QUERIES["events_ewma_smooth"](spark, self.SFD).collect()
         }
         assert got == want
+
+
+class TestLmDirichlet:
+    def test_smoothed_score(self, spark, tmp_path):
+        import math
+
+        # doc1 "window window shuffle" matches; doc2 "cat" does not.
+        # c_total=4, cf(window)=2, cf(shuffle)=1, dl(doc1)=3, mu=2000
+        _write_docs(
+            spark,
+            tmp_path,
+            [(1, "window window shuffle", "en", "s1"), (2, "cat", "en", "s1")],
+        )
+        (row,) = QUERIES["search_lm_dirichlet"](spark, str(tmp_path)).collect()
+        assert (row["doc_id"], row["n_terms"]) == (1, 2)
+        raw = math.log((2 + 2000 * 2 / 4) / (3 + 2000)) + math.log(
+            (1 + 2000 * 1 / 4) / (3 + 2000)
+        )
+        assert row["score"] == math.floor(raw * 1e4 + 1e-6) / 1e4
+
+
+class TestVolumeAlerts:
+    def test_spike_and_drop(self, spark, tmp_path):
+        # 7 days of 10/day, then a 40 (spike: 80 > 3*10) and a 3
+        # (drop: 6 < 10; its trailing median is still 10)
+        rows, eid = [], 1
+        for d in range(7):
+            for _ in range(10):
+                rows.append((eid, d, 1, "view", 0.0, "{}")); eid += 1
+        for _ in range(40):
+            rows.append((eid, 7, 1, "view", 0.0, "{}")); eid += 1
+        for _ in range(3):
+            rows.append((eid, 8, 1, "view", 0.0, "{}")); eid += 1
+        _write_events(spark, tmp_path, rows)
+        out = sorted(
+            QUERIES["dq_volume_alerts"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["day"],
+        )
+        assert len(out) == 2  # days 0-6 lack a full 7-day history
+        spike, drop = out
+        assert (spike["n"], spike["med7"], spike["spike"], spike["drop_alert"]) \
+            == (40, 10, 1, 0)
+        assert (drop["n"], drop["med7"], drop["spike"], drop["drop_alert"]) \
+            == (3, 10, 0, 1)
+
+
+class TestDegreeDistribution:
+    def test_histogram_and_degenerate_slope(self, spark, tmp_path):
+        # triangle fixture: edges (1,2),(1,3),(2,3) -> all degrees 2
+        # -> one histogram row; regr_slope over one point is NULL
+        rows, eid = [], 1
+        for u in (1, 2, 3):
+            for k in (1, 2, 3):
+                rows.append((eid, 0, u, "view", 0.0, '{"k": %d}' % k)); eid += 1
+        for k in (1, 4):
+            rows.append((eid, 0, 4, "view", 0.0, '{"k": %d}' % k)); eid += 1
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["graph_degree_distribution"](
+            spark, str(tmp_path)
+        ).collect()
+        assert (row["degree"], row["n_nodes"]) == (2, 3)
+        assert row["slope"] is None
