@@ -1617,3 +1617,193 @@ def graph_degree_distribution(spark, sf_dir):
         .crossJoin(F.broadcast(s))
         .select("degree", "n_nodes", "slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_growth_accounting — weekly new/retained/resurrected/churned
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_growth_accounting",
+    # the growth-accounting decomposition: per ISO week, users split
+    # into NEW (first-ever week), RETAINED (also active the previous
+    # week), RESURRECTED (returning after a gap); CHURNED(w) = users
+    # active in w-7 with no activity in w. All set logic rides one
+    # per-user ordered window over the (user, week) distinct table
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events),
+    lagged AS (SELECT user_id, week,
+                      MIN(week) OVER (PARTITION BY user_id) AS first_week,
+                      LAG(week) OVER (PARTITION BY user_id
+                                      ORDER BY week) AS prev_week,
+                      LEAD(week) OVER (PARTITION BY user_id
+                                       ORDER BY week) AS next_week
+               FROM uw),
+    horizon AS (SELECT MAX(week) AS max_week FROM uw),
+    states AS (SELECT week,
+                      SUM(CASE WHEN week = first_week
+                               THEN 1 ELSE 0 END)::BIGINT AS new_users,
+                      SUM(CASE WHEN prev_week = week - INTERVAL 7 DAY
+                               THEN 1 ELSE 0 END)::BIGINT AS retained,
+                      SUM(CASE WHEN week <> first_week
+                                AND (prev_week IS NULL
+                                     OR prev_week <> week - INTERVAL 7 DAY)
+                               THEN 1 ELSE 0 END)::BIGINT AS resurrected
+               FROM lagged GROUP BY week),
+    churn AS (SELECT (week + INTERVAL 7 DAY)::DATE AS week,
+                     COUNT(*)::BIGINT AS churned
+              FROM lagged CROSS JOIN horizon
+              WHERE (next_week IS NULL OR next_week <> week + INTERVAL 7 DAY)
+                AND week + INTERVAL 7 DAY <= max_week
+              GROUP BY 1)
+    SELECT s.week, s.new_users, s.retained, s.resurrected,
+           COALESCE(c.churned, 0)::BIGINT AS churned,
+           CASE WHEN COALESCE(c.churned, 0) = 0 THEN NULL
+                ELSE (s.new_users + s.resurrected)::DOUBLE / c.churned
+           END AS quick_ratio
+    FROM states s LEFT JOIN churn c ON s.week = c.week
+    """,
+)
+def events_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting — the canonical user-base
+    decomposition (Amplitude/a16z 'growth accounting'): every active
+    (user, week) is NEW (first-ever week), RETAINED (also active the
+    previous calendar week) or RESURRECTED (returning after a gap),
+    and CHURNED(w) counts users active in w-7 who went silent in w.
+    The quick ratio (new + resurrected) / churned > 1 means the base
+    is growing. All classification is integer set logic over ONE
+    per-user ordered window (lag/lead/min) on the distinct
+    (user, week) table — no self-joins of the raw stream, no float
+    anywhere except the final ratio (one IEEE division, NULL when
+    churn is zero on both engines by explicit CASE). Churn rows stop
+    at the observation horizon (one-row MAX broadcast) so the final
+    week never reports phantom churn. Shape: the distinct rollup is
+    the only data-sized stage; everything after runs at (user, week)
+    and week grain."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    wuser = Window.partitionBy("user_id")
+    worder = wuser.orderBy("week")
+    lagged = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(wuser).alias("first_week"),
+        F.lag("week").over(worder).alias("prev_week"),
+        F.lead("week").over(worder).alias("next_week"),
+    )
+    horizon = uw.agg(F.max("week").alias("max_week"))
+    states = lagged.groupBy("week").agg(
+        F.sum(
+            F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("prev_week") == F.date_sub("week", 7), 1).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("week") != F.col("first_week"))
+                & (
+                    F.col("prev_week").isNull()
+                    | (F.col("prev_week") != F.date_sub("week", 7))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(horizon))
+        .filter(
+            (
+                F.col("next_week").isNull()
+                | (F.col("next_week") != F.date_add("week", 7))
+            )
+            & (F.date_add("week", 7) <= F.col("max_week"))
+        )
+        .groupBy(F.date_add("week", 7).alias("week"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        states.join(churn, "week", "left")
+        .select(
+            "week",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+            F.when(F.coalesce("churned", F.lit(0)) == 0, F.lit(None))
+            .otherwise(
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.col("churned")
+            )
+            .alias("quick_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_daily_percentiles — exact order-statistic SLO bands per day
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_daily_percentiles",
+    # exact (not approximate) daily p50/p95/p99 of value cents via
+    # order statistics: rank under the (cents, event_id) total order,
+    # target ranks ceil(q*n) computed by integer arithmetic — no
+    # percentile estimator, no interpolation, engine-identical
+    oracle=f"""
+    WITH c AS (SELECT CAST(ts AS DATE) AS day, event_id,
+                      {_CENTS} AS cents FROM events),
+    r AS (SELECT day, cents,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY day)::BIGINT AS n
+          FROM c)
+    SELECT day, n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT AS p50,
+           MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)::BIGINT
+               AS p95,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)::BIGINT
+               AS p99
+    FROM r GROUP BY day, n
+    """,
+)
+def events_daily_percentiles(spark, sf_dir):
+    """Exact daily p50/p95/p99 of the value distribution — the SLO /
+    spend-band panel, computed as true order statistics instead of an
+    estimator (percentile_approx drifts run-to-run; this is
+    reproducible to the cent). Ranks run under the (cents, event_id)
+    total order so row_number is engine-independent; the target ranks
+    ceil(n/2), ceil(19n/20), ceil(99n/100) are integer arithmetic
+    ((k*n + k) div m); the selected cents are exact int64. Shape: one
+    per-day sort (partition-parallel across days) + one day-grain
+    aggregate. At 100 TB swap the per-day sort for the two-pass
+    distributed rank in operators/rank.py, same as
+    stats_histogram_equidepth — the selected statistics are
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        _cents().alias("cents"),
+    )
+    wd = Window.partitionBy("day")
+    r = c.select(
+        "day",
+        "cents",
+        F.row_number().over(wd.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("n"),
+    )
+
+    def pick(expr):
+        return F.max(F.when(F.col("rn") == expr, F.col("cents"))).cast("bigint")
+
+    return r.groupBy("day", "n").agg(
+        pick(F.expr("(n + 1) div 2")).alias("p50"),
+        pick(F.expr("(19 * n + 19) div 20")).alias("p95"),
+        pick(F.expr("(99 * n + 99) div 100")).alias("p99"),
+    )

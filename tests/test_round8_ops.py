@@ -723,3 +723,61 @@ class TestDegreeDistribution:
         ).collect()
         assert (row["degree"], row["n_nodes"]) == (2, 3)
         assert row["slope"] is None
+
+
+class TestGrowthAccounting:
+    def test_states_and_churn(self, spark, tmp_path):
+        # weeks w0..w2 (Mondays). u1 active w0,w1,w2; u2 active w0
+        # only; u3 active w0,w2 (gap week -> resurrected at w2).
+        # w0: new 3; w1: retained 1 (u1), churned 2 (u2, u3)
+        # w2: retained 1 (u1), resurrected 1 (u3), churned 0
+        # T0 = 2026-01-01 (Thursday); week starts 2025-12-29.
+        rows = [
+            (1, 0, 1, "view", 0.0, "{}"),
+            (2, 7, 1, "view", 0.0, "{}"),
+            (3, 14, 1, "view", 0.0, "{}"),
+            (4, 0, 2, "view", 0.0, "{}"),
+            (5, 0, 3, "view", 0.0, "{}"),
+            (6, 14, 3, "view", 0.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        out = sorted(
+            QUERIES["events_growth_accounting"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["week"],
+        )
+        w0, w1, w2 = out
+        assert (w0["new_users"], w0["retained"], w0["resurrected"],
+                w0["churned"]) == (3, 0, 0, 0)
+        assert w0["quick_ratio"] is None
+        assert (w1["new_users"], w1["retained"], w1["resurrected"],
+                w1["churned"]) == (0, 1, 0, 2)
+        assert w1["quick_ratio"] == 0.0
+        assert (w2["new_users"], w2["retained"], w2["resurrected"],
+                w2["churned"]) == (0, 1, 1, 0)
+        # identity: actives(w) = new + retained + resurrected
+        assert w2["new_users"] + w2["retained"] + w2["resurrected"] == 2
+
+
+class TestDailyPercentiles:
+    def test_exact_order_statistics(self, spark, tmp_path):
+        # one day, cents 1..20: n=20 -> p50 rank ceil(20/2)=10,
+        # p95 rank ceil(19)=19, p99 rank ceil(19.8)=20
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (i, 0, 1, "view", c / 100.0, "{}")
+                for i, c in enumerate(range(1, 21), start=1)
+            ],
+        )
+        (row,) = QUERIES["events_daily_percentiles"](
+            spark, str(tmp_path)
+        ).collect()
+        assert (row["n"], row["p50"], row["p95"], row["p99"]) == (20, 10, 19, 20)
+
+    def test_single_row_day(self, spark, tmp_path):
+        _write_events(spark, tmp_path, [(1, 0, 1, "view", 0.42, "{}")])
+        (row,) = QUERIES["events_daily_percentiles"](
+            spark, str(tmp_path)
+        ).collect()
+        assert (row["n"], row["p50"], row["p95"], row["p99"]) == (1, 42, 42, 42)
