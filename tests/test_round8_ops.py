@@ -781,3 +781,42 @@ class TestDailyPercentiles:
             spark, str(tmp_path)
         ).collect()
         assert (row["n"], row["p50"], row["p95"], row["p99"]) == (1, 42, 42, 42)
+
+
+class TestRound8cPlans:
+    SF = "/root/testdata/sf0.001"
+
+    def test_batch34_no_cartesians(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        for name in (
+            "search_lm_dirichlet",
+            "graph_degree_distribution",
+            "events_growth_accounting",
+        ):
+            plan = formatted_plan(QUERIES[name](spark, self.SF))
+            assert join_counts(plan)["CartesianProduct"] == 0, (name, plan)
+
+    def test_volume_alerts_and_percentiles_join_free(self, spark):
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        for name in ("dq_volume_alerts", "events_daily_percentiles"):
+            plan = formatted_plan(QUERIES[name](spark, self.SF))
+            assert all(v == 0 for v in join_counts(plan).values()), (name, plan)
+
+    def test_batch34_scans_prune_columns(self, spark):
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        cases = [
+            ("search_lm_dirichlet", "doc_id", {"doc_id", "text"}),
+            ("dq_volume_alerts", "event_type", {"event_type", "ts"}),
+            ("graph_degree_distribution", "props", {"user_id", "props"}),
+            ("events_growth_accounting", "user_id", {"user_id", "ts"}),
+            (
+                "events_daily_percentiles",
+                "event_id",
+                {"event_id", "ts", "value"},
+            ),
+        ]
+        for name, marker, allowed in cases:
+            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
