@@ -9,8 +9,8 @@ gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
 oracle-bearing entry registered through round 7 (231 of 236); round 8
-adds 21 new oracle-bearing queries (queries/featureops.py, incl. the
-stream_ewma_smooth twin), so the union r01-r08 covers all 252 of 257
+adds 24 new oracle-bearing queries (queries/featureops.py, incl. the
+stream_ewma_smooth twin), so the union r01-r08 covers all 255 of 260
 once the r8 window below runs. The remaining 5 register rows-only by
 design: dedup_simhash, bpe_train_merges, and the three ddl_* fixture
 queries whose inputs are DDL text, not the relational tables.
@@ -36,14 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-8 rotation: (a) the 21 queries REGISTERED this round
+# order. Round-8 rotation: (a) the 24 queries REGISTERED this round
 # (featureops.py — higher moments, Spearman, EWMA fold + its streaming
 # twin, positional attribution, item co-occurrence, triangles,
 # lag-feature matrix, forecast backtest, trimmed mean, hapax,
 # Kaplan-Meier survival, source log-odds, interarrival burstiness,
 # source vocab overlap, trending items, Dirichlet query-likelihood,
 # volume alerts, degree distribution, growth accounting, exact daily
-# percentiles), (b) the 4 whose code or oracle CHANGED this
+# percentiles, Cramer's V, JS divergence, RBO rank stability),
+# (b) the 4 whose code or oracle CHANGED this
 # round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
 # layout_compaction_bins; docstring-only -> events_user_entropy),
 # (c) heavy operator families last stamped r4/r5 (df-pruned minhash,
@@ -79,6 +80,9 @@ _PRIORITY = [
     "graph_degree_distribution",
     "events_growth_accounting",
     "events_daily_percentiles",
+    "stats_cramers_v",
+    "corpus_js_divergence",
+    "events_rank_stability_rbo",
     # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",

@@ -1807,3 +1807,367 @@ def events_daily_percentiles(spark, sf_dir):
         pick(F.expr("(19 * n + 19) div 20")).alias("p95"),
         pick(F.expr("(99 * n + 99) div 100")).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_cramers_v — categorical association over a dense contingency table
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cramers_v",
+    # Cramer's V between event_type and item over the DENSE r x c
+    # contingency (zero cells included — they carry expected mass).
+    # Each cell's chi2 term (obs*n - r*c)^2 / (n*r*c) is a fixed IEEE
+    # tree of exact-int conversions, snapped to a 1e-9 integer grid so
+    # the cell SUM is order-free int64; V is one sqrt tree at the end
+    oracle="""
+    WITH base AS (SELECT event_type,
+                         json_extract_string(props, '$.k')::INT AS item
+                  FROM events),
+    obs AS (SELECT event_type, item, COUNT(*)::BIGINT AS o
+            FROM base GROUP BY 1, 2),
+    rows_ AS (SELECT event_type, COUNT(*)::BIGINT AS r FROM base GROUP BY 1),
+    cols_ AS (SELECT item, COUNT(*)::BIGINT AS c FROM base GROUP BY 1),
+    n_ AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+    dense AS (SELECT rows_.event_type, cols_.item, rows_.r, cols_.c,
+                     COALESCE(obs.o, 0)::BIGINT AS o
+              FROM rows_ CROSS JOIN cols_
+              LEFT JOIN obs ON obs.event_type = rows_.event_type
+                           AND obs.item = cols_.item),
+    terms AS (SELECT FLOOR(((o * n.n - r * c)::DOUBLE
+                            * (o * n.n - r * c)::DOUBLE)
+                           / ((n.n * r)::DOUBLE * c::DOUBLE)
+                           * 1e9)::BIGINT AS t9,
+                     n.n
+              FROM dense CROSS JOIN n_ n),
+    s AS (SELECT SUM(t9)::BIGINT AS chi9, MAX(n) AS n,
+                 (SELECT COUNT(*) FROM rows_)::BIGINT AS nr,
+                 (SELECT COUNT(*) FROM cols_)::BIGINT AS nc
+          FROM terms)
+    SELECT n, nr, nc,
+           chi9::DOUBLE / 1e9 AS chi2,
+           ((nr - 1) * (nc - 1))::BIGINT AS dof,
+           FLOOR(sqrt(chi9::DOUBLE / 1e9
+                      / (n::DOUBLE * LEAST(nr - 1, nc - 1)::DOUBLE))
+                 * 1e4 + 1e-6) / 1e4 AS cramers_v
+    FROM s
+    """,
+)
+def stats_cramers_v(spark, sf_dir):
+    """Cramer's V association between event type and item — the
+    normalized chi-square that answers 'do different event types touch
+    different items' on a 0..1 scale (stats_chi_square is the GoF
+    sibling). The contingency table is DENSE: zero-observation cells
+    still carry expected mass r*c/n, built by crossing the two
+    dimension tables (r x c rows — dimension-sized at any corpus
+    scale) and left-joining observed counts. Each cell's chi2 term is
+    exact-int inputs through one fixed IEEE tree ((o*n - r*c)^2 /
+    (n*r*c); the difference is exact int64 < 2^53 before squaring),
+    snapped to a 1e-9 integer grid so the cell sum is ORDER-FREE int64
+    (the events_survival_km device) — engines cannot disagree on
+    summation order. chi2 and V are then literal divisions and one
+    sqrt, floor-gridded + nudged. Shape: one data-sized aggregate,
+    then everything at dimension grain."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    obs = base.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_ = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    cols_ = base.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    n_ = base.agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        rows_.crossJoin(cols_)
+        .join(obs, ["event_type", "item"], "left")
+        .select(
+            "event_type",
+            "item",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+        .crossJoin(F.broadcast(n_))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    # chi2 cell term: (o - E)^2/E with E = r*c/n reduces to
+    # (o*n - r*c)^2 / (n*r*c) — exactly ONE factor of n (the first
+    # draft divided by n twice on BOTH engines and sailed through the
+    # differential gate; the hand-computed 2x2 perfect-association
+    # test below caught it. Shared-bug risk is why semantics tests
+    # exist.)
+    t9 = F.floor(
+        diff
+        * diff
+        / ((F.col("n") * F.col("r")).cast("double") * F.col("c").cast("double"))
+        * 1e9
+    ).cast("bigint")
+    terms = dense.select(t9.alias("t9"), "n")
+    s = terms.agg(
+        F.sum("t9").alias("chi9"), F.max("n").alias("n")
+    ).crossJoin(
+        F.broadcast(
+            rows_.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+                cols_.agg(F.count(F.lit(1)).alias("nc"))
+            )
+        )
+    )
+    return s.select(
+        "n",
+        "nr",
+        "nc",
+        (F.col("chi9").cast("double") / 1e9).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("chi9").cast("double")
+                    / 1e9
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1).cast(
+                            "double"
+                        )
+                    )
+                )
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_js_divergence — distributional drift between sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_js_divergence",
+    # Jensen-Shannon divergence between every source pair's unigram
+    # distributions: per-term contributions 0.5*p*ln(p/m) +
+    # 0.5*q*ln(q/m) snap to a 1e-12 integer grid, so the vocabulary-
+    # sized sum is order-free int64 (libm 1-ulp flips at the grid are
+    # ~1e-12 each — invisible at the 1e-4 output grid)
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_DTOKS}) AS term FROM documents),
+    tc AS (SELECT source, term, COUNT(*)::BIGINT AS y
+           FROM tok GROUP BY source, term),
+    tot AS (SELECT source, SUM(y)::BIGINT AS n FROM tc GROUP BY source),
+    pairs AS (SELECT a.term,
+                     a.source AS source_a, b.source AS source_b,
+                     a.y AS ya, b.y AS yb
+              FROM tc a JOIN tc b
+                ON a.term = b.term AND a.source < b.source),
+    allpairs AS (
+        SELECT term, source_a, source_b, ya, yb FROM pairs
+        UNION ALL
+        SELECT tc.term, tc.source AS source_a, o.source AS source_b,
+               tc.y AS ya, 0::BIGINT AS yb
+        FROM tc CROSS JOIN tot o
+        WHERE tc.source < o.source
+          AND NOT EXISTS (SELECT 1 FROM tc b WHERE b.term = tc.term
+                          AND b.source = o.source)
+        UNION ALL
+        SELECT tc.term, o.source AS source_a, tc.source AS source_b,
+               0::BIGINT AS ya, tc.y AS yb
+        FROM tc CROSS JOIN tot o
+        WHERE o.source < tc.source
+          AND NOT EXISTS (SELECT 1 FROM tc a WHERE a.term = tc.term
+                          AND a.source = o.source)
+    ),
+    terms AS (SELECT p.source_a, p.source_b,
+                     FLOOR((
+                       CASE WHEN p.ya > 0 THEN
+                         0.5 * (p.ya::DOUBLE / na.n::DOUBLE)
+                         * ln((p.ya::DOUBLE / na.n::DOUBLE)
+                              / ((p.ya::DOUBLE / na.n::DOUBLE
+                                  + p.yb::DOUBLE / nb.n::DOUBLE) / 2))
+                       ELSE 0 END
+                       +
+                       CASE WHEN p.yb > 0 THEN
+                         0.5 * (p.yb::DOUBLE / nb.n::DOUBLE)
+                         * ln((p.yb::DOUBLE / nb.n::DOUBLE)
+                              / ((p.ya::DOUBLE / na.n::DOUBLE
+                                  + p.yb::DOUBLE / nb.n::DOUBLE) / 2))
+                       ELSE 0 END) * 1e12)::BIGINT AS t12
+              FROM allpairs p
+              JOIN tot na ON p.source_a = na.source
+              JOIN tot nb ON p.source_b = nb.source)
+    SELECT source_a, source_b,
+           FLOOR(SUM(t12)::DOUBLE / 1e12 * 1e4 + 1e-6) / 1e4
+               AS js_divergence
+    FROM terms GROUP BY source_a, source_b
+    """,
+)
+def corpus_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between every pair of source unigram
+    distributions — the DISTRIBUTIONAL drift measure that complements
+    corpus_source_overlap's set-based Jaccard (two sources can share
+    vocabulary yet use it with wildly different frequencies; JS sees
+    that, Jaccard cannot). Terms absent from one source contribute
+    their full 0.5*p*ln(2) mass via the zero-filled side. Each
+    per-term contribution is a fixed IEEE tree snapped to a 1e-12
+    integer grid, making the vocabulary-sized per-pair sum an
+    ORDER-FREE int64 cumsum; a 1-ulp libm disagreement flips a term's
+    grid cell with probability ~ulp/grid and shifts the sum by 1e-12
+    — invisible at the 1e-4 nudged output grid. Shape: (source, term)
+    counts, a vocabulary-sized pair join (sources-squared fanout per
+    term, dimension-bounded), one hash aggregate per pair. 0 <= JS <=
+    ln(2) in nats."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y"))
+    tot = tc.groupBy("source").agg(F.sum("y").alias("n"))
+    # dense (term x source) matrix with zero fill, so one-sided terms
+    # carry their mass without EXISTS anti-joins
+    terms_dim = tc.select("term").distinct()
+    dense = (
+        terms_dim.crossJoin(F.broadcast(tot))
+        .join(tc, ["term", "source"], "left")
+        .select(
+            "term",
+            "source",
+            "n",
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    p = F.col("a.y").cast("double") / F.col("a.n").cast("double")
+    q = F.col("b.y").cast("double") / F.col("b.n").cast("double")
+    m = (p + q) / 2
+    contrib = F.when(F.col("a.y") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("b.y") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .filter((F.col("a.y") > 0) | (F.col("b.y") > 0))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.floor(contrib * 1e12).cast("bigint").alias("t12"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        (
+            F.floor(F.sum("t12").cast("double") / 1e12 * 1e4 + 1e-6) / 1e4
+        ).alias("js_divergence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_rank_stability_rbo — rank-biased overlap between weekly top-20s
+# ---------------------------------------------------------------------------
+
+# Tail weights W[m] = sum_{d=m}^{20} 0.9^(d-1)/d, PRE-SCALED to 1e15
+# integers in Python so both engines sum the SAME integer literals —
+# zero float accumulation anywhere in the metric.
+_RBO_W15 = [
+    2514833037385551, 1514833037385550, 1064833037385551, 794833037385551,
+    612583037385551, 481363037385551, 382948037385551, 307027894528408,
+    247240782028408, 199411092028408, 160669043128408, 128971003119317,
+    102820120111817, 81094771151740, 62938586663676, 47687391693702,
+    34819195937786, 23919077179834, 14653976235575, 6754258588364,
+]
+_RBO_CASE_SQL = "CASE GREATEST(rank_now, rank_prev) " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W15, start=1)
+) + " END"
+
+
+@query(
+    "events_rank_stability_rbo",
+    # rank-biased overlap (Webber et al. 2010, p=0.9, depth 20)
+    # between this week's and last week's item top-20: each shared
+    # item contributes a PRECOMPUTED integer weight by the deeper of
+    # its two ranks; the sum is exact int64 and RBO is one literal
+    # division — no float ever accumulates
+    oracle=f"""
+    WITH h AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+    e AS (SELECT json_extract_string(props, '$.k')::INT AS item,
+                 CAST(ts AS DATE) AS day
+          FROM events),
+    cur AS (SELECT item, COUNT(*)::BIGINT AS n FROM e CROSS JOIN h
+            WHERE day > end_day - INTERVAL 7 DAY GROUP BY item),
+    prev AS (SELECT item, COUNT(*)::BIGINT AS n FROM e CROSS JOIN h
+             WHERE day <= end_day - INTERVAL 7 DAY
+               AND day > end_day - INTERVAL 14 DAY GROUP BY item),
+    rc AS (SELECT item, ROW_NUMBER() OVER (ORDER BY n DESC, item)
+                      AS rank_now FROM cur),
+    rp AS (SELECT item, ROW_NUMBER() OVER (ORDER BY n DESC, item)
+                      AS rank_prev FROM prev),
+    shared AS (SELECT {_RBO_CASE_SQL} AS w15
+               FROM rc JOIN rp USING (item)
+               WHERE rank_now <= 20 AND rank_prev <= 20)
+    SELECT COUNT(*)::BIGINT AS n_common,
+           0.1 * SUM(w15)::DOUBLE / 1e15 AS rbo
+    FROM shared
+    """,
+)
+def events_rank_stability_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010; p = 0.9, depth 20)
+    between this week's and last week's item popularity top-20 — the
+    principled week-over-week rank-stability score that
+    events_trending_items eyeballs (RBO weights agreement at the top
+    of the list geometrically, exactly how attention works). The
+    implementation makes the metric FLOAT-FREE: each shared item's
+    contribution sum_{d=max_rank}^{20} p^(d-1)/d is one of 20
+    PRECOMPUTED integer literals (scaled 1e15, identical constants in
+    the Spark expression and the oracle SQL), so the per-item sum is
+    exact int64 and RBO = (1-p) * sum / 1e15 is a single literal
+    division. Rankings themselves are integer (count DESC, item).
+    Shape: two item-grained aggregates + dimension windows + one join;
+    raw events scan is the only data-sized stage."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.agg(F.max(F.col("ts").cast("date")).alias("end_day"))
+    e = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.col("ts").cast("date").alias("day"),
+    ).crossJoin(F.broadcast(h))
+    cur = (
+        e.filter(F.col("day") > F.date_sub("end_day", 7))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev = (
+        e.filter(
+            (F.col("day") <= F.date_sub("end_day", 7))
+            & (F.col("day") > F.date_sub("end_day", 14))
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rc = cur.select(
+        "item",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "item"))
+        .alias("rank_now"),
+    )
+    rp = prev.select(
+        "item",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "item"))
+        .alias("rank_prev"),
+    )
+    w15 = F.element_at(
+        F.array(*[F.lit(w) for w in _RBO_W15]),
+        F.greatest("rank_now", "rank_prev"),
+    )
+    shared = (
+        rc.join(rp, "item")
+        .filter((F.col("rank_now") <= 20) & (F.col("rank_prev") <= 20))
+        .select(w15.alias("w15"))
+    )
+    return shared.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        (F.lit(0.1) * F.sum("w15").cast("double") / 1e15).alias("rbo"),
+    )

@@ -820,3 +820,114 @@ class TestRound8cPlans:
         ]
         for name, marker, allowed in cases:
             assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+
+
+class TestCramersV:
+    def test_perfect_association(self, spark, tmp_path):
+        # 2x2 with perfect association and equal margins: chi2 = n,
+        # V = sqrt(chi2 / (n * min(r-1, c-1))) = 1.0
+        rows = []
+        eid = 1
+        for _ in range(10):
+            rows.append((eid, 0, 1, "view", 0.0, '{"k": 1}')); eid += 1
+        for _ in range(10):
+            rows.append((eid, 0, 1, "click", 0.0, '{"k": 2}')); eid += 1
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["stats_cramers_v"](spark, str(tmp_path)).collect()
+        assert (row["n"], row["nr"], row["nc"], row["dof"]) == (20, 2, 2, 1)
+        assert row["chi2"] == 20.0
+        assert row["cramers_v"] == 1.0
+
+    def test_independence_gives_zero(self, spark, tmp_path):
+        # uniform 2x2: every cell o = E -> chi2 = 0, V = 0
+        rows = []
+        eid = 1
+        for et in ("view", "click"):
+            for k in (1, 2):
+                for _ in range(5):
+                    rows.append((eid, 0, 1, et, 0.0, '{"k": %d}' % k))
+                    eid += 1
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["stats_cramers_v"](spark, str(tmp_path)).collect()
+        assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0
+
+
+class TestJsDivergence:
+    def test_identical_sources_zero(self, spark, tmp_path):
+        _write_docs(
+            spark, tmp_path,
+            [(1, "a b c", "en", "s1"), (2, "a b c", "en", "s2")],
+        )
+        (row,) = QUERIES["corpus_js_divergence"](spark, str(tmp_path)).collect()
+        assert row["js_divergence"] == 0.0
+
+    def test_disjoint_sources_ln2(self, spark, tmp_path):
+        import math
+
+        # disjoint vocabularies -> JS = ln(2) exactly (in nats)
+        _write_docs(
+            spark, tmp_path,
+            [(1, "a a b", "en", "s1"), (2, "c d", "en", "s2")],
+        )
+        (row,) = QUERIES["corpus_js_divergence"](spark, str(tmp_path)).collect()
+        want = math.floor(
+            math.floor(math.log(2) * 1e12) / 1e12 * 1e4 + 1e-6
+        ) / 1e4
+        assert row["js_divergence"] == want  # 0.6931
+
+    def test_half_overlap_hand_value(self, spark, tmp_path):
+        import math
+
+        # s1 = {a}, s2 = {a: 1/2, b: 1/2}:
+        # JS = 0.5*1*ln(1/0.75) + 0.5*(0.5*ln(0.5/0.75) + 0.5*ln(0.5/0.25))
+        _write_docs(
+            spark, tmp_path,
+            [(1, "a a", "en", "s1"), (2, "a b", "en", "s2")],
+        )
+        (row,) = QUERIES["corpus_js_divergence"](spark, str(tmp_path)).collect()
+        t_a = math.floor(
+            (0.5 * 1.0 * math.log(1.0 / 0.75)
+             + 0.5 * 0.5 * math.log(0.5 / 0.75)) * 1e12
+        )
+        t_b = math.floor((0.5 * 0.5 * math.log(0.5 / 0.25)) * 1e12)
+        want = math.floor((t_a + t_b) / 1e12 * 1e4 + 1e-6) / 1e4
+        assert row["js_divergence"] == want
+
+
+class TestRankStabilityRbo:
+    def test_identical_rankings_give_one(self, spark, tmp_path):
+        # same 3 items, same order, both weeks -> every depth overlaps
+        # fully; truncated RBO@20 with 3 of 20 slots filled equals
+        # (1-p) * sum_{m=1..3} W[m] ... computed from the same integer
+        # weights the query uses
+        from easy_alterator_spark.queries.featureops import _RBO_W15
+
+        rows, eid = [], 1
+        # current week days 8..13; prev week days 1..6 (horizon day 13)
+        for d, mult in ((10, 1), (3, 1)):
+            for item, cnt in ((1, 3), (2, 2), (3, 1)):
+                for _ in range(cnt * mult):
+                    rows.append((eid, d, 1, "view", 0.0, '{"k": %d}' % item))
+                    eid += 1
+        rows.append((eid, 13, 1, "view", 0.0, '{"k": 1}'))
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["events_rank_stability_rbo"](
+            spark, str(tmp_path)
+        ).collect()
+        assert row["n_common"] == 3
+        want = 0.1 * (_RBO_W15[0] + _RBO_W15[1] + _RBO_W15[2]) / 1e15
+        assert row["rbo"] == want
+
+    def test_disjoint_rankings_give_zero_rows(self, spark, tmp_path):
+        rows, eid = [], 1
+        for _ in range(3):
+            rows.append((eid, 10, 1, "view", 0.0, '{"k": 1}')); eid += 1
+        for _ in range(3):
+            rows.append((eid, 3, 1, "view", 0.0, '{"k": 2}')); eid += 1
+        rows.append((eid, 13, 1, "view", 0.0, '{"k": 1}'))
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["events_rank_stability_rbo"](
+            spark, str(tmp_path)
+        ).collect()
+        assert row["n_common"] == 0
+        assert row["rbo"] is None or row["rbo"] == 0.0
