@@ -931,3 +931,31 @@ class TestRankStabilityRbo:
         ).collect()
         assert row["n_common"] == 0
         assert row["rbo"] is None or row["rbo"] == 0.0
+
+
+class TestRound8dPlans:
+    SF = "/root/testdata/sf0.001"
+
+    def test_batch5_no_cartesians(self, spark):
+        # the dimension/one-row cross joins must plan as broadcast
+        # nested loops, never CartesianProduct
+        from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+        for name in (
+            "stats_cramers_v",
+            "corpus_js_divergence",
+            "events_rank_stability_rbo",
+        ):
+            plan = formatted_plan(QUERIES[name](spark, self.SF))
+            assert join_counts(plan)["CartesianProduct"] == 0, (name, plan)
+
+    def test_batch5_scans_prune_columns(self, spark):
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        cases = [
+            ("stats_cramers_v", "props", {"event_type", "props"}),
+            ("corpus_js_divergence", "source", {"source", "text"}),
+            ("events_rank_stability_rbo", "props", {"props", "ts"}),
+        ]
+        for name, marker, allowed in cases:
+            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
