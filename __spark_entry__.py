@@ -9,8 +9,8 @@ gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
 oracle-bearing entry registered through round 7 (231 of 236); round 8
-adds 24 new oracle-bearing queries (queries/featureops.py, incl. the
-stream_ewma_smooth twin), so the union r01-r08 covers all 255 of 260
+adds 25 new oracle-bearing queries (queries/featureops.py, incl. the
+stream_ewma_smooth twin), so the union r01-r08 covers all 256 of 261
 once the r8 window below runs. The remaining 5 register rows-only by
 design: dedup_simhash, bpe_train_merges, and the three ddl_* fixture
 queries whose inputs are DDL text, not the relational tables.
@@ -36,14 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-8 rotation: (a) the 24 queries REGISTERED this round
+# order. Round-8 rotation: (a) the 25 queries REGISTERED this round
 # (featureops.py — higher moments, Spearman, EWMA fold + its streaming
 # twin, positional attribution, item co-occurrence, triangles,
 # lag-feature matrix, forecast backtest, trimmed mean, hapax,
 # Kaplan-Meier survival, source log-odds, interarrival burstiness,
 # source vocab overlap, trending items, Dirichlet query-likelihood,
 # volume alerts, degree distribution, growth accounting, exact daily
-# percentiles, Cramer's V, JS divergence, RBO rank stability),
+# percentiles, Cramer's V, JS divergence, RBO rank stability,
+# Markov next-event backtest),
 # (b) the 4 whose code or oracle CHANGED this
 # round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
 # layout_compaction_bins; docstring-only -> events_user_entropy),
@@ -83,6 +84,7 @@ _PRIORITY = [
     "stats_cramers_v",
     "corpus_js_divergence",
     "events_rank_stability_rbo",
+    "events_markov_backtest",
     # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",

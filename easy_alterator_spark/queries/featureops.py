@@ -2171,3 +2171,105 @@ def events_rank_stability_rbo(spark, sf_dir):
         F.count(F.lit(1)).alias("n_common"),
         (F.lit(0.1) * F.sum("w15").cast("double") / 1e15).alias("rbo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_backtest — next-event prediction accuracy, time-split
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_markov_backtest",
+    # first-order Markov next-event-type model: train on transitions
+    # whose successor falls in the first 23 observed days, predict by
+    # integer-argmax (count DESC, type ASC), score on transitions whose
+    # successor falls in the last 7 days — the temporal split every
+    # sequence model is actually evaluated with. All counts int64,
+    # accuracy is one division
+    oracle="""
+    WITH h AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+    seq AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                   LEAD(event_type) OVER w AS next_type,
+                   CAST(LEAD(ts) OVER w AS DATE) AS next_day
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    pairs AS (SELECT s.event_type AS prev, s.next_type AS nxt, s.next_day
+              FROM seq s WHERE s.next_type IS NOT NULL),
+    train AS (SELECT prev, nxt, COUNT(*)::BIGINT AS c
+              FROM pairs CROSS JOIN h
+              WHERE next_day <= end_day - INTERVAL 7 DAY
+              GROUP BY prev, nxt),
+    pred AS (SELECT prev, nxt AS pred_type FROM (
+               SELECT prev, nxt,
+                      ROW_NUMBER() OVER (PARTITION BY prev
+                                         ORDER BY c DESC, nxt) AS rk
+               FROM train) WHERE rk = 1),
+    test AS (SELECT p.prev, p.nxt FROM pairs p CROSS JOIN h
+             WHERE p.next_day > h.end_day - INTERVAL 7 DAY)
+    SELECT t.prev AS prev_type, pr.pred_type,
+           COUNT(*)::BIGINT AS n_test,
+           SUM(CASE WHEN t.nxt = pr.pred_type THEN 1 ELSE 0 END)::BIGINT
+               AS hits,
+           SUM(CASE WHEN t.nxt = pr.pred_type THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*) AS accuracy
+    FROM test t JOIN pred pr ON t.prev = pr.prev
+    GROUP BY t.prev, pr.pred_type
+    """,
+)
+def events_markov_backtest(spark, sf_dir):
+    """First-order Markov next-event prediction with an honest
+    TEMPORAL backtest: the transition model trains on pairs whose
+    successor lands before the final 7 observed days and is scored
+    only on pairs whose successor lands inside them — the split every
+    production sequence model is actually judged by (random splits
+    leak; events_transition_matrix describes the chain, this measures
+    its predictive power). The per-state rule is the integer argmax
+    (count DESC, type ASC) — no float ordering — and accuracy is one
+    IEEE division of exact counts. Test pairs whose previous state
+    never occurred in training are excluded by the inner join (no
+    model, no score). Shape: one per-user ordered window builds ALL
+    transitions in a single pass; train/test are filters off a shared
+    one-row horizon broadcast; the model table is |types|^2 and
+    broadcasts. At 100 TB the user-keyed window shuffle is the only
+    data-sized stage."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.agg(F.max(F.col("ts").cast("date")).alias("end_day"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.col("ts").cast("date")).over(w).alias("next_day"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.crossJoin(F.broadcast(h))
+    train = (
+        pairs.filter(F.col("next_day") <= F.date_sub("end_day", 7))
+        .groupBy(F.col("event_type").alias("prev"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = (
+        train.select(
+            "prev",
+            "nxt",
+            F.row_number()
+            .over(
+                Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("pred_type"))
+    )
+    test = pairs.filter(F.col("next_day") > F.date_sub("end_day", 7)).select(
+        F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+    )
+    hit = F.sum(
+        F.when(F.col("nxt") == F.col("pred_type"), 1).otherwise(0)
+    )
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy(F.col("prev").alias("prev_type"), "pred_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            hit.cast("bigint").alias("hits"),
+            (hit.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

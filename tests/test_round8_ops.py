@@ -959,3 +959,39 @@ class TestRound8dPlans:
         ]
         for name, marker, allowed in cases:
             assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+
+
+class TestMarkovBacktest:
+    def test_temporal_split_and_argmax(self, spark, tmp_path):
+        # horizon = day 11 -> train: successor day <= 4, test: > 4.
+        # train pairs: view->click x2, click->view x2
+        #   -> pred[view] = click, pred[click] = view
+        # test pairs: (view->view d5) miss, (view->click d8) hit,
+        #   (click->view d9) hit, (view->view d10) miss,
+        #   (view->error d11) miss
+        days_types = [
+            (0, "view"), (1, "click"), (2, "view"), (3, "click"),
+            (4, "view"), (5, "view"), (8, "click"), (9, "view"),
+            (10, "view"), (11, "error"),
+        ]
+        _write_events(
+            spark,
+            tmp_path,
+            [
+                (i, d, 1, et, 0.0, "{}")
+                for i, (d, et) in enumerate(days_types, start=1)
+            ],
+        )
+        out = {
+            r["prev_type"]: r
+            for r in QUERIES["events_markov_backtest"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == {"view", "click"}
+        v = out["view"]
+        assert (v["pred_type"], v["n_test"], v["hits"]) == ("click", 4, 1)
+        assert v["accuracy"] == 0.25
+        c = out["click"]
+        assert (c["pred_type"], c["n_test"], c["hits"]) == ("view", 1, 1)
+        assert c["accuracy"] == 1.0
