@@ -658,3 +658,40 @@ class TestOpsAudit:
                     dd[days[i + 1]] if i + 1 < len(days) else None
                 )
         assert len(got) == n_rows
+
+
+class TestMarkovAudit:
+    def test_markov_backtest_vs_reference(self, spark, events):
+        horizon = max(ts for _, ts, _, _, _, _ in events).date()
+        cut = horizon - timedelta(days=7)
+        by_user = defaultdict(list)
+        for eid, ts, uid, et, _, _ in events:
+            by_user[uid].append((ts, eid, et))
+        train = Counter()
+        test = []
+        for uid, evs in by_user.items():
+            evs.sort()
+            for (_, _, a), (ts2, _, b) in zip(evs, evs[1:]):
+                if ts2.date() <= cut:
+                    train[(a, b)] += 1
+                else:
+                    test.append((a, b))
+        pred = {}
+        for (a, b), c in sorted(
+            train.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])
+        ):
+            pred.setdefault(a, b)
+        want = defaultdict(lambda: [0, 0])
+        for a, b in test:
+            if a in pred:
+                want[a][0] += 1
+                want[a][1] += int(pred[a] == b)
+        got = {
+            r["prev_type"]: r
+            for r in QUERIES["events_markov_backtest"](spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for a, (n, hits) in want.items():
+            assert got[a]["pred_type"] == pred[a]
+            assert (got[a]["n_test"], got[a]["hits"]) == (n, hits)
+            assert got[a]["accuracy"] == hits / n
