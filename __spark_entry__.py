@@ -9,8 +9,8 @@ gives the DuckDB-equivalent SQL for the differential correctness gate.
 
 Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
 oracle-bearing entry registered through round 7 (231 of 236); round 8
-adds 25 new oracle-bearing queries (queries/featureops.py, incl. the
-stream_ewma_smooth twin), so the union r01-r08 covers all 256 of 261
+adds 26 new oracle-bearing queries (queries/featureops.py, incl. the
+stream_ewma_smooth twin), so the union r01-r08 covers all 257 of 262
 once the r8 window below runs. The remaining 5 register rows-only by
 design: dedup_simhash, bpe_train_merges, and the three ddl_* fixture
 queries whose inputs are DDL text, not the relational tables.
@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-8 rotation: (a) the 25 queries REGISTERED this round
+# order. Round-8 rotation: (a) the 26 queries REGISTERED this round
 # (featureops.py — higher moments, Spearman, EWMA fold + its streaming
 # twin, positional attribution, item co-occurrence, triangles,
 # lag-feature matrix, forecast backtest, trimmed mean, hapax,
@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # source vocab overlap, trending items, Dirichlet query-likelihood,
 # volume alerts, degree distribution, growth accounting, exact daily
 # percentiles, Cramer's V, JS divergence, RBO rank stability,
-# Markov next-event backtest),
+# Markov next-event backtest, Brown-Forsythe),
 # (b) the 4 whose code or oracle CHANGED this
 # round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
 # layout_compaction_bins; docstring-only -> events_user_entropy),
@@ -85,6 +85,7 @@ _PRIORITY = [
     "corpus_js_divergence",
     "events_rank_stability_rbo",
     "events_markov_backtest",
+    "stats_brown_forsythe",
     # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",

@@ -2273,3 +2273,136 @@ def events_markov_backtest(spark, sf_dir):
             (hit.cast("double") / F.count(F.lit(1))).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_brown_forsythe — variance-equality test across groups
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_brown_forsythe",
+    # Brown-Forsythe (median-based Levene): z = |2x - (m1+m2)| uses
+    # DOUBLED medians so ties stay integral; per-group moment terms
+    # S2 - S1^2/n and S1^2/n are fixed IEEE trees snapped to a 1e-3
+    # integer grid, so the cross-group sums are order-free int64 and
+    # F is one fixed tree over exact integers
+    oracle=f"""
+    WITH c AS (SELECT event_type, {_CENTS} AS x FROM events),
+    r AS (SELECT event_type, x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+          FROM c),
+    med AS (SELECT event_type,
+                   (MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                    + MAX(CASE WHEN rn = n // 2 + 1 THEN x END))::BIGINT
+                       AS med2
+            FROM r GROUP BY event_type),
+    z AS (SELECT c.event_type, ABS(2 * c.x - m.med2)::BIGINT AS z
+          FROM c JOIN med m ON c.event_type = m.event_type),
+    g AS (SELECT event_type, COUNT(*)::BIGINT AS nj,
+                 SUM(z)::BIGINT AS s1, SUM(z * z)::BIGINT AS s2
+          FROM z GROUP BY event_type),
+    gg AS (SELECT nj, s1,
+                  FLOOR((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nj::DOUBLE)
+                        * 1e3)::BIGINT AS w3,
+                  FLOOR(s1::DOUBLE * s1::DOUBLE / nj::DOUBLE * 1e3)::BIGINT
+                      AS b3
+           FROM g),
+    s AS (SELECT COUNT(*)::BIGINT AS k, SUM(nj)::BIGINT AS n_total,
+                 SUM(s1)::BIGINT AS s1_all,
+                 SUM(w3)::BIGINT AS ssw3, SUM(b3)::BIGINT AS sb3
+          FROM gg)
+    SELECT k, n_total,
+           CASE WHEN ssw3 = 0 THEN NULL
+                ELSE FLOOR((sb3 - FLOOR(s1_all::DOUBLE * s1_all::DOUBLE
+                                        / n_total::DOUBLE * 1e3))::DOUBLE
+                           / ssw3::DOUBLE
+                           * ((n_total - k)::DOUBLE / (k - 1)::DOUBLE)
+                           * 1e4 + 1e-6) / 1e4
+           END AS f_stat
+    FROM s
+    """,
+)
+def stats_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test (the median-based Levene) for equality of
+    value-spread across event types — the variance-homogeneity check
+    that completes the A/B family (stats_srm_check gates the split,
+    KS/Mann-Whitney/Welch compare locations, this compares
+    dispersions; it is also Welch's own applicability screen).
+    Deviations use DOUBLED group medians z = |2x - (m1+m2)| so
+    even-group medians stay exactly integral; per-group sum-of-squares
+    terms are fixed IEEE trees over exact int64 moments, snapped to a
+    1e-3 integer grid so the cross-group sums are ORDER-FREE (five
+    doubles summed in engine-chosen order would not be); the F
+    statistic is one fixed tree over the gridded integers (the grid
+    scale cancels in the ratio), floor-gridded + nudged. A zero
+    within-group spread pins F to NULL explicitly on both engines.
+    Shape: one per-type sort for the median ranks, one broadcast-sized
+    median join back, two hash aggregates — partition-parallel at any
+    scale (the per-type sort swaps for operators/rank.py's two-pass
+    rank when a group outgrows a partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", _cents().alias("x"))
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "x",
+        F.row_number().over(wp.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")))
+            + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("x")))
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    z = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("x") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    gg = g.select(
+        "nj",
+        "s1",
+        F.floor(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("nj").cast("double"))
+            * 1e3
+        )
+        .cast("bigint")
+        .alias("w3"),
+        F.floor(s1d * s1d / F.col("nj").cast("double") * 1e3)
+        .cast("bigint")
+        .alias("b3"),
+    )
+    s = gg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").alias("n_total"),
+        F.sum("s1").alias("s1_all"),
+        F.sum("w3").alias("ssw3"),
+        F.sum("b3").alias("sb3"),
+    )
+    s1a = F.col("s1_all").cast("double")
+    ssb3 = F.col("sb3") - F.floor(
+        s1a * s1a / F.col("n_total").cast("double") * 1e3
+    )
+    f = (
+        ssb3.cast("double")
+        / F.col("ssw3").cast("double")
+        * (
+            (F.col("n_total") - F.col("k")).cast("double")
+            / (F.col("k") - 1).cast("double")
+        )
+    )
+    return s.select(
+        "k",
+        "n_total",
+        F.when(F.col("ssw3") == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(f * 1e4 + 1e-6) / 1e4)
+        .alias("f_stat"),
+    )

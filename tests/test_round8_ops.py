@@ -995,3 +995,42 @@ class TestMarkovBacktest:
         c = out["click"]
         assert (c["pred_type"], c["n_test"], c["hits"]) == ("view", 1, 1)
         assert c["accuracy"] == 1.0
+
+
+class TestBrownForsythe:
+    def test_hand_computed_f(self, spark, tmp_path):
+        # group A cents [1,2,3] (median 2): z = [2,0,2]
+        # group B cents [1,5,9] (median 5): z = [8,0,8]
+        # s1: A=4, B=16; s2: A=8, B=128
+        # SSW = (8 - 16/3) + (128 - 256/3) = 8/3 + 128/3 = 136/3
+        # SSB = 16/3 + 256/3 - (20^2)/6 = 272/3 - 200/3 = 24
+        # F = (SSB/SSW) * (N-k)/(k-1) = (24/(136/3)) * 4 = 2.1176..
+        rows = (
+            [(i, 0, 1, "view", c / 100.0, "{}")
+             for i, c in enumerate([1, 2, 3], start=1)]
+            + [(i, 0, 1, "click", c / 100.0, "{}")
+               for i, c in enumerate([1, 5, 9], start=4)]
+        )
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["stats_brown_forsythe"](spark, str(tmp_path)).collect()
+        assert (row["k"], row["n_total"]) == (2, 6)
+        # with the 1e-3 grid: w3 = floor(8/3*1000)=2666, floor(128/3*1000)
+        # = 42666 -> ssw3 = 45332; b3 = floor(16/3*1000)=5333 +
+        # floor(256/3*1000)=85333 -> 90666; global term floor(400/6*1000)
+        # = 66666 -> ssb3 = 24000
+        # F = 24000/45332 * 4 = 2.11769... -> 2.1176
+        import math
+        f = 24000 / 45332 * 4
+        assert row["f_stat"] == math.floor(f * 1e4 + 1e-6) / 1e4
+
+    def test_equal_spreads_near_zero(self, spark, tmp_path):
+        # identical distributions in both groups -> SSB = 0 -> F = 0
+        rows = (
+            [(i, 0, 1, "view", c / 100.0, "{}")
+             for i, c in enumerate([1, 2, 3], start=1)]
+            + [(i, 0, 1, "click", c / 100.0, "{}")
+               for i, c in enumerate([1, 2, 3], start=4)]
+        )
+        _write_events(spark, tmp_path, rows)
+        (row,) = QUERIES["stats_brown_forsythe"](spark, str(tmp_path)).collect()
+        assert row["f_stat"] == 0.0
