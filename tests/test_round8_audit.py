@@ -695,3 +695,31 @@ class TestMarkovAudit:
             assert got[a]["pred_type"] == pred[a]
             assert (got[a]["n_test"], got[a]["hits"]) == (n, hits)
             assert got[a]["accuracy"] == hits / n
+
+
+class TestBrownForsytheAudit:
+    def test_brown_forsythe_vs_reference(self, spark, events):
+        by_type = defaultdict(list)
+        for _, _, _, et, v, _ in events:
+            by_type[et].append(cents(v))
+        zs = {}
+        for et, xs in by_type.items():
+            xs.sort()
+            n = len(xs)
+            med = (xs[(n - 1) // 2] + xs[n // 2]) / 2
+            zs[et] = [abs(x - med) for x in xs]
+        k = len(zs)
+        n_total = sum(len(z) for z in zs.values())
+        grand = sum(sum(z) for z in zs.values()) / n_total
+        ssb = sum(
+            len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs.values()
+        )
+        ssw = sum(
+            sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs.values()
+        )
+        f = (ssb / ssw) * (n_total - k) / (k - 1)
+        (row,) = QUERIES["stats_brown_forsythe"](spark, SF).collect()
+        assert (row["k"], row["n_total"]) == (k, n_total)
+        # the query's z is DOUBLED (|2x - med2|), which scales both
+        # sums of squares by 4 — F is scale-invariant
+        assert abs(row["f_stat"] - f) < 2e-3
