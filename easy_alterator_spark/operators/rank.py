@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 def global_rank(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list[str | Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -36,12 +36,16 @@ def global_rank(
     ``order_cols`` (which must form a TOTAL order — a unique key
     tuple — for the rank to be deterministic; range partitioning
     co-locates equal keys, so with ties the ranks are stable only
-    within Spark's arbitrary tie order).
+    within Spark's arbitrary tie order). Entries may be Columns,
+    including ``.desc()`` sort orders — the range partitioner honors
+    sort direction, so partition ids still ascend with the requested
+    order (the global_prefix_max device).
     """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    parts = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+    parts = df.repartitionByRange(int(n), *order_cols)
     tagged = parts.withColumn("__pid", F.spark_partition_id())
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (
@@ -73,6 +77,31 @@ def _ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
     ).otherwise(r + F.floor((rank - 1 - big) / q) + 1)
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append SQL ``NTILE(k)`` bucket of each row under the TOTAL
+    order ``order_cols`` — without the single-reducer sort that
+    ``NTILE(k) OVER (ORDER BY ...)`` executes. Composition of
+    :func:`global_rank` (two data-sized exchanges, no global funnel)
+    with the exact NTILE remainder formula against a broadcast 1-row
+    total. Bit-identical to SQL NTILE for any total order."""
+    ranked = global_rank(df, order_cols, "__rk", num_partitions)
+    total1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total1))
+        .withColumn(
+            tile_col,
+            _ntile_from_rank(F.col("__rk"), F.col("__n"), k).cast("int"),
+        )
+        .drop("__rk", "__n")
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame,
     value_col: str,
@@ -100,6 +129,50 @@ def equi_depth_histogram(
             F.round(F.min(value_col), 2).alias("lo"),
             F.round(F.max(value_col), 2).alias("hi"),
         )
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    prefix_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``prefix_col`` = INCLUSIVE running sum of ``value_col``
+    over the global order ``order_cols`` — without the single-reducer
+    sort of ``SUM() OVER (ORDER BY ...)``. Same terasort decomposition
+    as :func:`global_rank`: range-partition on the order columns, a
+    local inclusive running sum inside each partition, and a broadcast
+    one-row-per-partition offset table (per-partition totals,
+    exclusive-prefix-summed over partition ids — the only global
+    window runs over partition-count rows, never the data).
+
+    ``order_cols`` must be a total order per row (unique key tuple) so
+    equal keys cannot straddle a range boundary; with that, the result
+    is bit-identical to the SQL running sum on any engine.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    parts = df.repartitionByRange(int(n), *order_cols)
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("__lps", F.sum(value_col).over(w_local))
+    tot = tagged.groupBy("__pid").agg(F.sum(value_col).alias("__pt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__pt").over(w_off), F.lit(0)).alias("__ops")
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(prefix_col, F.col("__lps") + F.col("__ops"))
+        .drop("__pid", "__lps", "__ops")
     )
 
 

@@ -85,3 +85,27 @@ def assert_reads_only(df: DataFrame, table_marker: str, allowed: set[str]) -> No
             assert cols <= allowed, f"scan reads {cols - allowed} beyond {allowed}"
             return
     raise AssertionError(f"no scan matching {table_marker!r} in plan")
+
+
+def empty_partition_windows(df: DataFrame) -> list[str]:
+    """Order specs of every Window node in the OPTIMIZED logical plan
+    whose partitionSpec is EMPTY — the single-reducer global-sort
+    shape that funnels its whole input through one task at scale.
+
+    The one structurally-sanctioned empty-partition window is the
+    operators/rank.py terasort decomposition's offsets window, which
+    orders by the synthetic ``__pid`` partition id and therefore runs
+    over ONE ROW PER PARTITION (KBs, never the data); callers filter
+    those out by the ``__pid`` marker in the returned spec strings.
+    """
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(node.orderSpec().mkString(" | "))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out

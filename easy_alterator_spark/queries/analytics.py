@@ -1436,9 +1436,9 @@ def stats_gini(spark, sf_dir):
     r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
           FROM f)
     SELECT COUNT(*) AS n_types,
-           FLOOR(regr_slope(ln(freq), ln(rank)) * 10000) / 10000
+           FLOOR(regr_slope(ln(freq), ln(rank)) * 10000 + 1e-6) / 10000
                AS zipf_slope,
-           FLOOR(regr_r2(ln(freq), ln(rank)) * 10000) / 10000 AS r2
+           FLOOR(regr_r2(ln(freq), ln(rank)) * 10000 + 1e-6) / 10000 AS r2
     FROM r
     """,
 )
@@ -1449,12 +1449,13 @@ def text_zipf_fit(spark, sf_dir):
     head; OCR noise fattens the tail). Token counting is the usual
     one-pass partial aggregate; ranking and the regression run on the
     VOCABULARY (types, not tokens), with regr_slope/regr_r2 folding
-    map-side. The global rank window single-partitions the vocab —
-    fine at this alphabet, and at web-scale type counts the swap is
-    the terasort global-rank decomposition already in operators/
-    rank.py (stats_histogram_equidepth runs it). Deterministic
-    (freq DESC, term) rank order; floor-grid outputs."""
+    map-side. The vocabulary rank runs through operators/
+    rank.global_rank — the terasort decomposition (range-partition on
+    (freq DESC, term), per-partition row_number, broadcast offsets) —
+    so web-scale type counts never funnel through one reducer.
+    Deterministic (freq DESC, term) rank order; floor-grid outputs."""
     from ..functions import text as T
+    from ..operators.rank import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     f = (
@@ -1462,13 +1463,14 @@ def text_zipf_fit(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), "term")
-    r = f.select("freq", F.row_number().over(w).alias("rank"))
+    r = global_rank(
+        f, [F.col("freq").desc(), F.col("term")], "rank"
+    ).select("freq", "rank")
     lf, lr = F.log(F.col("freq")), F.log(F.col("rank"))
     return r.agg(
         F.count(F.lit(1)).alias("n_types"),
-        (F.floor(F.regr_slope(lf, lr) * 10000) / 10000).alias("zipf_slope"),
-        (F.floor(F.regr_r2(lf, lr) * 10000) / 10000).alias("r2"),
+        (F.floor(F.regr_slope(lf, lr) * 10000 + 1e-6) / 10000).alias("zipf_slope"),
+        (F.floor(F.regr_r2(lf, lr) * 10000 + 1e-6) / 10000).alias("r2"),
     )
 
 
@@ -1870,10 +1872,17 @@ def events_rfm_segments(spark, sf_dir):
     deterministic cross-engine, then composed into a 3-digit segment
     (111 = best everything). Integer-only outputs (segment codes,
     user counts, cents ranges). Shape: one user-grained aggregate, a
-    one-row anchor broadcast, three user-table-sized global NTILE
-    sorts (the 100 TB swap is per-metric distributed ranking via
-    operators/rank.py — tile = rank * 4 / n), and a 64-segment final
-    aggregate."""
+    one-row anchor broadcast, then three DISTRIBUTED quartile bandings
+    via operators/rank.global_ntile — each is the terasort
+    decomposition (range-partition on the metric, local row_number,
+    broadcast per-partition offsets, exact NTILE remainder formula),
+    so no metric ever funnels through a single reducer — and three
+    user-keyed equi-joins to recompose (user_id-partitioned shuffles,
+    the scalable shape; at 100 TB you would persist the user-grained
+    table before branching). Bit-identical to the oracle's
+    NTILE(4) OVER (ORDER BY metric, user_id) on every engine."""
+    from ..operators.rank import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     u = ev.groupBy("user_id").agg(
@@ -1890,15 +1899,29 @@ def events_rfm_segments(spark, sf_dir):
         "freq",
         "cents",
     )
-    t = m.select(
-        "cents",
-        F.ntile(4).over(Window.orderBy("rec", "user_id")).alias("r_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
-        .alias("m_tile"),
+    r_t = global_ntile(
+        m.select("user_id", "rec"),
+        [F.col("rec"), F.col("user_id")],
+        4,
+        "r_tile",
+    ).select("user_id", "r_tile")
+    f_t = global_ntile(
+        m.select("user_id", "freq"),
+        [F.col("freq").desc(), F.col("user_id")],
+        4,
+        "f_tile",
+    ).select("user_id", "f_tile")
+    m_t = global_ntile(
+        m.select("user_id", "cents"),
+        [F.col("cents").desc(), F.col("user_id")],
+        4,
+        "m_tile",
+    ).select("user_id", "m_tile")
+    t = (
+        m.select("user_id", "cents")
+        .join(r_t, "user_id")
+        .join(f_t, "user_id")
+        .join(m_t, "user_id")
     )
     seg = (
         F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
@@ -2444,7 +2467,7 @@ _USER_ENTROPY_ORACLE = """
              + (CASE WHEN c3 > 0 THEN -(c3::DOUBLE / n::DOUBLE) * ln(c3::DOUBLE / n::DOUBLE) ELSE 0 END)
              + (CASE WHEN c4 > 0 THEN -(c4::DOUBLE / n::DOUBLE) * ln(c4::DOUBLE / n::DOUBLE) ELSE 0 END)
              + (CASE WHEN c5 > 0 THEN -(c5::DOUBLE / n::DOUBLE) * ln(c5::DOUBLE / n::DOUBLE) ELSE 0 END)
-           ) * 1e4) / 1e4 AS entropy
+           ) * 1e4 + 1e-6) / 1e4 AS entropy
     FROM p
     """
 
@@ -2468,7 +2491,7 @@ def _entropy_select(p):
         "user_id",
         "n",
         n_types.alias("n_types"),
-        (F.floor(ent * 1e4) / 1e4).alias("entropy"),
+        (F.floor(ent * 1e4 + 1e-6) / 1e4).alias("entropy"),
     )
 
 
@@ -2490,9 +2513,12 @@ def events_user_entropy(spark, sf_dir):
     left-to-right expression tree evaluated identically by both
     engines; each p is a single IEEE division of exact integers. ln is
     the one libm call — JVM Math.log and DuckDB ln are high-quality
-    but NOT guaranteed correctly rounded, so the floor-grid at 1e-4
-    makes a disagreement overwhelmingly unlikely (a 1-ulp divergence
-    would have to land exactly on a grid boundary), not impossible.
+    but NOT guaranteed correctly rounded, so the result is
+    floor-gridded at 1e-4 WITH the +1e-6 boundary nudge (round-8
+    device): a true on-grid entropy (e.g. 0 for a one-action bot)
+    cannot truncate a whole step from half-ulp-below rounding, and an
+    off-grid 1-ulp divergence would have to straddle a nudged
+    boundary — overwhelmingly unlikely.
     One user-grained aggregate, map-side partial, no window, no join —
     the cheapest possible shape."""
     ev = load_table(spark, sf_dir, "events")
@@ -2699,16 +2725,20 @@ def events_lorenz_deciles(spark, sf_dir):
     deterministic), with each decile's event share and the cumulative
     share ('the top decile produces X% of traffic'). All counts and
     cumsums are int64; each share is one IEEE division of exact
-    integers. Shape: one user-grained aggregate, one user-table NTILE
-    sort (rank.py decomposition at 100 TB), then 10-row arithmetic."""
+    integers. Shape: one user-grained aggregate, then the decile
+    banding runs through operators/rank.global_ntile — the terasort
+    decomposition (range-partition on (cnt DESC, user_id), local
+    row_number, broadcast offsets, exact NTILE remainder formula), so
+    the user table never funnels through a single reducer — then
+    10-row arithmetic (the only remaining global windows run over the
+    10-row decile table). Bit-identical to the oracle's NTILE(10)."""
+    from ..operators.rank import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    d = u.select(
-        "cnt",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("cnt").desc(), "user_id"))
-        .alias("decile"),
-    )
+    d = global_ntile(
+        u, [F.col("cnt").desc(), F.col("user_id")], 10, "decile"
+    ).select("cnt", "decile")
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("cnt").alias("events")
     )
@@ -2988,8 +3018,8 @@ def dedup_impact_report(spark, sf_dir):
     SELECT doc_id, words, sentences, syllables,
            FLOOR((206.835
                   - 1.015 * (words::DOUBLE / sentences::DOUBLE)
-                  - 84.6 * (syllables::DOUBLE / words::DOUBLE)) * 1e4)
-               / 1e4 AS fk_score
+                  - 84.6 * (syllables::DOUBLE / words::DOUBLE)) * 1e4
+                 + 1e-6) / 1e4 AS fk_score
     FROM c WHERE words > 0
     """,
 )
@@ -3030,7 +3060,7 @@ def text_readability(spark, sf_dir):
         "words",
         "sentences",
         "syllables",
-        (F.floor(fk * 1e4) / 1e4).alias("fk_score"),
+        (F.floor(fk * 1e4 + 1e-6) / 1e4).alias("fk_score"),
     )
 
 

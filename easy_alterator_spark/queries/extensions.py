@@ -21,6 +21,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import textstats as X
 from ..sources import load_table
+from . import _xxh64_sql as _X
 from . import query
 
 # DuckDB fragment: lowercased whitespace tokens, empties dropped —
@@ -317,10 +318,16 @@ def dedup_embedding_lsh_planted(spark, sf_dir):
     return D.embedding_lsh_dedup_pairs(emb.unionAll(dup), threshold=0.95, dim=64)
 
 
-# no oracle: xxhash64 signatures are not reproducible in DuckDB — the
-# md5 twin below carries the exact differential oracle; this entry is
-# the production-default (fast) path, rows-only checked by the driver.
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    # exact oracle since round 9: the xxhash64 token hashes are
+    # replayed bit-for-bit in DuckDB by a generated mod-2^64 HUGEINT
+    # CTE chain (_xxh64_sql.py — 32-bit-split multiplies, exact
+    # rotations, list_reduce folds), so the production JVM-hash path
+    # itself is differentially gated, not just its md5 twin. ASCII +
+    # len<32 fixture assumptions fail loudly via error() guards.
+    oracle=_X.simhash_xxh64_oracle(_DTOKS, max_doc_id=300, max_hamming=6),
+)
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
     return D.simhash_dedup_pairs(docs, max_hamming=6)
@@ -2340,9 +2347,58 @@ def dedup_threshold_sweep(spark, sf_dir):
     )
 
 
-@query("bpe_train_merges")  # greedy argmax loop — no SQL oracle; value
-# semantics pinned in tests/test_round3_ops.py::TestBpe (hand-computed
-# merge sequence incl. the lexicographic tie-break)
+def _bpe_oracle_sql(num_merges: int = 10) -> str:
+    """DuckDB replay of the greedy BPE merge loop, generated as one
+    chained-CTE statement with one (pairs -> argmax -> rewrite) block
+    per merge round.
+
+    State device: each word's symbol list is encoded as the string
+    chr(1)+sym+chr(2) per symbol (the fixture token alphabet is plain
+    lowercase, judged safe; delimiters make symbol boundaries
+    explicit, so no false sub-symbol matches are possible), and the
+    merge rewrite is DuckDB ``replace()`` — left-to-right
+    non-overlapping with scan resuming AFTER each replacement, which
+    is exactly the greedy Sennrich merge ('aaa' + (a,a) -> [aa, a]);
+    the encoded pattern shares no characters across adjacent matches,
+    so back-to-back pairs merge correctly ('aaaa' -> [aa, aa]). Pair
+    counts are overlapping adjacent positions weighted by word count
+    (int64); the argmax tie-break (freq DESC, left, right) is binary
+    string order == Python code-point tuple order for UTF-8. Early
+    stop falls out structurally: an empty argmax makes every later
+    round's CTEs empty, so the UNION ALL just stops emitting rows."""
+    head = f"""
+    WITH v AS (SELECT w, cnt FROM (
+             SELECT w, COUNT(*)::BIGINT AS cnt
+             FROM (SELECT unnest({_DTOKS}) AS w FROM documents)
+             GROUP BY w ORDER BY cnt DESC, w LIMIT 1000000)),
+    w0 AS (SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'),
+                                            chr(2) || chr(1)) || chr(2)
+                      AS enc,
+                  cnt FROM v)"""
+    rounds = [
+        f""",
+    s{i} AS (SELECT string_split(substr(enc, 2, len(enc) - 2),
+                                 chr(2) || chr(1)) AS syms, cnt FROM w{i}),
+    p{i} AS (SELECT syms[j + 1] AS l, syms[j + 2] AS r,
+                    SUM(cnt)::BIGINT AS freq
+             FROM s{i}, LATERAL (SELECT unnest(range(len(syms) - 1)) AS j) u
+             GROUP BY 1, 2),
+    b{i} AS (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
+    w{i + 1} AS (SELECT replace(enc,
+                          chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+                          chr(1) || b.l || b.r || chr(2)) AS enc, cnt
+                 FROM w{i} CROSS JOIN b{i} b)"""
+        for i in range(num_merges)
+    ]
+    sel = "\n    UNION ALL ".join(
+        f'SELECT {i}::INT AS "rank", l AS "left", r AS "right",'
+        f" l || r AS merged, freq FROM b{i}"
+        for i in range(num_merges)
+    )
+    return head + "".join(rounds) + "\n    " + sel
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle_sql(10))
 def bpe_train_merges(spark, sf_dir):
     """Train a BPE merge table on the corpus (operators/bpe.py): ONE
     corpus pass to the word-frequency vocab, collected once under a

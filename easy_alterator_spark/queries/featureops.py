@@ -137,7 +137,8 @@ def stats_skew_kurtosis(spark, sf_dir):
     # combination runs in HUGEINT before ONE fixed IEEE tree
     oracle=f"""
     WITH r AS (SELECT {_CENTS} AS v,
-                      CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+                      CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+               WHERE "value" IS NOT NULL),
     vx AS (SELECT v, COUNT(*)::BIGINT AS c FROM r GROUP BY v),
     vxr AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v) - c + 1)::BIGINT AS rx
             FROM vx),
@@ -166,24 +167,34 @@ def stats_spearman(spark, sf_dir):
     nonlinear drifts. Ranks are DOUBLED average ranks so tie groups
     stay exactly integral (the stats_mannwhitney device): for a value
     with c occurrences below cumulative count cum, rx = 2*cum - c + 1.
-    Both rank tables are vocabulary-sized cumsums over DISTINCT
-    values; rows join back on the value (two shuffles bounded by the
-    distinct-value count — at 100 TB swap in the two-pass distributed
-    rank of operators/rank.py). The five sums stay int64 (rx <= 2n, so
+    Both rank tables are cumsums over DISTINCT values; rows join back
+    on the value. The cumsums run through operators/rank.
+    global_prefix_sum — the terasort decomposition (range-partition on
+    the distinct value, local running sum, broadcast per-partition
+    offsets) — so even a data-sized distinct-key universe (epoch
+    seconds at 100 TB) never funnels through one reducer; the keys are
+    distinct per row, so range boundaries cannot split ties and the
+    result is bit-identical to SQL SUM() OVER (ORDER BY). The five
+    sums stay int64 (rx <= 2n, so
     sum(rx*ry) <= 4n^3 — exact to n ~ 1e6); the final combination is
     exact in DECIMAL(38,0)/HUGEINT, then rho is one fixed IEEE tree,
-    floor-gridded."""
+    floor-gridded. NULL values are filtered on BOTH engines before the
+    ordered cumsums (the operators/nonparam.py device): Spark ASC
+    windows order NULLs first, DuckDB last, so an unfiltered NULL
+    would shift every non-null rank on exactly one engine."""
     ev = load_table(spark, sf_dir, "events")
-    r = ev.select(
+    r = ev.filter(F.col("value").isNotNull()).select(
         _cents().alias("v"), F.unix_timestamp("ts").cast("bigint").alias("s")
     )
 
+    from ..operators.rank import global_prefix_sum
+
     def rank2(df, col, out):
         cnt = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        return cnt.select(
+        ps = global_prefix_sum(cnt, [col], "c", "__ps")
+        return ps.select(
             col,
-            (2 * F.sum("c").over(w) - F.col("c") + 1).cast("bigint").alias(out),
+            (2 * F.col("__ps") - F.col("c") + 1).cast("bigint").alias(out),
         )
 
     j = r.join(rank2(r, "v", "rx"), "v").join(rank2(r, "s", "ry"), "s")
@@ -435,9 +446,15 @@ def events_attribution_positional(spark, sf_dir):
     # reported but RANKING is by integer (co DESC, item_b) so no float
     # ordering ties decide the output
     oracle="""
-    WITH ui AS (SELECT DISTINCT user_id,
-                       json_extract_string(props, '$.k')::INT AS item
-                FROM events),
+    WITH uic AS (SELECT user_id,
+                        json_extract_string(props, '$.k')::INT AS item,
+                        COUNT(*)::BIGINT AS n_ev
+                 FROM events GROUP BY 1, 2),
+    ui AS (SELECT user_id, item FROM (
+               SELECT user_id, item,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY n_ev DESC, item) AS rn
+               FROM uic) WHERE rn <= 256),
     ic AS (SELECT item, COUNT(*)::BIGINT AS nu FROM ui GROUP BY item),
     co AS (SELECT a.item AS item_a, b.item AS item_b,
                   COUNT(*)::BIGINT AS co
@@ -465,18 +482,30 @@ def rec_item_cooccur(spark, sf_dir):
     touched A also touched B'): top-5 neighbors per item by raw
     co-count, with the cosine co/sqrt(na*nb) reported alongside.
     Ranking is by INTEGER (co DESC, item_b) — floats never order the
-    output, so 1-ulp cosine noise can't flip rows. Shape: distinct
-    (user, item) -> self-join on user_id (the pair explode is bounded
-    by the per-user distinct-item count; at 100 TB cap each user at
-    their top-N items first — heavy users are bots and add noise, the
-    standard production mitigation) -> pair hash-aggregate -> item
-    counts joined back (item-dimension-sized, broadcast) -> per-item
-    top-k window over item-grained groups. min-support co >= 5 keeps
-    noise pairs out."""
+    output, so 1-ulp cosine noise can't flip rows. Shape: per-user
+    item sets CAPPED at the 256 most-active items per user
+    (row_number over (n_ev DESC, item), a user-keyed window — a
+    heavy user contributing millions of distinct items is a bot and
+    adds noise, and the cap bounds the pair explode at <= 256^2/2
+    pairs per user, the standard production mitigation; the fixture
+    max is 67 items/user, so the cap binds only on pathological
+    inputs and is applied identically in the oracle) -> self-join on
+    user_id -> pair hash-aggregate -> item counts joined back
+    (item-dimension-sized, broadcast) -> per-item top-k window over
+    item-grained groups. min-support co >= 5 keeps noise pairs out."""
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.select(
-        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
-    ).distinct()
+    uic = ev.groupBy(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    wcap = Window.partitionBy("user_id").orderBy(
+        F.col("n_ev").desc(), F.col("item")
+    )
+    ui = (
+        uic.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 256)
+        .select("user_id", "item")
+    )
     ic = ui.groupBy("item").agg(F.count(F.lit(1)).alias("nu"))
     a, b = ui.alias("a"), ui.alias("b")
     co = (
@@ -566,13 +595,22 @@ def graph_triangles(spark, sf_dir):
     community cohesion and spam-ring detection. The edge threshold is
     the integer cross-multiply co*n_pairs > sum_co (strictly above the
     mean co-count) so no float comparison defines the graph. Counting
-    uses the canonical oriented two-join: edges stored (u < v), wedges
-    a<b<c from e1(a,b) JOIN e2(b,c), closed by probing e3(a,c) — each
-    triangle found exactly once. At 100 TB orient edges by DEGREE
-    (low-degree endpoint first) instead of id so the wedge join is
-    bounded by sum of squared low-degrees (the standard heavy-hitter
-    mitigation); id-orientation is used here because the item universe
-    is dimension-sized. Per-node counts explode each triangle to its
+    uses the DEGREE-ORIENTED two-join (Schank-Wagner / compact-
+    forward): each undirected edge is directed from its lower-rank to
+    its higher-rank endpoint under rank = (degree, id) — a total
+    order, so the oriented graph is a DAG and every triangle has
+    exactly one source node pointing at the other two. Wedges come
+    from o1(a,b) JOIN o2(b,c) and close by probing o3(a,c); because
+    every out-edge leaves the LOWER-degree endpoint, the wedge count
+    is bounded by the sum of squared low-side degrees — O(m^1.5) on
+    any graph — instead of blowing up quadratically on heavy-hitter
+    hubs the way id-orientation does (a celebrity node with 10^6
+    neighbors contributes ~0 wedges here, 10^12 there). The triangle
+    SET is orientation-invariant, so the id-oriented oracle matches
+    row-for-row. Degrees come from an edge-sized aggregate and join
+    back via two broadcasts (node table is dimension-sized; at
+    corpus scale swap for sort-merge on the edge key — still
+    key-partitioned). Per-node counts explode each triangle to its
     three corners — output-sized work."""
     ev = load_table(spark, sf_dir, "events")
     ui = ev.select(
@@ -596,17 +634,40 @@ def graph_triangles(spark, sf_dir):
         .filter(F.col("co") * F.col("n_pairs") > F.col("sum_co"))
         .select("u", "v")
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # degree-orient: every edge leaves its lower-(degree, id) endpoint
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("node").alias("u"),
+                               F.col("deg").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"),
+                               F.col("deg").alias("dv"))),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        o1.join(o2, F.col("o1.y") == F.col("o2.x"))
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            o3,
+            (F.col("o3.x") == F.col("o1.x")) & (F.col("o3.y") == F.col("o2.y")),
         )
         .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
+            F.col("o1.x").alias("a"),
+            F.col("o1.y").alias("b"),
+            F.col("o2.y").alias("c"),
         )
     )
     corners = tri.select(
@@ -1383,15 +1444,17 @@ def events_trending_items(spark, sf_dir):
            WHERE term IN ('window', 'shuffle', 'broadcast')
            GROUP BY doc_id, term),
     scored AS (SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,
-                      SUM(ln((tf.tf::DOUBLE
-                              + 2000.0 * cf.cf::DOUBLE / s.c_total::DOUBLE)
-                             / (b.dl + 2000.0))) AS raw
+                      SUM(FLOOR(ln((tf.tf::DOUBLE
+                                    + 2000.0 * cf.cf::DOUBLE
+                                      / s.c_total::DOUBLE)
+                                   / (b.dl + 2000.0)) * 1e12)::BIGINT
+                          )::BIGINT AS raw12
                FROM tf JOIN cf USING (term)
                        JOIN base b ON tf.doc_id = b.doc_id
                        CROSS JOIN cstat s
                GROUP BY tf.doc_id)
     SELECT doc_id, n_terms,
-           FLOOR(raw * 1e4 + 1e-6) / 1e4 AS score
+           FLOOR(raw12::DOUBLE / 1e12 * 1e4 + 1e-6) / 1e4 AS score
     FROM scored
     """,
 )
@@ -1404,8 +1467,11 @@ def search_lm_dirichlet(spark, sf_dir):
     INTEGER tf alone, so no float ordering picks rows (the bm25 query
     demonstrates the top-k form; this one demonstrates the full-score
     surface a downstream fusion like search_hybrid_rrf consumes).
-    Counts are exact int64; each score is a <= |query|-term sum of
-    fixed log trees, floor-gridded + nudged. Shape: map-side query-
+    Counts are exact int64; each per-term log contribution is a fixed
+    IEEE tree snapped to a 1e-12 INTEGER grid before the per-doc sum
+    (the corpus_js_divergence device), so the <= |query|-term addition
+    is int64 and order-free on both engines; one final division, then
+    the 1e-4 floor grid + nudge. Shape: map-side query-
     vocabulary cut before the (doc, term) aggregate — the posting
     explode only materializes the 3 query terms; collection stats are
     one-row broadcasts. Same single-shuffle skeleton as search_bm25 at
@@ -1429,22 +1495,27 @@ def search_lm_dirichlet(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum(
-                F.log(
-                    (
-                        F.col("tf").cast("double")
-                        + 2000.0
-                        * F.col("cf").cast("double")
-                        / F.col("c_total").cast("double")
+                F.floor(
+                    F.log(
+                        (
+                            F.col("tf").cast("double")
+                            + 2000.0
+                            * F.col("cf").cast("double")
+                            / F.col("c_total").cast("double")
+                        )
+                        / (F.col("dl") + 2000.0)
                     )
-                    / (F.col("dl") + 2000.0)
-                )
-            ).alias("raw"),
+                    * 1e12
+                ).cast("bigint")
+            ).alias("raw12"),
         )
     )
     return scored.select(
         "doc_id",
         "n_terms",
-        (F.floor(F.col("raw") * 1e4 + 1e-6) / 1e4).alias("score"),
+        (
+            F.floor(F.col("raw12").cast("double") / 1e12 * 1e4 + 1e-6) / 1e4
+        ).alias("score"),
     )
 
 
