@@ -7,13 +7,22 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage: the union of CORRECTNESS_r01-r07 driver stamps covers every
-oracle-bearing entry registered through round 7 (231 of 236); round 8
-adds 26 new oracle-bearing queries (queries/featureops.py, incl. the
-stream_ewma_smooth twin), so the union r01-r08 covers all 257 of 262
-once the r8 window below runs. The remaining 5 register rows-only by
-design: dedup_simhash, bpe_train_merges, and the three ddl_* fixture
-queries whose inputs are DDL text, not the relational tables.
+Coverage (stated as of round 9): the union of CORRECTNESS_r01-r08
+driver stamps covers all 257 queries that carried oracles through
+round 8 (262 registered). Round 9 adds exact oracles to dedup_simhash
+(xxhash64 replayed in DuckDB, queries/_xxh64_sql.py) and
+bpe_train_merges (chained-CTE merge-loop replay), so 259 of 262 now
+carry oracles; only the three ddl_* fixture queries stay rows-only by
+design (their inputs are DDL text, not the relational tables).
+
+Rotation policy (the driver checks the FIRST 50 entries of queries()
+order each round): every slot goes first to queries whose code or
+oracle CHANGED this round, then the flagship as standing
+re-verification, then — oldest stamp first — to green queries whose
+newest driver stamp has aged the most, so no oracle-bearing query's
+latest stamp falls more than a few rounds behind. After the r9 window
+runs, no stamp is older than r03 (the 34 r02-stale queries all
+re-verify this round; the remaining r03-stale rotate through r10+).
 """
 
 from __future__ import annotations
@@ -36,85 +45,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-8 rotation: (a) the 26 queries REGISTERED this round
-# (featureops.py — higher moments, Spearman, EWMA fold + its streaming
-# twin, positional attribution, item co-occurrence, triangles,
-# lag-feature matrix, forecast backtest, trimmed mean, hapax,
-# Kaplan-Meier survival, source log-odds, interarrival burstiness,
-# source vocab overlap, trending items, Dirichlet query-likelihood,
-# volume alerts, degree distribution, growth accounting, exact daily
-# percentiles, Cramer's V, JS divergence, RBO rank stability,
-# Markov next-event backtest, Brown-Forsythe),
-# (b) the 4 whose code or oracle CHANGED this
-# round (nonparam NULL filter -> ks/mannwhitney; integer-div bins ->
-# layout_compaction_bins; docstring-only -> events_user_entropy),
-# (c) heavy operator families last stamped r4/r5 (df-pruned minhash,
-# blocking recall, substring family, graph lpa/khop, the sampling
-# family), (d) the date-valued / float-canon edge queries the driver
-# checks most strictly (gap_fill, ohlc, retention, seasonal,
-# pivot/unpivot), and (e) the flagship + the heavy scale queries as
-# standing re-verification. Exactly 50; the 5 no-oracle-by-design
-# entries stay out of the window so no checked slot is burned on a
-# rows-only record. The full window re-ran green through
-# tools/driver_sim (dtype-strict, pandas-fetched like the driver) at
-# sf0.01 before commit.
+# order. Round-9 rotation (policy in the module docstring):
+# (a) the 14 queries whose code or oracle CHANGED this round — the
+# rank.global_* decompositions (rfm, lorenz, zipf, spearman, ks, mwu),
+# the scale-safe graph/recsys variants (degree-oriented triangles,
+# capped cooccur), the 1e-12-gridded Dirichlet sum, the +1e-6 nudge
+# retrofits (user_entropy + its stream twin, readability), and the two
+# NEW oracles (dedup_simhash via the DuckDB xxhash64 replay,
+# bpe_train_merges via the merge-loop replay);
+# (b) the flagship pipeline as standing re-verification;
+# (c) all 33 remaining r02-stale queries (newest stamp CORRECTNESS_r02;
+# dedup_simhash, the 34th, is already in (a));
+# (d) the 2 alphabetically-first r03-stale queries, filling the window
+# to exactly 50. The 3 ddl_* rows-only entries stay out of the window.
+# The full window re-ran green through tools/driver_sim (dtype-strict,
+# pandas-fetched like the driver) at sf0.01 before commit.
 _PRIORITY = [
-    # --- (a) round-8 new queries ---
-    "stats_skew_kurtosis",
+    # --- (a) round-9 changed code or oracles ---
     "stats_spearman",
-    "events_ewma_smooth",
-    "events_attribution_positional",
-    "rec_item_cooccur",
-    "graph_triangles",
-    "feature_lag_matrix",
-    "events_forecast_backtest",
-    "stats_trimmed_mean",
-    "text_hapax_ratio",
-    "events_survival_km",
-    "text_source_log_odds",
-    "events_interarrival",
-    "corpus_source_overlap",
-    "events_trending_items",
-    "stream_ewma_smooth",
-    "search_lm_dirichlet",
-    "dq_volume_alerts",
-    "graph_degree_distribution",
-    "events_growth_accounting",
-    "events_daily_percentiles",
-    "stats_cramers_v",
-    "corpus_js_divergence",
-    "events_rank_stability_rbo",
-    "events_markov_backtest",
-    "stats_brown_forsythe",
-    # --- (b) round-8 changed code/oracles ---
     "stats_ks_test",
     "stats_mannwhitney",
-    "layout_compaction_bins",
+    "events_rfm_segments",
+    "events_lorenz_deciles",
+    "text_zipf_fit",
+    "rec_item_cooccur",
+    "graph_triangles",
+    "search_lm_dirichlet",
     "events_user_entropy",
-    # --- (c) heavy families last stamped r4/r5 ---
-    "dedup_minhash_df_pruned",
-    "dedup_blocking_recall",
-    "dedup_substring_drop",
-    "dedup_substring_stats",
-    "graph_lpa_communities",
-    "graph_khop",
-    "doc_sample_stratified",
-    "doc_sample_weighted",
-    "doc_sample_weighted_k",
-    "doc_mixture_resample",
-    "doc_training_order",
-    # --- (d) date-valued / float-canon edge queries ---
-    "events_gap_fill",
-    "events_ohlc_daily",
-    "events_retention_cohorts",
-    "events_seasonal_anomaly",
-    "pivot_event_counts",
-    "unpivot_event_stats",
-    # --- (e) flagship + heavy scale re-verification ---
+    "stream_user_entropy",
+    "text_readability",
+    "dedup_simhash",
+    "bpe_train_merges",
+    # --- (b) flagship standing re-verification ---
     "pipeline_training_corpus",
+    # --- (c) all remaining r02-stale stamps ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "corpus_stats",
+    "decontaminate_ngram",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "doc_chunk_split",
+    "doc_pack_sequences",
+    "doc_sample_split",
+    "events_asof_join",
+    "events_funnel",
+    "events_json_extract",
+    "events_latest_by_key",
+    "events_outliers",
+    "events_range_join",
+    "events_rolling_7d",
+    "events_sessionize",
+    "layout_zorder",
+    "stats_quantiles",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "vocab_topk",
+    # --- (d) oldest r03-stale, filling to 50 ---
+    "agg_incremental_merge",
+    "corpus_entropy",
+    # --- below the fold: everything else already driver-green ---
+    "eval_lang_id_report",
+    "eval_kappa",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_incremental",
     "decontaminate_bloom",
     "cluster_kmeans",
     "graph_pagerank",
@@ -123,32 +128,25 @@ _PRIORITY = [
     "search_hybrid_rrf",
     "search_bm25",
     "index_postings",
-    "dedup_cluster_assign_star",
     "multimodal_exact_dedup",
-    # --- below the fold: everything else already driver-green ---
-    "eval_lang_id_report",
-    "eval_kappa",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "decontaminate_ngram",
-    "decontaminate_semantic",
-    "doc_sample_split",
-    "doc_pack_sequences",
-    "dedup_cluster_assign",
-    "dedup_embedding_lsh",
-    "events_outliers",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     *[f"q{i:02d}" for i in range(1, 44)],  # name-prefix match below
 ]
 
 
 def _ordered(names: list[str]) -> list[str]:
+    # exact registry names match ONLY themselves; prefix expansion is
+    # reserved for shorthand entries like "q01" -> "q01_scan_project"
+    # (so e.g. "dedup_simhash" no longer drags dedup_simhash_md5 into
+    # a checked window slot)
+    registered = set(names)
     by_prefix = []
     for p in _PRIORITY:
+        if p in registered:
+            if p not in by_prefix:
+                by_prefix.append(p)
+            continue
         for n in names:
-            if (n == p or n.startswith(p + "_")) and n not in by_prefix:
+            if n.startswith(p + "_") and n not in by_prefix:
                 by_prefix.append(n)
     return by_prefix + [n for n in names if n not in by_prefix]
 

@@ -19,16 +19,21 @@ auc) are NULL — Spark's non-ANSI divide-by-zero — for the caller to
 gate; if both are empty the result is zero rows.
 
 Scale shape: the cumsum runs over DISTINCT values (vocabulary-sized,
-not data-sized). On a single global window that is one range-sorted
-partition; at 100 TB the swap is the two-pass distributed-rank
-decomposition in operators/rank.py (as used by
-stats_histogram_equidepth) — the statistics themselves are unchanged.
+not data-sized) and is executed through
+``operators/rank.global_prefix_sum`` — the terasort decomposition
+(range-partition on the distinct value, local running sums, broadcast
+per-partition offsets) — so even a data-sized distinct-value universe
+never funnels through one reducer; the distinct values are unique per
+row, so range boundaries cannot split ties and the running sums are
+bit-identical to the single-window SQL form on any engine.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .rank import global_prefix_sum
 
 
 def _value_counts(
@@ -61,12 +66,9 @@ def ks_2samp(
     smallest value attaining the maximal ECDF gap (deterministic
     tiebreak)."""
     g = _value_counts(df, value_col, group_col, a, b)
-    wc = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "__v",
-        F.sum("c1").over(wc).alias("cum1"),
-        F.sum("c2").over(wc).alias("cum2"),
-    )
+    c = global_prefix_sum(
+        g, ["__v"], ["c1", "c2"], ["cum1", "cum2"]
+    ).select("__v", "cum1", "cum2")
     t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     d = c.crossJoin(F.broadcast(t)).select(
         "__v",
@@ -104,13 +106,11 @@ def mannwhitney_u(
     ``2*R1 = SUM(c1 * (2*cumt - t + 1))`` is exact int64;
     ``u1_x2 = 2*R1 - n1*(n1+1)`` and ``auc = u1_x2 / (2*n1*n2)`` is
     the common-language effect size P[a > b]."""
-    g = _value_counts(df, value_col, group_col, a, b)
-    wc = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "c1",
-        "c2",
-        (F.col("c1") + F.col("c2")).alias("t"),
-        F.sum(F.col("c1") + F.col("c2")).over(wc).alias("cumt"),
+    g = _value_counts(df, value_col, group_col, a, b).withColumn(
+        "t", F.col("c1") + F.col("c2")
+    )
+    c = global_prefix_sum(g, ["__v"], "t", "cumt").select(
+        "c1", "c2", "t", "cumt"
     )
     s = c.agg(
         F.sum("c1").alias("n1"),

@@ -135,8 +135,8 @@ def equi_depth_histogram(
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[str | Column],
-    value_col: str,
-    prefix_col: str,
+    value_col: str | list[str],
+    prefix_col: str | list[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``prefix_col`` = INCLUSIVE running sum of ``value_col``
@@ -148,10 +148,17 @@ def global_prefix_sum(
     exclusive-prefix-summed over partition ids — the only global
     window runs over partition-count rows, never the data).
 
+    ``value_col``/``prefix_col`` may be parallel lists to compute
+    several running sums over ONE shared range partitioning (the
+    two-sample ECDF shape in operators/nonparam.py).
+
     ``order_cols`` must be a total order per row (unique key tuple) so
     equal keys cannot straddle a range boundary; with that, the result
     is bit-identical to the SQL running sum on any engine.
     """
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    prefs = [prefix_col] if isinstance(prefix_col, str) else list(prefix_col)
+    assert len(vals) == len(prefs)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
@@ -163,16 +170,30 @@ def global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = tagged.withColumn("__lps", F.sum(value_col).over(w_local))
-    tot = tagged.groupBy("__pid").agg(F.sum(value_col).alias("__pt"))
+    local = tagged.select(
+        "*", *[F.sum(v).over(w_local).alias(f"__lps_{i}")
+               for i, v in enumerate(vals)]
+    )
+    tot = tagged.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__pt_{i}") for i, v in enumerate(vals)]
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = tot.select(
-        "__pid", F.coalesce(F.sum("__pt").over(w_off), F.lit(0)).alias("__ops")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__pt_{i}").over(w_off), F.lit(0)).alias(
+                f"__ops_{i}"
+            )
+            for i in range(len(vals))
+        ],
     )
-    return (
-        local.join(F.broadcast(offs), "__pid")
-        .withColumn(prefix_col, F.col("__lps") + F.col("__ops"))
-        .drop("__pid", "__lps", "__ops")
+    out = local.join(F.broadcast(offs), "__pid")
+    for i, p in enumerate(prefs):
+        out = out.withColumn(p, F.col(f"__lps_{i}") + F.col(f"__ops_{i}"))
+    return out.drop(
+        "__pid",
+        *[f"__lps_{i}" for i in range(len(vals))],
+        *[f"__ops_{i}" for i in range(len(vals))],
     )
 
 

@@ -109,7 +109,7 @@ def xxh64_word_ctes(src: str = "vocab", prefix: str = "x") -> str:
       SELECT w,
              CASE WHEN len(w) >= 32
                   THEN error('xxh64 oracle: token >= 32 bytes')
-                  WHEN w ~ '[^\\x01-\\x7f]'
+                  WHEN regexp_matches(w, '[^\\x01-\\x7f]')
                   THEN error('xxh64 oracle: non-ASCII token')
                   ELSE len(w)::HUGEINT END AS n,
              list_transform(regexp_extract_all(w, '.'),

@@ -1156,3 +1156,75 @@ class TestRound7bPlans:
             assert "unboundedfollowing$()" not in plan.lower().replace(
                 " ", ""
             ), (name, plan)
+
+
+class TestNoGlobalWindowContract:
+    """Registry-wide invariant (round 9, VERDICT r8 task 2): no
+    registered query may execute a Window function over an
+    UN-PARTITIONED data-sized input — `... OVER (ORDER BY ...)` with
+    an empty partition spec funnels its whole input through ONE task,
+    the canonical 100 TB anti-pattern. The sanctioned exceptions:
+
+    - the operators/rank.py terasort decomposition's offsets window
+      (orders by the synthetic `__pid`; one row per partition — KBs),
+      recognized structurally and always allowed;
+    - the explicitly allowlisted queries below, each of whose global
+      windows run over a DIMENSION-grained or pre-bounded input, with
+      the bound stated per entry.
+
+    This converts the docstring promises ('swap in rank.py at 100 TB')
+    into an enforced invariant: registering a new naive global-window
+    query fails this test until it is decomposed or justified here.
+    """
+
+    # query -> why its empty-partition window input is bounded
+    ALLOWED = {
+        # three summary rows (brute/prefix/snm), per its own comment
+        "dedup_blocking_recall": "3-row method-summary table",
+        # the banding itself runs through rank.global_ntile; the
+        # remaining global windows are the 10-row decile cumsums
+        "events_lorenz_deciles": "10-row decile table",
+        # risk table is per-DISTINCT-event-day: calendar-bounded
+        "events_survival_km": "distinct-day risk table (calendar)",
+        # rank over the item dimension (distinct $.k values)
+        "events_trending_items": "item-dimension-grained rank",
+        "events_rank_stability_rbo": "item-dimension-grained rank",
+        # rank over event-type trigrams: |types|^3 <= 125 rows
+        "events_path_trigrams": "type-trigram-grained (<= |types|^3)",
+        # rank over min-support-filtered item pairs (co >= 5 cut
+        # upstream); item-dimension-squared worst case
+        "mine_basket_pairs": "support-filtered item-pair table",
+        # each arm's rank window runs over its top-m (50-row) list,
+        # bounded by the preceding TakeOrderedAndProject
+        "search_hybrid_rrf": "top-m (50-row) arm lists",
+        "search_eval_metrics": "top-k ranker lists",
+    }
+
+    def test_registry_has_no_naive_global_windows(self, spark, queries):
+        from easy_alterator_spark.plans.audit import empty_partition_windows
+
+        offenders, allow_hits = {}, set()
+        for name, fn in queries.items():
+            if name.startswith("stream_"):
+                # streaming twins execute micro-batches eagerly on
+                # construction; their batch twins cover the plan shape
+                continue
+            ws = [
+                w
+                for w in empty_partition_windows(fn(spark, SF))
+                if "__pid" not in w
+            ]
+            if not ws:
+                continue
+            if name in self.ALLOWED:
+                allow_hits.add(name)
+            else:
+                offenders[name] = ws
+        assert not offenders, (
+            "naive single-reducer global windows (decompose via "
+            f"operators/rank.py or justify in ALLOWED): {offenders}"
+        )
+        stale = set(self.ALLOWED) - allow_hits
+        assert not stale, (
+            f"ALLOWED entries no longer needed — remove them: {stale}"
+        )

@@ -137,6 +137,13 @@ def gen_events(n: int, n_users: int, seed: int):
     ts = base_us + rng.integers(0, span_us, size=n)
     types = rng.choice(len(EVENT_TYPES), size=n)
     values = np.round(np.exp(rng.normal(3.0, 1.0, size=n)), 2)
+    # zipf-ish item draw for the co-visitation families ($.k): the
+    # catalog scales with traffic and the head items are heavy
+    # hitters — exactly the regime degree-oriented triangle counting
+    # and the per-user cooccur cap are designed for
+    n_items = max(100, n_users // 10)
+    wi = 1.0 / (np.arange(n_items) + 10.0)
+    items = rng.choice(n_items, size=n, p=wi / wi.sum()) + 1
     return pa.table(
         {
             "event_id": pa.array(np.arange(n), pa.int64()),
@@ -146,7 +153,9 @@ def gen_events(n: int, n_users: int, seed: int):
                 [EVENT_TYPES[i] for i in types], pa.string()
             ),
             "value": pa.array(values, pa.float64()),
-            "props": pa.array(["{}"] * n, pa.string()),
+            "props": pa.array(
+                ['{"k": %d}' % i for i in items], pa.string()
+            ),
         }
     )
 

@@ -39,6 +39,17 @@ FAMILIES_R7 = [
     ("stats_ks_test", "events"),
     ("text_rake_scores", "docs"),
 ]
+# round-9 heavy families (VERDICT r8 task 7): the graph/recsys pair
+# whose scale-safe variants landed this round, the iterative kmeans,
+# and the two standing dedup heavies — run with
+# `python tools/scale_rehearsal.py <reps> gen r9`
+FAMILIES_R9 = [
+    ("graph_triangles", "events"),
+    ("rec_item_cooccur", "events"),
+    ("cluster_kmeans", "vecs"),
+    ("dedup_minhash_lsh", "docs"),
+    ("dedup_incremental", "docs"),
+]
 SCALES = [
     (1, 5000, 2000, 100_000),
     (3, 15000, 6000, 300_000),
@@ -47,7 +58,7 @@ SCALES = [
 
 
 def main(reps: int = 2, prefix: str = "gen", fam: str = "core") -> None:
-    families = FAMILIES_R7 if fam == "r7" else FAMILIES
+    families = {"r7": FAMILIES_R7, "r9": FAMILIES_R9}.get(fam, FAMILIES)
     load_all()
     spark = get_spark("scale-rehearsal", master="local[32]")
     results: dict[str, dict[int, float]] = {}
