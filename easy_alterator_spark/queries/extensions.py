@@ -2,10 +2,11 @@
 analysis, sessionization, JSON extraction, as-of join.
 
 Each entry pairs the Spark operator (operators/*) with a DuckDB oracle
-that recomputes the same values with portable list/regex SQL. Ops the
-oracle genuinely can't reproduce (xxhash64-based SimHash, approximate
-IVF search) register without an oracle — the driver then records a
-rows-only check.
+that recomputes the same values with portable list/regex SQL — since
+round 9 including the xxhash64-based SimHash (whose oracle replays
+Spark's hash bit-for-bit via the generated SQL in _xxh64_sql.py) and
+the BPE merge loop (replayed as chained CTEs); only the DDL-text
+fixture queries register without an oracle.
 
 Pair-wise ops are bounded by id predicates: the O(n²) form is the
 *verify* stage; the scale path (MinHash bands, IVF buckets) is what
