@@ -6,9 +6,11 @@ executes on ONE task in Spark: the whole input funnels through a
 single reducer, which is the canonical 100 TB anti-pattern. The
 scalable exact form is the terasort decomposition:
 
-1. ``repartitionByRange`` on the sort key (one shuffle; Spark's range
-   partitioner samples boundaries with fixed seeds, and partition ids
-   ascend with key ranges),
+1. ``repartitionByRange`` on the sort key (one shuffle; partition ids
+   ascend with key ranges), materialized ONCE via ``_range_tagged``
+   so every consumer sees the same sampled boundaries and pid
+   assignment (see its docstring — the round-9 sf0.1 sweep caught
+   two executions disagreeing),
 2. a per-partition local ``row_number`` (window keyed by the
    partition id),
 3. a broadcast join against the 1-row-per-partition offset table
@@ -24,6 +26,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _range_tagged(
+    df: DataFrame, order_cols: list[Column], n: int
+) -> DataFrame:
+    """Range-partition on ``order_cols`` and tag rows with the
+    physical partition id — MATERIALIZED ONCE via localCheckpoint.
+
+    The pinning is load-bearing for correctness, not a cache: every
+    decomposition below consumes the tagged table from two plan
+    subtrees (the per-partition locals and the per-partition totals),
+    and without pinning each subtree re-executes the range exchange
+    independently. RangePartitioner samples its boundaries from the
+    upstream data, whose row order after a hash aggregate is not
+    deterministic — so the two executions can disagree on boundaries
+    (and AQE may coalesce them differently), leaving local sums and
+    offsets computed against DIFFERENT partitionings. That exact
+    divergence was caught by the sf0.1 differential sweep in round 9
+    (stats_mannwhitney cumsums drifted +88 while its sf0.01 run and
+    five sibling queries happened to reuse the exchange and stayed
+    consistent). localCheckpoint pins one boundary draw and one pid
+    assignment for all consumers.
+
+    Cost: one executor-memory/disk materialization of the input. The
+    inputs here are distinct-value/user/vocabulary-grained in every
+    registered query; for truly data-sized ranking at 100 TB the
+    alternative is a two-job form — compute boundaries once, bucket
+    by broadcast binary search (a deterministic function of the key)
+    — which trades the materialization for a second scan."""
+    parts = df.repartitionByRange(int(n), *order_cols)
+    return parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
 
 
 def global_rank(
@@ -45,8 +80,7 @@ def global_rank(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    parts = df.repartitionByRange(int(n), *order_cols)
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    tagged = _range_tagged(df, order_cols, int(n))
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (
         Window.orderBy("__pid")
@@ -163,8 +197,7 @@ def global_prefix_sum(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    parts = df.repartitionByRange(int(n), *order_cols)
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    tagged = _range_tagged(df, order_cols, int(n))
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
@@ -220,8 +253,7 @@ def global_prefix_max(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    parts = df.repartitionByRange(int(n), *sort_exprs)
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    tagged = _range_tagged(df, sort_exprs, int(n))
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_exprs)

@@ -1832,6 +1832,29 @@ def stats_mannwhitney(spark, sf_dir):
     return mannwhitney_u(ev, "value", "event_type", "purchase", "view")
 
 
+def _rfm_user_metrics(ev):
+    """Per-user (rec, freq, cents) metric table — the un-pinned
+    upstream of events_rfm_segments, exposed so plan contracts can
+    assert scan pruning on the parquet scan (the registered query
+    pins its range partitioning via rank._range_tagged, which
+    truncates the visible plan at the checkpoint)."""
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        ).alias("cents"),
+    )
+    a = u.agg(F.max("last_d").alias("anchor"))
+    return u.crossJoin(F.broadcast(a)).select(
+        "user_id",
+        F.datediff("anchor", "last_d").cast("bigint").alias("rec"),
+        "freq",
+        "cents",
+    )
+
+
 @query(
     "events_rfm_segments",
     # RFM segmentation: per-user recency/frequency/monetary, each
@@ -1883,22 +1906,7 @@ def events_rfm_segments(spark, sf_dir):
     NTILE(4) OVER (ORDER BY metric, user_id) on every engine."""
     from ..operators.rank import global_ntile
 
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-    u = ev.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("last_d"),
-        F.count(F.lit(1)).alias("freq"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
-        ).alias("cents"),
-    )
-    a = u.agg(F.max("last_d").alias("anchor"))
-    m = u.crossJoin(F.broadcast(a)).select(
-        "user_id",
-        F.datediff("anchor", "last_d").cast("bigint").alias("rec"),
-        "freq",
-        "cents",
-    )
+    m = _rfm_user_metrics(load_table(spark, sf_dir, "events"))
     r_t = global_ntile(
         m.select("user_id", "rec"),
         [F.col("rec"), F.col("user_id")],

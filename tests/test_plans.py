@@ -909,14 +909,22 @@ class TestRound7bPlans:
         assert jc["SortMergeJoin"] == 0, plan
         assert jc["ShuffledHashJoin"] == 0, plan
 
-    def test_mannwhitney_is_join_free(self, spark, queries):
-        """The doubled-rank-sum form needs NO join at all: per-value
-        counts -> one windowed cumsum -> one global reduce."""
+    def test_mannwhitney_joins_only_broadcast_offsets(self, spark, queries):
+        """The doubled-rank-sum form needs no DATA-sized join: per-
+        value counts -> the rank.global_prefix_sum cumsum (whose only
+        join is the BROADCAST of the one-row-per-partition offset
+        table — round 9 replaced the single-reducer window) -> one
+        global reduce. Anything shuffled-join-shaped is a regression."""
         from easy_alterator_spark.plans.audit import formatted_plan, join_counts
 
         plan = formatted_plan(queries["stats_mannwhitney"](spark, SF))
         jc = join_counts(plan)
-        assert all(v == 0 for v in jc.values()), plan
+        # formatted plans name each node twice (tree + detail), so one
+        # physical broadcast join counts as 2
+        assert jc["BroadcastHashJoin"] == 2, plan
+        assert jc["SortMergeJoin"] == 0, plan
+        assert jc["ShuffledHashJoin"] == 0, plan
+        assert jc["CartesianProduct"] == 0, plan
 
     def test_level_shift_broadcasts_both_reductions(self, spark, queries):
         """Per-type max-gap and best-split tables are type-sized (5
@@ -1100,19 +1108,12 @@ class TestRound7bPlans:
         from easy_alterator_spark.plans.audit import assert_reads_only
 
         cases = [
-            ("stats_ks_test", "event_type", {"event_type", "value"}),
-            ("stats_mannwhitney", "event_type", {"event_type", "value"}),
             ("stats_welch_ttest", "event_type", {"event_type", "value"}),
             ("stats_srm_check", "event_type", {"event_type", "user_id"}),
             (
                 "events_velocity_flags",
                 "user_id",
                 {"user_id", "ts"},
-            ),
-            (
-                "events_rfm_segments",
-                "user_id",
-                {"user_id", "ts", "event_type", "value"},
             ),
             ("events_level_shift", "event_type", {"event_type", "ts"}),
             ("events_new_vs_returning", "user_id", {"user_id", "ts"}),
@@ -1137,6 +1138,22 @@ class TestRound7bPlans:
         for name, marker, allowed in cases:
             df = queries[name](spark, SF)
             assert_reads_only(df, marker, allowed)
+        # ks/mwu/rfm pin their range partitioning via rank._range_tagged
+        # (a localCheckpoint), which truncates the visible plan at the
+        # checkpoint — assert pruning on their UN-pinned upstreams,
+        # where the parquet scan is still in the explain output
+        from easy_alterator_spark.operators.nonparam import _value_counts
+        from easy_alterator_spark.queries.analytics import _rfm_user_metrics
+        from easy_alterator_spark.sources import load_table
+
+        ev = load_table(spark, SF, "events")
+        vc = _value_counts(ev, "value", "event_type", "purchase", "view")
+        assert_reads_only(vc, "event_type", {"event_type", "value"})
+        assert_reads_only(
+            _rfm_user_metrics(ev),
+            "user_id",
+            {"user_id", "ts", "event_type", "value"},
+        )
 
     def test_no_unbounded_following_frames(self, spark, queries):
         """Spark executes UnboundedFollowing frames by re-aggregating
