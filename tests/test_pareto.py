@@ -119,5 +119,8 @@ class TestParetoPlanShape:
         )
         plan = formatted_plan(pareto_frontier_2d(df, "a", "b"))
         assert plan.count("SinglePartition") == 1
-        # the range shuffle of the group table IS present (terasort)
-        assert "rangepartitioning" in plan.lower()
+        # the range shuffle of the group table now executes inside the
+        # pinned materialization (rank._range_tagged localCheckpoint,
+        # round 9) so the visible plan starts at the checkpointed RDD
+        # carrying the __pid tag instead of showing rangepartitioning
+        assert "ExistingRDD" in plan and "__pid" in plan
