@@ -56,6 +56,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         corpusops,
+        evalops,
         extensions,
         featureops,
         relational,

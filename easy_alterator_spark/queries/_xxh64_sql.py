@@ -208,3 +208,47 @@ def simhash_xxh64_oracle(dtoks: str, max_doc_id: int = 300,
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b, hd FROM pairs WHERE hd <= {max_hamming}
     """
+
+
+def xxh64_long2_ctes(src: str, prefix: str = "p") -> str:
+    """CTE chain fragment hashing TWO BIGINT columns exactly like
+    Spark's ``xxhash64(colA, colB)``: input ``{src}`` must expose
+    BIGINT columns ``la`` and ``lb`` (other columns are carried
+    through); the final CTE ``{prefix}f`` adds ``h`` = the hash as
+    HUGEINT in [0, 2^64). Spark chains ``hashLong`` per column with
+    seed 42: h = fmix(step(seed + P5 + 8, word)) applied twice, where
+    step is the XXH64 word round and fmix the avalanche — the exact
+    semantics of ``XXH64.hashLong`` in Spark's catalyst. Used for
+    deterministic pseudo-randomization (permutation tests, hash
+    splits) that must replay bit-identically in the DuckDB oracle."""
+    m64 = 1 << 64
+    h0 = (42 + _P5 + 8) % m64
+    u = (
+        "(CASE WHEN {c} < 0 THEN {c}::HUGEINT + 18446744073709551616::HUGEINT"
+        " ELSE {c}::HUGEINT END)"
+    )
+    t0 = (
+        f"{prefix}0 AS (SELECT *, {u.format(c='la')} AS ua,"
+        f" {u.format(c='lb')} AS ub FROM {src})"
+    )
+    t1 = (
+        f"{prefix}1 AS (SELECT *, "
+        f"{_word_step(f'{h0}::HUGEINT', 'ua')} AS w1 FROM {prefix}0)"
+    )
+    t2 = (f"{prefix}2 AS (SELECT *, "
+          f"{_mul(_xor('w1', _shr('w1', 33)), _P2)} AS a1 FROM {prefix}1)")
+    t3 = (f"{prefix}3 AS (SELECT *, "
+          f"{_mul(_xor('a1', _shr('a1', 29)), _P3)} AS a2 FROM {prefix}2)")
+    t4 = (f"{prefix}4 AS (SELECT *, "
+          f"{_xor('a2', _shr('a2', 32))} AS h1 FROM {prefix}3)")
+    t5 = (
+        f"{prefix}5 AS (SELECT *, "
+        f"{_word_step(_add('h1', _P5 + 8), 'ub')} AS w2 FROM {prefix}4)"
+    )
+    t6 = (f"{prefix}6 AS (SELECT *, "
+          f"{_mul(_xor('w2', _shr('w2', 33)), _P2)} AS b1 FROM {prefix}5)")
+    t7 = (f"{prefix}7 AS (SELECT *, "
+          f"{_mul(_xor('b1', _shr('b1', 29)), _P3)} AS b2 FROM {prefix}6)")
+    tf = (f"{prefix}f AS (SELECT *, "
+          f"{_xor('b2', _shr('b2', 32))} AS h FROM {prefix}7)")
+    return ",\n    ".join([t0, t1, t2, t3, t4, t5, t6, t7, tf])

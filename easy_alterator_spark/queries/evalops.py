@@ -1,0 +1,1276 @@
+"""Round-9 model-evaluation and experimental-design extensions:
+classifier metrics over a deterministic linear-probe score (ROC-AUC,
+calibration, precision/recall curve, lift/gains), the k-group
+experiment tests that complete the A/B family (one-way ANOVA,
+Kruskal-Wallis, McNemar, a deterministic randomization test, block
+jackknife), and iterative ML training expressed as Spark aggregates
+(logistic regression by gradient descent, PCA by power iteration).
+
+These are the measurement half of a training-data pipeline: after
+dedup/quality/decontamination produce a corpus and a model (or probe)
+scores it, these queries answer "is the classifier any good"
+(eval_*), "did the intervention change the metric" (stats_*), and
+"what directions dominate the embedding space" (embedding_pca_*).
+
+Cross-engine discipline (the repo standard): integer exactness
+through every aggregation — scores and values snap to integer grids
+BEFORE any sum, so no float accumulation order exists; ratio outputs
+are single IEEE divisions of exact integers or short FIXED expression
+trees (each op correctly rounded, identical on both engines);
+libm-bearing outputs floor-grid at 1e-4 with the +1e-6 nudge. Global
+ordered scans (PR curve, deciles) run through operators/rank.py's
+terasort decomposition, never a single-reducer window. No UDFs, no
+data-sized collect().
+
+The linear-probe score shared by the eval_* family is the FIRST
+embedding coordinate snapped to 1e-4 (round-half-up): a deterministic
+stand-in for a model score that still correlates with the planted
+label structure, so the metric surfaces are non-degenerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.nonparam import mannwhitney_u
+from ..operators.rank import global_ntile, global_prefix_sum
+from ..sources import load_table
+from . import query
+
+# exact integer score: float32 -> float64 is exact, one IEEE multiply,
+# exact +0.5, floor — round-half-up onto a 1e-4 integer grid
+_SCORE = "FLOOR(embedding[1]::DOUBLE * 1e4 + 0.5)::BIGINT"
+_POS = "CASE WHEN label >= 5 THEN 'pos' ELSE 'neg' END"
+
+
+def _score() -> F.Column:
+    return F.floor(
+        F.element_at("embedding", 1).cast("double") * 1e4 + 0.5
+    ).cast("bigint")
+
+
+def _cls() -> F.Column:
+    return F.when(F.col("label") >= 5, "pos").otherwise("neg")
+
+
+# ---------------------------------------------------------------------------
+# eval_roc_auc — rank-based AUC, integer-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_roc_auc",
+    # AUC is the Mann-Whitney statistic: with per-distinct-score
+    # counts and DOUBLED ranks (tie averages stay integral),
+    # 2*R_pos = SUM(c_pos * (2*cumt - t + 1)) is exact int64,
+    # u1_x2 = 2*R_pos - n_pos*(n_pos+1), and AUC = u1_x2/(2*n_pos*
+    # n_neg) is ONE IEEE division of exact integers; gini = 2*auc - 1
+    # is a fixed tree on the identical double
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS score, {_POS} AS cls FROM embeddings),
+    g AS (SELECT score,
+                 SUM(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END)::BIGINT AS c1,
+                 SUM(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END)::BIGINT AS c2
+          FROM d GROUP BY score),
+    c AS (SELECT c1, c2, c1 + c2 AS t,
+                 (SUM(c1 + c2) OVER (ORDER BY score))::BIGINT AS cumt
+          FROM g),
+    s AS (SELECT SUM(c1)::BIGINT AS n_pos, SUM(c2)::BIGINT AS n_neg,
+                 SUM(c1 * (2 * cumt - t + 1))::BIGINT AS r1_x2
+          FROM c)
+    SELECT n_pos, n_neg,
+           (r1_x2 - n_pos * (n_pos + 1))::BIGINT AS u1_x2,
+           (r1_x2 - n_pos * (n_pos + 1))::DOUBLE
+               / (2 * n_pos * n_neg)::DOUBLE AS auc,
+           2 * ((r1_x2 - n_pos * (n_pos + 1))::DOUBLE
+                / (2 * n_pos * n_neg)::DOUBLE) - 1 AS gini
+    FROM s
+    """,
+)
+def eval_roc_auc(spark, sf_dir):
+    """ROC-AUC of the linear-probe score against the planted binary
+    label (label >= 5) — the first question asked of any quality /
+    toxicity / language classifier before it gates a corpus. AUC is
+    computed by its rank form (the Mann-Whitney U statistic), reusing
+    operators/nonparam.py's doubled-rank decomposition: per-distinct-
+    score counts, a distinct-values-sized global cumsum through
+    rank.global_prefix_sum (no single-reducer sort), and exact-int64
+    rank sums — AUC is one IEEE division of exact integers,
+    bit-identical cross-engine; gini = 2*auc - 1 is a fixed tree on
+    that identical double. Scale: the cumsum is score-vocabulary-
+    sized, not data-sized; everything else is one hash aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(_score().alias("score"), _cls().alias("cls"))
+    r = mannwhitney_u(d, "score", "cls", "pos", "neg")
+    auc = F.col("auc")
+    return r.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        "u1_x2",
+        auc,
+        (F.lit(2) * auc - F.lit(1)).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_calibration_bins — all-integer reliability table
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_calibration_bins",
+    # min-max normalized probability p = (s - lo)/(hi - lo) (exact-int
+    # operands, ONE division -> identical doubles), snapped to MICRO
+    # units p6 = FLOOR(p * 1e6) BEFORE any aggregation, so every
+    # output is integer arithmetic: bin = p6 // 100000 (int division),
+    # per-bin mean confidence FLOOR(SUM(p6)/n), observed rate
+    # FLOOR(n_pos*1e6/n), gap = ABS difference of the two BIGINTs
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS s,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d),
+    p AS (SELECT y,
+                 FLOOR((d.s - mm.lo)::DOUBLE / (mm.hi - mm.lo)::DOUBLE
+                       * 1e6)::BIGINT AS p6
+          FROM d CROSS JOIN mm),
+    b AS (SELECT LEAST(p6 // 100000, 9) AS bin, COUNT(*)::BIGINT AS n,
+                 SUM(y)::BIGINT AS n_pos, SUM(p6)::BIGINT AS sp6
+          FROM p GROUP BY 1)
+    SELECT bin, n, n_pos,
+           FLOOR(sp6::DOUBLE / n::DOUBLE)::BIGINT AS conf_micro,
+           FLOOR((n_pos * 1000000)::DOUBLE / n::DOUBLE)::BIGINT AS rate_micro,
+           ABS(FLOOR(sp6::DOUBLE / n::DOUBLE)
+               - FLOOR((n_pos * 1000000)::DOUBLE / n::DOUBLE))::BIGINT
+               AS gap_micro
+    FROM b
+    """,
+)
+def eval_calibration_bins(spark, sf_dir):
+    """Reliability (calibration) table of the probe score: min-max
+    normalized scores bucketed into 10 equal-WIDTH bins, per-bin mean
+    confidence vs observed positive rate and their gap — the table
+    behind ECE and reliability diagrams, and the standard check before
+    a classifier's threshold is trusted to gate a corpus. All-integer
+    outputs: the normalized probability snaps to micro-units (1e-6)
+    per row BEFORE aggregation, so sums are exact, the bin index is
+    integer division, and both per-bin rates are FLOOR of a single
+    int/int division — no float accumulation anywhere. Shape: one
+    2-value global min/max broadcast, one hash aggregate over <= 10
+    bins; equal-width binning needs no global sort (contrast
+    stats_histogram_equidepth's rank decomposition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("s"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    mm = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    p6 = F.floor(
+        (F.col("s") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+        * 1e6
+    ).cast("bigint")
+    b = (
+        d.crossJoin(F.broadcast(mm))
+        .select(p6.alias("p6"), "y")
+        .groupBy(
+            F.least(F.floor(F.col("p6") / 100000), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("p6").alias("sp6"),
+        )
+    )
+    conf = F.floor(F.col("sp6").cast("double") / F.col("n").cast("double"))
+    rate = F.floor(
+        (F.col("n_pos") * 1000000).cast("double") / F.col("n").cast("double")
+    )
+    return b.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.cast("bigint").alias("conf_micro"),
+        rate.cast("bigint").alias("rate_micro"),
+        F.abs(conf - rate).cast("bigint").alias("gap_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_pr_threshold — full precision/recall sweep, integer-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_pr_threshold",
+    # tp/fp at every distinct score threshold are DESCENDING prefix
+    # sums over the per-distinct-score (c_pos, c_neg) counts;
+    # precision/recall are single int/int divisions and f1 uses the
+    # harmonic identity f1 = 2*tp/(2*tp + fp + fn) — ONE division of
+    # exact integers instead of a float tree over p and r
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS score,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    g AS (SELECT score, SUM(y)::BIGINT AS cp,
+                 SUM(1 - y)::BIGINT AS cn
+          FROM d GROUP BY score),
+    c AS (SELECT score,
+                 (SUM(cp) OVER (ORDER BY score DESC))::BIGINT AS tp,
+                 (SUM(cn) OVER (ORDER BY score DESC))::BIGINT AS fp
+          FROM g),
+    t AS (SELECT SUM(cp)::BIGINT AS pos_total FROM g)
+    SELECT c.score AS threshold, c.tp, c.fp,
+           (t.pos_total - c.tp)::BIGINT AS fn,
+           c.tp::DOUBLE / (c.tp + c.fp)::DOUBLE AS precision,
+           c.tp::DOUBLE / t.pos_total::DOUBLE AS recall,
+           (2 * c.tp)::DOUBLE
+               / (2 * c.tp + c.fp + (t.pos_total - c.tp))::DOUBLE AS f1
+    FROM c CROSS JOIN t
+    """,
+)
+def eval_pr_threshold(spark, sf_dir):
+    """Precision/recall/F1 at EVERY distinct score threshold (predict
+    positive when score >= threshold) — the operating-curve table a
+    pipeline reads to pick the quality-filter cutoff for a target
+    recall. Integer-exact: per-distinct-score class counts, then tp
+    and fp as descending prefix sums through rank.global_prefix_sum
+    (range partitioning honors the DESC order; no single-reducer
+    window), a 1-row positives total broadcast, and each metric is ONE
+    IEEE division of exact integers — f1 via the harmonic identity
+    2*tp/(2*tp+fp+fn), so no compound float tree exists. Output is
+    score-vocabulary-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("cp"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("cn"),
+    )
+    c = global_prefix_sum(
+        g, [F.col("score").desc()], ["cp", "cn"], ["tp", "fp"]
+    ).select("score", "tp", "fp")
+    t = g.agg(F.sum("cp").cast("bigint").alias("pos_total"))
+    tp, fp, pt = F.col("tp"), F.col("fp"), F.col("pos_total")
+    fn = pt - tp
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("score").alias("threshold"),
+        tp,
+        fp,
+        fn.cast("bigint").alias("fn"),
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision"),
+        (tp.cast("double") / pt.cast("double")).alias("recall"),
+        (
+            (2 * tp).cast("double")
+            / (2 * tp + fp + fn).cast("double")
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_lift_cumgains — decile lift table via the rank decomposition
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_lift_cumgains",
+    # deciles by (score DESC, vec_id) through rank.global_ntile —
+    # bit-identical to SQL NTILE(10) under the same TOTAL order — then
+    # a 10-row cumulative table; lift = (n_pos*N)/(n*P) and
+    # gain = cum_pos/P are single divisions of exact int products
+    oracle=f"""
+    WITH d AS (SELECT vec_id, {_SCORE} AS score,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    t AS (SELECT y, NTILE(10) OVER (ORDER BY score DESC, vec_id) AS tile
+          FROM d),
+    b AS (SELECT tile, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos
+          FROM t GROUP BY tile),
+    c AS (SELECT tile, n, n_pos,
+                 (SUM(n_pos) OVER (ORDER BY tile))::BIGINT AS cum_pos
+          FROM b),
+    s AS (SELECT SUM(n)::BIGINT AS nn, SUM(n_pos)::BIGINT AS pp FROM b)
+    SELECT c.tile, c.n, c.n_pos, c.cum_pos,
+           c.cum_pos::DOUBLE / s.pp::DOUBLE AS gain,
+           (c.n_pos * s.nn)::DOUBLE / (c.n * s.pp)::DOUBLE AS lift
+    FROM c CROSS JOIN s
+    """,
+)
+def eval_lift_cumgains(spark, sf_dir):
+    """Decile lift and cumulative-gains table of the probe score: rank
+    the population by score descending, cut into 10 equal-count tiles,
+    and report each tile's positive rate as lift over the base rate
+    plus the cumulative share of positives captured — the table behind
+    'the top 10% of the ranking captures X% of the positives', i.e.
+    how much labeling / filtering budget the score saves. The decile
+    cut runs through rank.global_ntile (terasort decomposition,
+    bit-identical to NTILE(10) under the total order (score DESC,
+    vec_id) — no single-reducer sort of the data); the only global
+    window left is the cumulative sum over the TEN-row decile table.
+    lift and gain are single IEEE divisions of exact integer
+    products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        _score().alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    t = global_ntile(d, [F.col("score").desc(), F.col("vec_id")], 10, "tile")
+    b = t.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    # ten-row decile table: the global window is dimension-grained
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+    s = b.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_pos").cast("bigint").alias("pp"),
+    )
+    return c.crossJoin(F.broadcast(s)).select(
+        "tile",
+        "n",
+        "n_pos",
+        "cum_pos",
+        (F.col("cum_pos").cast("double") / F.col("pp").cast("double")).alias(
+            "gain"
+        ),
+        (
+            (F.col("n_pos") * F.col("nn")).cast("double")
+            / (F.col("n") * F.col("pp")).cast("double")
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# experimental-design stats: the k-group / paired / resampling tests
+# that complete the two-sample A/B family (Welch, KS, MWU, SRM,
+# Brown-Forsythe) in queries/analytics.py and featureops.py
+# ---------------------------------------------------------------------------
+
+_CENTS = 'FLOOR("value" * 100 + 0.5)::BIGINT'
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.floor(F.col(col) * 100 + 0.5).cast("bigint")
+
+
+@query(
+    "stats_anova_f",
+    # one-way ANOVA from exact per-group integer sums (n, S1, S2 of
+    # cents, all int64 at these magnitudes): each squared-sum term
+    # FLOOR(S1g^2 / ng) is one double product + one division + floor —
+    # identical on both engines — and SSB/SSW are then exact BIGINT
+    # differences; F is a fixed tree of two int products and one
+    # division, floor-gridded at 1e-4 defensively
+    oracle=f"""
+    WITH c AS (SELECT event_type, {_CENTS} AS c FROM events
+               WHERE "value" IS NOT NULL),
+    g AS (SELECT event_type, COUNT(*)::BIGINT AS ng,
+                 SUM(c)::BIGINT AS s1, SUM(c * c)::BIGINT AS s2
+          FROM c GROUP BY event_type),
+    t AS (SELECT event_type, ng, s1, s2,
+                 FLOOR(s1::DOUBLE * s1::DOUBLE / ng::DOUBLE)::BIGINT AS term
+          FROM g),
+    a AS (SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+                 SUM(s1)::BIGINT AS ts1, SUM(s2)::BIGINT AS ts2,
+                 SUM(term)::BIGINT AS tt
+          FROM t)
+    SELECT k AS k_groups, n, (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+           (tt - FLOOR(ts1::DOUBLE * ts1::DOUBLE / n::DOUBLE))::BIGINT AS ssb,
+           (ts2 - tt)::BIGINT AS ssw,
+           FLOOR((tt - FLOOR(ts1::DOUBLE * ts1::DOUBLE / n::DOUBLE))::DOUBLE
+                 * (n - k)::DOUBLE
+                 / ((ts2 - tt)::DOUBLE * (k - 1)::DOUBLE) * 1e4 + 1e-6)
+               / 1e4 AS f_stat
+    FROM a
+    """,
+)
+def stats_anova_f(spark, sf_dir):
+    """One-way ANOVA F across ALL event types' value distributions —
+    the k-group mean-equality test that generalizes stats_welch_ttest
+    when an experiment has more than two arms. Integer-exact: values
+    snap to cents; per-group (n, S1, S2) fold in int64; each
+    between-group term FLOOR(S1g^2/ng) is a single double product +
+    division + floor (identical cross-engine), making SSB and SSW
+    exact BIGINTs; F = (SSB*(N-k)) / (SSW*(k-1)) is a fixed IEEE tree,
+    gridded defensively. Shape: ONE map-side-partial hash aggregate to
+    k rows, then a k-row reduction — the cheapest distributed shape,
+    unchanged at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", _cents().alias("c")
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    term = F.floor(
+        F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("ng").cast("double")
+    ).cast("bigint")
+    a = g.select("ng", "s1", "s2", term.alias("term")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.sum("term").alias("tt"),
+    )
+    k, n = F.col("k"), F.col("n")
+    gm = F.floor(
+        F.col("ts1").cast("double")
+        * F.col("ts1").cast("double")
+        / n.cast("double")
+    )
+    ssb = (F.col("tt") - gm).cast("bigint")
+    ssw = (F.col("ts2") - F.col("tt")).cast("bigint")
+    return a.select(
+        k.alias("k_groups"),
+        n,
+        (k - 1).cast("bigint").alias("df1"),
+        (n - k).cast("bigint").alias("df2"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            F.floor(
+                ssb.cast("double")
+                * (n - k).cast("double")
+                / (ssw.cast("double") * (k - 1).cast("double"))
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "stats_kruskal_wallis",
+    # k-group rank test with average-rank ties, integer-exact via the
+    # DOUBLED-rank device (stats_mannwhitney): per-group doubled rank
+    # sums 2*Rg = SUM(cg * (2*cumt - t + 1)) are exact int64; each
+    # term FLOOR((2Rg)^2 / ng) is one double product + division +
+    # floor; H = 3*S/(N(N+1)) - 3(N+1) on the resulting exact integer
+    # S (the /4 from un-doubling cancels into the 12 -> 3), and the
+    # tie correction 1 - SUM(t^3 - t)/(N^3 - N) is exact-int operands
+    oracle=f"""
+    WITH c AS (SELECT event_type, {_CENTS} AS v FROM events
+               WHERE "value" IS NOT NULL),
+    vc AS (SELECT v, event_type, COUNT(*)::BIGINT AS cnt
+           FROM c GROUP BY v, event_type),
+    vt AS (SELECT v, SUM(cnt)::BIGINT AS t FROM vc GROUP BY v),
+    ct AS (SELECT v, t, (SUM(t) OVER (ORDER BY v))::BIGINT AS cumt FROM vt),
+    rg AS (SELECT vc.event_type,
+                  SUM(vc.cnt * (2 * ct.cumt - ct.t + 1))::BIGINT AS r2,
+                  SUM(vc.cnt)::BIGINT AS ng
+           FROM vc JOIN ct ON vc.v = ct.v GROUP BY vc.event_type),
+    s AS (SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+                 SUM(FLOOR(r2::DOUBLE * r2::DOUBLE / ng::DOUBLE)::BIGINT)
+                     ::BIGINT AS s4
+          FROM rg),
+    tie AS (SELECT SUM(t * t * t - t)::BIGINT AS tsum FROM vt)
+    SELECT s.k AS k_groups, s.n,
+           FLOOR((3 * s.s4::DOUBLE / (s.n::DOUBLE * (s.n + 1)::DOUBLE)
+                  - 3 * (s.n + 1)::DOUBLE) * 1e4 + 1e-6) / 1e4 AS h_stat,
+           FLOOR((3 * s.s4::DOUBLE / (s.n::DOUBLE * (s.n + 1)::DOUBLE)
+                  - 3 * (s.n + 1)::DOUBLE)
+                 / (1 - tie.tsum::DOUBLE
+                        / (s.n::DOUBLE * s.n::DOUBLE * s.n::DOUBLE
+                           - s.n::DOUBLE)) * 1e4 + 1e-6) / 1e4 AS h_adj
+    FROM s CROSS JOIN tie
+    """,
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across ALL event types — the k-group
+    nonparametric rank test that extends stats_mannwhitney beyond two
+    arms (the distribution-free twin of stats_anova_f), with textbook
+    average-rank ties and tie correction. Integer-exact end to end:
+    doubled rank sums stay int64 (a tie group of size t ending at
+    cumulative position cumt holds ranks averaging (2*cumt - t + 1)/2),
+    the un-doubling /4 cancels into H's 12/... coefficient, each
+    per-group squared term is one double product + division + floor,
+    and the tie correction's operands are exact integers. Shape: hash
+    aggregate to per-(value, group) counts, ONE distinct-values-sized
+    global cumsum through rank.global_prefix_sum (never a
+    single-reducer window), k-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", _cents().alias("v")
+    )
+    vc = c.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vt = vc.groupBy("v").agg(F.sum("cnt").alias("t"))
+    ct = global_prefix_sum(vt, ["v"], "t", "cumt")
+    rg = (
+        vc.join(ct, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("cnt") * (2 * F.col("cumt") - F.col("t") + 1)
+            ).alias("r2"),
+            F.sum("cnt").alias("ng"),
+        )
+    )
+    term = F.floor(
+        F.col("r2").cast("double")
+        * F.col("r2").cast("double")
+        / F.col("ng").cast("double")
+    ).cast("bigint")
+    s = rg.select("ng", term.alias("term")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("term").alias("s4"),
+    )
+    tie = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tsum"
+        )
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(3) * F.col("s4").cast("double") / (nd * (F.col("n") + 1).cast("double"))
+        - F.lit(3) * (F.col("n") + 1).cast("double")
+    )
+    corr = F.lit(1) - F.col("tsum").cast("double") / (nd * nd * nd - nd)
+    return s.crossJoin(F.broadcast(tie)).select(
+        F.col("k").alias("k_groups"),
+        "n",
+        (F.floor(h * 1e4 + 1e-6) / 1e4).alias("h_stat"),
+        (F.floor(h / corr * 1e4 + 1e-6) / 1e4).alias("h_adj"),
+    )
+
+
+@query(
+    "stats_mcnemar",
+    # paired binary outcomes per user (did click / did purchase):
+    # McNemar's chi-square with continuity correction is pure integer
+    # arithmetic over the two discordant-cell counts plus ONE IEEE
+    # division
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS a,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS b
+               FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*)::BIGINT AS n_users,
+                 SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_click_only,
+                 SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_purchase_only
+          FROM u)
+    SELECT n_users, n_click_only, n_purchase_only,
+           CASE WHEN n_click_only + n_purchase_only = 0 THEN NULL
+                ELSE ((ABS(n_click_only - n_purchase_only) - 1)
+                      * (ABS(n_click_only - n_purchase_only) - 1))::DOUBLE
+                     / (n_click_only + n_purchase_only)::DOUBLE
+           END AS chi2_mcnemar
+    FROM s
+    """,
+)
+def stats_mcnemar(spark, sf_dir):
+    """McNemar's test on paired binary outcomes — per user, 'ever
+    clicked' vs 'ever purchased' — the within-subject test for
+    marginal-proportion change (the paired counterpart of
+    stats_chi_square, e.g. did a rollout flip users from one behavior
+    to the other). The statistic (|b - c| - 1)^2 / (b + c) with
+    continuity correction depends only on the two DISCORDANT cells;
+    everything is exact integer arithmetic plus one IEEE division.
+    Shape: one user-keyed hash aggregate to per-user flags, one
+    global reduction to a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "a"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_click_only"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchase_only"),
+    )
+    b, c = F.col("n_click_only"), F.col("n_purchase_only")
+    d = F.abs(b - c) - 1
+    return s.select(
+        "n_users",
+        "n_click_only",
+        "n_purchase_only",
+        F.when(b + c == 0, F.lit(None).cast("double"))
+        .otherwise((d * d).cast("double") / (b + c).cast("double"))
+        .alias("chi2_mcnemar"),
+    )
+
+
+def _perm_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    return f"""
+    WITH b AS (SELECT event_id, {_CENTS} AS c,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS ia
+               FROM events
+               WHERE event_type IN ('purchase', 'view')
+                 AND "value" IS NOT NULL),
+    obs AS (SELECT SUM(CASE WHEN ia = 1 THEN c ELSE 0 END)::BIGINT AS sa,
+                   SUM(ia)::BIGINT AS na,
+                   SUM(CASE WHEN ia = 0 THEN c ELSE 0 END)::BIGINT AS sb,
+                   SUM(1 - ia)::BIGINT AS nb
+            FROM b),
+    src AS (SELECT b.event_id AS la, r.k::BIGINT AS lb, b.c
+            FROM b CROSS JOIN range(64) r(k)),
+    {xxh64_long2_ctes('src')},
+    rep AS (SELECT lb,
+                   SUM(CASE WHEN h % 2 = 0 THEN c ELSE 0 END)::BIGINT AS sa,
+                   SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+                   SUM(CASE WHEN h % 2 = 1 THEN c ELSE 0 END)::BIGINT AS sb,
+                   SUM(CASE WHEN h % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+            FROM pf GROUP BY lb),
+    d AS (SELECT sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE AS dk
+          FROM rep),
+    e AS (SELECT COUNT(*)::BIGINT AS k_reps,
+                 SUM(CASE WHEN ABS(d.dk) >=
+                          ABS(o.sa::DOUBLE / o.na::DOUBLE
+                              - o.sb::DOUBLE / o.nb::DOUBLE)
+                          THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+          FROM d CROSS JOIN obs o)
+    SELECT o.na AS n_a, o.nb AS n_b,
+           o.sa::DOUBLE / o.na::DOUBLE - o.sb::DOUBLE / o.nb::DOUBLE
+               AS d_obs,
+           e.k_reps, e.n_extreme,
+           (1 + e.n_extreme)::DOUBLE / (1 + e.k_reps)::DOUBLE AS p_value
+    FROM obs o CROSS JOIN e
+    """
+
+
+@query(
+    "stats_permutation_test",
+    # deterministic randomization test: 64 pseudo-random relabelings
+    # of the purchase-vs-view rows, each assignment the LOW BIT of
+    # Spark xxhash64(event_id, replicate) — replayed bit-for-bit in
+    # DuckDB by the generated XXH64 arithmetic (_xxh64_sql.
+    # xxh64_long2_ctes) — so both engines see the IDENTICAL 64
+    # relabelings; every per-replicate sum is exact int64 cents and
+    # each mean difference a fixed two-division tree
+    oracle=_perm_oracle(),
+)
+def stats_permutation_test(spark, sf_dir):
+    """Randomization (approximate permutation) test for the
+    purchase-vs-view mean difference: 64 deterministic pseudo-random
+    relabelings of the pooled rows, p = (1 + #{|d_k| >= |d_obs|}) /
+    (1 + 64) — the assumption-free significance check that backs up
+    stats_welch_ttest when normality is doubtful, with Bernoulli(1/2)
+    reassignment (the standard large-n Monte-Carlo surrogate for
+    exact label permutation). Determinism device: the k-th relabeling
+    of a row is bit0 of xxhash64(event_id, k) — JVM-native on the
+    Spark side, replayed exactly in DuckDB by the generated int128
+    XXH64 arithmetic (the dedup_simhash oracle device, extended to
+    two long words). Every per-replicate aggregate is exact integer
+    cents; mean diffs are fixed two-division trees, so the >= 
+    comparisons are of identical doubles. Shape: ONE map-side-partial
+    hash aggregate over a 64x row explosion (no shuffle growth — 64
+    replicate keys), a 1-row observed broadcast, a 64-row
+    reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        _cents().alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+    )
+    obs = b.agg(
+        F.sum(F.when(F.col("ia") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum("ia").cast("bigint").alias("na"),
+        F.sum(F.when(F.col("ia") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(1 - F.col("ia")).cast("bigint").alias("nb"),
+    )
+    rep = b.select(
+        "event_id",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+    ).withColumn(
+        "g",
+        F.pmod(
+            F.xxhash64(F.col("event_id"), F.col("k").cast("long")), F.lit(2)
+        ),
+    )
+    per = rep.groupBy("k").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    dk = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
+        "sb"
+    ).cast("double") / F.col("nb").cast("double")
+    d_obs = dk  # same tree, evaluated over the obs row's columns
+    e = (
+        per.select(dk.alias("dk"))
+        .crossJoin(F.broadcast(obs.select(d_obs.alias("d_obs"))))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_reps"),
+            F.sum(
+                F.when(F.abs(F.col("dk")) >= F.abs(F.col("d_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+    )
+    return (
+        obs.select("na", "nb", d_obs.alias("d_obs"))
+        .crossJoin(F.broadcast(e))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "d_obs",
+            "k_reps",
+            "n_extreme",
+            (
+                (1 + F.col("n_extreme")).cast("double")
+                / (1 + F.col("k_reps")).cast("double")
+            ).alias("p_value"),
+        )
+    )
+
+
+@query(
+    "stats_jackknife_mean",
+    # delete-one-BLOCK jackknife over 32 deterministic blocks
+    # (event_id % 32): each leave-one-out mean is ONE division of
+    # exact int64 sums, snapped to nano-units t9 = FLOOR(theta*1e9)
+    # BEFORE the variance pass, so deviations dev = B*t9 - SUM(t9)
+    # are exact integers (squared in int128/DECIMAL(38)) and the SE
+    # is a fixed sqrt tree over one exact sum, floor-gridded at 1e-4
+    oracle=f"""
+    WITH b AS (SELECT event_id % 32 AS bid, {_CENTS} AS c FROM events
+               WHERE "value" IS NOT NULL),
+    blk AS (SELECT bid, COUNT(*)::BIGINT AS nb, SUM(c)::BIGINT AS sb
+            FROM b GROUP BY bid),
+    tot AS (SELECT SUM(nb)::BIGINT AS n, SUM(sb)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS nblk
+            FROM blk),
+    loo AS (SELECT FLOOR((t.s - k.sb)::DOUBLE / (t.n - k.nb)::DOUBLE
+                         * 1e9)::BIGINT AS t9
+            FROM blk k CROSS JOIN tot t),
+    m AS (SELECT SUM(t9)::BIGINT AS st9, COUNT(*)::BIGINT AS bb FROM loo),
+    d AS (SELECT SUM(((m.bb * l.t9 - m.st9)::HUGEINT
+                      * (m.bb * l.t9 - m.st9)::HUGEINT)) AS ssq,
+                 MAX(m.bb) AS bb
+          FROM loo l CROSS JOIN m)
+    SELECT t.n, d.bb AS n_blocks,
+           t.s::DOUBLE / t.n::DOUBLE AS mean_cents,
+           FLOOR(SQRT(d.ssq::DOUBLE * (d.bb - 1)::DOUBLE
+                      / (d.bb * d.bb * d.bb)::DOUBLE)
+                 / 1e9 * 1e4 + 1e-6) / 1e4 AS se_jack
+    FROM tot t CROSS JOIN d
+    """,
+)
+def stats_jackknife_mean(spark, sf_dir):
+    """Block-jackknife standard error of the mean event value — the
+    resampling-free variance estimate a pipeline attaches to any
+    corpus-level metric (mean quality score, dedup rate) without a
+    second pass over raw data: rows hash into 32 deterministic blocks
+    (event_id % 32), each leave-one-block-out mean is one division of
+    exact integer sums, and se = sqrt((B-1)/B * SUM((theta_b -
+    theta_bar)^2)). Exactness: LOO means snap to nano-units BEFORE
+    the variance pass, deviations dev = B*t9 - SUM(t9) are exact
+    integers (no mean subtraction in float), their squares fold in
+    DECIMAL(38)/int128, and the final sqrt tree is fixed-order,
+    gridded at 1e-4. Shape: one 32-row hash aggregate, everything
+    after is block-count-sized — the delete-d jackknife shape that
+    scales to any N."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("event_id") % 32).alias("bid"), _cents().alias("c")
+    )
+    blk = b.groupBy("bid").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("c").alias("sb")
+    )
+    tot = blk.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum("sb").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("nblk"),
+    )
+    loo = blk.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("s") - F.col("sb")).cast("double")
+            / (F.col("n") - F.col("nb")).cast("double")
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("t9")
+    )
+    m = loo.agg(
+        F.sum("t9").cast("bigint").alias("st9"),
+        F.count(F.lit(1)).cast("bigint").alias("bb"),
+    )
+    dev = (F.col("bb") * F.col("t9") - F.col("st9")).cast("decimal(38,0)")
+    d = (
+        loo.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(dev * dev).alias("ssq"),
+            F.max("bb").alias("bb"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(d)).select(
+        "n",
+        F.col("bb").alias("n_blocks"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("ssq").cast("double")
+                    * (F.col("bb") - 1).cast("double")
+                    / (F.col("bb") * F.col("bb") * F.col("bb")).cast(
+                        "double"
+                    )
+                )
+                / 1e9
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("se_jack"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative ML: logistic regression by full-batch gradient descent
+# ---------------------------------------------------------------------------
+
+# Cross-engine determinism of the ITERATION (the hard part — float
+# error in epoch e feeds epoch e+1):
+#   - features snap once to 1e-4 integers x4 (round-half-up);
+#   - each per-dimension product snaps to an integer BEFORE the dot
+#     product: z8 = SUM_i FLOOR(w_i * x4_i * 1e4) — exact int64, so
+#     no accumulation order exists and z = z8/1e8 is the identical
+#     double on both engines;
+#   - the only libm call, sigma = 1/(1+exp(-z)), snaps to micro-units
+#     sigma6 = FLOOR(1e6 * sigma + 1e-4) (the +1e-4 nudge dwarfs
+#     cross-libm 1-ulp noise at the 1e6 scale);
+#   - residuals r6 = sigma6 - y*1e6 and the gradient
+#     g10_d = SUM(r6 * x4_d) are then exact int64;
+#   - the update w' = w - 0.5 * (g10 / (n*1e10)) is a fixed IEEE tree
+#     (0.5 is a power of two), so the new weights are bit-identical
+#     and the loop closes exactly.
+_LOGREG_EPOCHS = 3
+_LOGREG_DIMS = 64
+
+
+def _logreg_oracle_ctes() -> str:
+    """The 3-epoch gradient-descent replay as a DuckDB CTE chain;
+    final CTE ``w3(dim, w)``."""
+    parts = [
+        """v AS (SELECT vec_id, CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                 list_transform(embedding,
+                                x -> FLOOR(x::DOUBLE * 1e4 + 0.5)::BIGINT)
+                     AS x4
+          FROM embeddings)""",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM v)",
+        f"""w0 AS (SELECT unnest(range({_LOGREG_DIMS}))::BIGINT AS dim,
+                  0.0::DOUBLE AS w)""",
+    ]
+    for e in range(1, _LOGREG_EPOCHS + 1):
+        wp, wn = f"w{e - 1}", f"w{e}"
+        parts.append(f"""z{e} AS (
+          SELECT t.vec_id, SUM(FLOOR({wp}.w * t.xv * 1e4)::BIGINT)::BIGINT
+                     AS z8
+          FROM (SELECT vec_id, unnest(x4) AS xv,
+                       unnest(range(len(x4)))::BIGINT AS dim FROM v) t
+          JOIN {wp} USING (dim) GROUP BY t.vec_id)""")
+        parts.append(f"""s{e} AS (
+          SELECT v.vec_id, v.y, v.x4,
+                 FLOOR(1e6 / (1 + exp(-(z{e}.z8::DOUBLE / 1e8))) + 1e-4)
+                     ::BIGINT AS s6
+          FROM v JOIN z{e} USING (vec_id))""")
+        parts.append(f"""g{e} AS (
+          SELECT dim, SUM((s6 - y * 1000000) * xv)::BIGINT AS g10
+          FROM (SELECT s6, y, unnest(x4) AS xv,
+                       unnest(range(len(x4)))::BIGINT AS dim FROM s{e}) t
+          GROUP BY dim)""")
+        parts.append(f"""{wn} AS (
+          SELECT {wp}.dim,
+                 {wp}.w - 0.5 * (g{e}.g10::DOUBLE
+                                 / (nn.n * 10000000000)::DOUBLE) AS w
+          FROM {wp} JOIN g{e} USING (dim) CROSS JOIN nn)""")
+    return ",\n    ".join(parts)
+
+
+def _logreg_xy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    x4 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e4 + 0.5).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        x4.alias("x4"),
+    )
+
+
+def _logreg_grad(xy, w):
+    """One epoch's exact-integer gradient: 64 rows (dim, g10)."""
+    warr = F.array(*[F.lit(float(wi)) for wi in w])
+    prod = F.zip_with(
+        warr,
+        F.col("x4"),
+        lambda a, b: F.floor(a * b.cast("double") * 1e4).cast("long"),
+    )
+    z8 = F.aggregate(
+        prod, F.lit(0).cast("long"), lambda acc, vv: acc + vv
+    )
+    z = z8.cast("double") / F.lit(1e8)
+    s6 = F.floor(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-4)
+    ).cast("long")
+    r6 = (s6 - F.col("y") * 1000000).alias("r6")
+    g = xy.select(r6, F.posexplode("x4").alias("dim", "xv"))
+    return g.groupBy("dim").agg(
+        F.sum(F.col("r6") * F.col("xv")).cast("bigint").alias("g10")
+    )
+
+
+def _logreg_weights(spark, sf_dir):
+    """Run E-1 epochs driver-side (dimension-sized 64-row collects,
+    the graph_pagerank/cluster_kmeans discipline — never data-sized),
+    returning (w_prev list, n, xy) so the caller can express the
+    FINAL epoch as a distributed plan."""
+    xy = _logreg_xy(spark, sf_dir).localCheckpoint(eager=True)
+    n = xy.count()
+    w = [0.0] * _LOGREG_DIMS
+    for _ in range(_LOGREG_EPOCHS - 1):
+        grad = {r["dim"]: r["g10"] for r in _logreg_grad(xy, w).collect()}
+        # the same fixed IEEE tree as the oracle's update CTE:
+        # Python floats ARE IEEE doubles, each op correctly rounded
+        w = [
+            w[d] - 0.5 * (float(grad.get(d, 0)) / float(n * 10000000000))
+            for d in range(_LOGREG_DIMS)
+        ]
+    return w, n, xy
+
+
+@query(
+    "ml_logreg_gd",
+    oracle=f"""
+    WITH {_logreg_oracle_ctes()}
+    SELECT dim, FLOOR(w * 1e8)::BIGINT AS w8
+    FROM w{_LOGREG_EPOCHS}
+    """,
+)
+def ml_logreg_gd(spark, sf_dir):
+    """Logistic regression trained by 3 full-batch gradient-descent
+    epochs on the embedding features vs the planted binary label —
+    the quality-classifier training loop every corpus pipeline runs
+    (fastText-style linear probe), expressed as Spark aggregates: one
+    exact-integer dot product per row (zip_with + integer fold), one
+    posexplode hash-aggregate per epoch for the gradient, and
+    dimension-sized (64-row) driver collects between epochs — the
+    graph_pagerank / cluster_kmeans iterative discipline, never
+    data-sized. The iteration is bit-identical cross-engine (see the
+    module device comment: per-dim product snapping kills float
+    accumulation order; sigmoid snaps to micro-units; updates are
+    fixed IEEE trees), so the output weights match the DuckDB
+    3-epoch replay EXACTLY with no grid slack. At 100 TB each epoch
+    is one map-side-partial aggregate over n rows x 64 dims; weights
+    broadcast as literals."""
+    w, n, xy = _logreg_weights(spark, sf_dir)
+    grad = _logreg_grad(xy, w)
+    wdf = spark.createDataFrame(
+        [(d, w[d]) for d in range(_LOGREG_DIMS)], "dim int, w double"
+    )
+    nn = xy.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        grad.join(F.broadcast(wdf), "dim")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.floor(
+                (
+                    F.col("w")
+                    - F.lit(0.5)
+                    * (
+                        F.col("g10").cast("double")
+                        / (F.col("n") * 10000000000).cast("double")
+                    )
+                )
+                * 1e8
+            )
+            .cast("bigint")
+            .alias("w8"),
+        )
+    )
+
+
+@query(
+    "ml_logreg_eval",
+    # scoring needs NO sigmoid: sigma(z) >= 0.5 iff z >= 0, and z8 is
+    # an exact integer — prediction is an integer sign test, so the
+    # confusion matrix is exact and accuracy one IEEE division
+    oracle=f"""
+    WITH {_logreg_oracle_ctes()},
+    sc AS (SELECT t.vec_id,
+                  SUM(FLOOR(w{_LOGREG_EPOCHS}.w * t.xv * 1e4)::BIGINT)
+                      ::BIGINT AS z8
+           FROM (SELECT vec_id, unnest(x4) AS xv,
+                        unnest(range(len(x4)))::BIGINT AS dim FROM v) t
+           JOIN w{_LOGREG_EPOCHS} USING (dim) GROUP BY t.vec_id),
+    cm AS (SELECT CASE WHEN sc.z8 >= 0 THEN 1 ELSE 0 END AS pred, v.y
+           FROM sc JOIN v USING (vec_id))
+    SELECT SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+           SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+           SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*)::DOUBLE AS accuracy
+    FROM cm
+    """,
+)
+def ml_logreg_eval(spark, sf_dir):
+    """Confusion matrix and training accuracy of the 3-epoch logistic
+    probe (ml_logreg_gd's weights applied back to the corpus) — the
+    fit check before a trained filter gates anything. Prediction
+    avoids the sigmoid entirely: sigma(z) >= 1/2 iff z >= 0 and the
+    snapped dot product z8 is an exact integer, so the confusion
+    counts are integer-exact and accuracy is one IEEE division.
+    Same scale shape as training: one broadcast-weights scoring
+    aggregate over the corpus, one 4-cell reduction."""
+    w, n, xy = _logreg_weights(spark, sf_dir)
+    # final-epoch weights, driver-side (the same fixed IEEE tree)
+    grad = {r["dim"]: r["g10"] for r in _logreg_grad(xy, w).collect()}
+    w = [
+        w[d] - 0.5 * (float(grad.get(d, 0)) / float(n * 10000000000))
+        for d in range(_LOGREG_DIMS)
+    ]
+    warr = F.array(*[F.lit(float(wi)) for wi in w])
+    prod = F.zip_with(
+        warr,
+        F.col("x4"),
+        lambda a, b: F.floor(a * b.cast("double") * 1e4).cast("long"),
+    )
+    z8 = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, vv: acc + vv)
+    cm = xy.select(
+        F.when(z8 >= 0, 1).otherwise(0).alias("pred"), "y"
+    )
+    return cm.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        (
+            F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative linear algebra: dominant covariance direction by power
+# iteration
+# ---------------------------------------------------------------------------
+
+_POWER_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    head = """v AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> FLOOR(x::DOUBLE * 1e4 + 0.5)
+                                          ::BIGINT) AS x4
+               FROM embeddings),
+    e1 AS (SELECT unnest(x4) AS xi,
+                  unnest(range(len(x4)))::BIGINT AS i, x4 FROM v),
+    e2 AS (SELECT i, xi, unnest(x4) AS xj,
+                  unnest(range(len(x4)))::BIGINT AS j FROM e1),
+    m8 AS (SELECT i, j, SUM(xi * xj)::BIGINT AS s FROM e2 GROUP BY i, j),
+    mu AS (SELECT i, SUM(xi)::BIGINT AS m FROM e1 GROUP BY i),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM v),
+    cm AS (SELECT m8.i, m8.j,
+                  (nn.n * m8.s - a.m * b.m)::BIGINT AS c
+           FROM m8 JOIN mu a ON a.i = m8.i JOIN mu b ON b.i = m8.j
+           CROSS JOIN nn),
+    tr AS (SELECT SUM(c)::BIGINT AS t FROM cm WHERE i = j),
+    v0 AS (SELECT unnest(range(64))::BIGINT AS dim, 0.125::DOUBLE AS vv)"""
+    steps = []
+    for s in range(1, _POWER_ITERS + 1):
+        steps.append(f"""u{s} AS (SELECT cm.i AS dim,
+                  SUM(FLOOR(cm.c::DOUBLE * v{s - 1}.vv)::BIGINT)::BIGINT AS u
+           FROM cm JOIN v{s - 1} ON v{s - 1}.dim = cm.j GROUP BY cm.i)""")
+        steps.append(
+            f"n{s} AS (SELECT MAX(ABS(u))::BIGINT AS m FROM u{s})"
+        )
+        steps.append(
+            f"v{s} AS (SELECT dim, u::DOUBLE / n{s}.m::DOUBLE AS vv "
+            f"FROM u{s} CROSS JOIN n{s})"
+        )
+    last = _POWER_ITERS
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH {head},
+    {body}
+    SELECT v{last}.dim, FLOOR(v{last}.vv * 1e6) / 1e6 AS loading,
+           FLOOR(n{last}.m::DOUBLE
+                 / (nn.n::DOUBLE * nn.n::DOUBLE) / 1e8 * 1e6 + 1e-6) / 1e6
+               AS eig_est,
+           FLOOR(n{last}.m::DOUBLE * 64 / tr.t::DOUBLE * 1e6 + 1e-6) / 1e6
+               AS anisotropy
+    FROM v{last} CROSS JOIN n{last} CROSS JOIN nn CROSS JOIN tr
+    """
+
+
+@query(
+    "embedding_pca_power",
+    # covariance numerator C[i,j] = n*SUM(xi*xj) - SUM(xi)*SUM(xj) is
+    # EXACT int64 over the 1e-4-gridded features (= n^2 * cov, a
+    # positive rescale power iteration is invariant to); every
+    # mat-vec entry snaps, u_i = SUM_j FLOOR(C[i,j] * v_j), so the
+    # 64-term sums are exact integers; normalization is by the exact
+    # integer max|u_i| (any positive rescale is legal), ONE division
+    # -> identical vectors, and the loop closes bit-exactly. With the
+    # final iterate max-normalized, max|C v| estimates the dominant
+    # eigenvalue (unscale by n^2 * 1e8); anisotropy compares it to
+    # the average variance trace/d via exact-integer trace
+    oracle=_pca_oracle(),
+)
+def embedding_pca_power(spark, sf_dir):
+    """Dominant covariance direction of the embedding cloud by EIGHT
+    max-norm power-iteration steps, with the dominant-eigenvalue
+    estimate and the anisotropy ratio (dominant eig / average
+    variance) — the embedding audit behind whitening and 'is one
+    axis eating the space' checks. On a near-isotropic spectrum (this
+    corpus: lambda2/lambda1 = 0.99) the ITERATE is an in-top-subspace
+    probe rather than the exact top eigenvector — direction
+    convergence goes as (l2/l1)^k — but the max-norm eigenvalue
+    estimate stabilizes fast (within 8% of the true l1 here, vs
+    trace/d 43% below it) and the anisotropy verdict (~1.6x: no
+    single dominant axis) is exactly what the audit needs. Fully
+    distributed: the d x d moment matrix is ONE posexplode^2 hash
+    aggregate (n*d^2 exploded rows, map-side partial combine; the
+    matrix itself is 4096 rows — KBs), each iteration a
+    broadcast-sized join-aggregate over it, no driver-side algebra,
+    no collect. Determinism: exact-int64 covariance numerator,
+    per-entry product snapping, exact-integer max normalization (see
+    the oracle comment). At 100 TB the moment aggregate is one pass;
+    for d too large for d^2 explode, the same plan runs on a
+    mapInPandas per-batch outer-product partial."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x4 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e4 + 0.5).cast("long"),
+    )
+    vv = emb.select(x4.alias("x4"))
+    e1 = vv.select(F.posexplode("x4").alias("i", "xi"), "x4")
+    e2 = e1.select("i", "xi", F.posexplode("x4").alias("j", "xj"))
+    m8 = e2.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
+    mu = e1.groupBy("i").agg(F.sum("xi").alias("m"))
+    nn = vv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = mu.select(F.col("i").alias("ai"), F.col("m").alias("ma"))
+    b = mu.select(F.col("i").alias("bi"), F.col("m").alias("mb"))
+    cm = (
+        m8.join(F.broadcast(a), F.col("i") == F.col("ai"))
+        .join(F.broadcast(b), F.col("j") == F.col("bi"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("ma") * F.col("mb"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)  # reused by every iteration
+    )
+    tr = cm.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    v = None  # v0 is the constant 1/8 vector (unit L2 norm at d=64)
+    m = None
+    for _ in range(_POWER_ITERS):
+        if v is None:
+            prod = F.floor(F.col("c").cast("double") * 0.125).cast("long")
+            joined = cm
+        else:
+            joined = cm.join(
+                F.broadcast(v.select(F.col("dim").alias("j"), "vv")), "j"
+            )
+            prod = F.floor(F.col("c").cast("double") * F.col("vv")).cast(
+                "long"
+            )
+        u = joined.groupBy(F.col("i").alias("dim")).agg(
+            F.sum(prod).cast("bigint").alias("u")
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).cast("bigint").alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                (F.col("u").cast("double") / F.col("m").cast("double")).alias(
+                    "vv"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nd = F.col("n").cast("double")
+    return (
+        v.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.floor(F.col("vv") * 1e6) / 1e6).alias("loading"),
+            (
+                F.floor(
+                    F.col("m").cast("double") / (nd * nd) / 1e8 * 1e6 + 1e-6
+                )
+                / 1e6
+            ).alias("eig_est"),
+            (
+                F.floor(
+                    F.col("m").cast("double") * 64 / F.col("t").cast("double")
+                    * 1e6
+                    + 1e-6
+                )
+                / 1e6
+            ).alias("anisotropy"),
+        )
+    )

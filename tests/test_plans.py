@@ -1201,6 +1201,9 @@ class TestNoGlobalWindowContract:
         # the banding itself runs through rank.global_ntile; the
         # remaining global windows are the 10-row decile cumsums
         "events_lorenz_deciles": "10-row decile table",
+        # decile cut via rank.global_ntile; the only global window is
+        # the cumulative-positives sum over the TEN-row decile table
+        "eval_lift_cumgains": "10-row decile table",
         # risk table is per-DISTINCT-event-day: calendar-bounded
         "events_survival_km": "distinct-day risk table (calendar)",
         # rank over the item dimension (distinct $.k values)
