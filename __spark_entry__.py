@@ -11,18 +11,23 @@ Coverage (stated as of round 9): the union of CORRECTNESS_r01-r08
 driver stamps covers all 257 queries that carried oracles through
 round 8 (262 registered). Round 9 adds exact oracles to dedup_simhash
 (xxhash64 replayed in DuckDB, queries/_xxh64_sql.py) and
-bpe_train_merges (chained-CTE merge-loop replay), so 259 of 262 now
-carry oracles; only the three ddl_* fixture queries stay rows-only by
+bpe_train_merges (chained-CTE merge-loop replay), plus 13 NEW
+oracle-bearing queries (queries/evalops.py: classifier evaluation,
+k-group experiment stats, GD-trained logistic regression, PCA power
+iteration, Holt smoothing), so 272 of 275 registered queries carry
+oracles; only the three ddl_* fixture queries stay rows-only by
 design (their inputs are DDL text, not the relational tables).
 
 Rotation policy (the driver checks the FIRST 50 entries of queries()
-order each round): every slot goes first to queries whose code or
-oracle CHANGED this round, then the flagship as standing
-re-verification, then — oldest stamp first — to green queries whose
-newest driver stamp has aged the most, so no oracle-bearing query's
-latest stamp falls more than a few rounds behind. After the r9 window
-runs, no stamp is older than r03 (the 34 r02-stale queries all
-re-verify this round; the remaining r03-stale rotate through r10+).
+order each round): every slot goes first to queries that are NEW or
+whose code or oracle CHANGED this round, then the flagship as
+standing re-verification, then — oldest stamp first — to green
+queries whose newest driver stamp has aged the most, so no
+oracle-bearing query's latest stamp falls more than a few rounds
+behind. The 13 new round-9 queries take the slots that round-8
+planning had reserved for the tail of the r02-stale rotation; the 13
+displaced r02-stale entries (all green since r02, unchanged since)
+lead the r10 window instead.
 """
 
 from __future__ import annotations
@@ -46,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-9 rotation (policy in the module docstring):
+# (a0) the 13 queries NEW this round (queries/evalops.py) — never
+# stamped before, so they outrank every re-verification;
 # (a) the 14 queries whose code or oracle CHANGED this round — the
 # rank.global_* decompositions (rfm, lorenz, zipf, spearman, ks, mwu),
 # the scale-safe graph/recsys variants (degree-oriented triangles,
@@ -54,13 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEW oracles (dedup_simhash via the DuckDB xxhash64 replay,
 # bpe_train_merges via the merge-loop replay);
 # (b) the flagship pipeline as standing re-verification;
-# (c) all 33 remaining r02-stale queries (newest stamp CORRECTNESS_r02;
-# dedup_simhash, the 34th, is already in (a));
-# (d) the 2 alphabetically-first r03-stale queries, filling the window
-# to exactly 50. The 3 ddl_* rows-only entries stay out of the window.
+# (c) the first 22 of the 33 remaining r02-stale queries (newest
+# stamp CORRECTNESS_r02; dedup_simhash, the 34th, is already in (a));
+# the last 11 — plus the 2 r03-stale that round-8 planning had slotted
+# — are displaced by (a0) and lead the r10 window.
+# The 3 ddl_* rows-only entries stay out of the window.
 # The full window re-ran green through tools/driver_sim (dtype-strict,
 # pandas-fetched like the driver) at sf0.01 before commit.
 _PRIORITY = [
+    # --- (a0) new this round: queries/evalops.py ---
+    "eval_roc_auc",
+    "eval_calibration_bins",
+    "eval_pr_threshold",
+    "eval_lift_cumgains",
+    "stats_anova_f",
+    "stats_kruskal_wallis",
+    "stats_mcnemar",
+    "stats_permutation_test",
+    "stats_jackknife_mean",
+    "ml_logreg_gd",
+    "ml_logreg_eval",
+    "embedding_pca_power",
+    "events_holt_linear",
     # --- (a) round-9 changed code or oracles ---
     "stats_spearman",
     "stats_ks_test",

@@ -546,50 +546,85 @@ def stats_kruskal_wallis(spark, sf_dir):
 
 @query(
     "stats_mcnemar",
-    # paired binary outcomes per user (did click / did purchase):
-    # McNemar's chi-square with continuity correction is pure integer
-    # arithmetic over the two discordant-cell counts plus ONE IEEE
-    # division
+    # before/after paired design per user: "made a big-ticket
+    # purchase (value > 200)" in the first vs second half of the
+    # observation window, split at the exact integer midpoint of
+    # epoch-MICROS (so the split is identical cross-engine; a raw
+    # timestamp midpoint would hit engine-specific interval
+    # semantics). McNemar's chi-square with continuity correction is
+    # pure integer arithmetic over the two discordant-cell counts
+    # plus ONE IEEE division
     oracle="""
-    WITH u AS (SELECT user_id,
-                      MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                          AS a,
-                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                          AS b
-               FROM events GROUP BY user_id),
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                      (CASE WHEN event_type = 'purchase'
+                                 AND "value" > 200 THEN 1 ELSE 0 END) AS big
+               FROM events),
+    mm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM t),
+    u AS (SELECT user_id,
+                 MAX(CASE WHEN big = 1 AND us < mm.mid THEN 1 ELSE 0 END)
+                     AS a,
+                 MAX(CASE WHEN big = 1 AND us >= mm.mid THEN 1 ELSE 0 END)
+                     AS b
+          FROM t CROSS JOIN mm GROUP BY user_id),
     s AS (SELECT COUNT(*)::BIGINT AS n_users,
                  SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
-                     AS n_click_only,
+                     AS n_before_only,
                  SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
-                     AS n_purchase_only
+                     AS n_after_only
           FROM u)
-    SELECT n_users, n_click_only, n_purchase_only,
-           CASE WHEN n_click_only + n_purchase_only = 0 THEN NULL
-                ELSE ((ABS(n_click_only - n_purchase_only) - 1)
-                      * (ABS(n_click_only - n_purchase_only) - 1))::DOUBLE
-                     / (n_click_only + n_purchase_only)::DOUBLE
+    SELECT n_users, n_before_only, n_after_only,
+           CASE WHEN n_before_only + n_after_only = 0 THEN NULL
+                ELSE ((ABS(n_before_only - n_after_only) - 1)
+                      * (ABS(n_before_only - n_after_only) - 1))::DOUBLE
+                     / (n_before_only + n_after_only)::DOUBLE
            END AS chi2_mcnemar
     FROM s
     """,
 )
 def stats_mcnemar(spark, sf_dir):
-    """McNemar's test on paired binary outcomes — per user, 'ever
-    clicked' vs 'ever purchased' — the within-subject test for
-    marginal-proportion change (the paired counterpart of
-    stats_chi_square, e.g. did a rollout flip users from one behavior
-    to the other). The statistic (|b - c| - 1)^2 / (b + c) with
-    continuity correction depends only on the two DISCORDANT cells;
-    everything is exact integer arithmetic plus one IEEE division.
-    Shape: one user-keyed hash aggregate to per-user flags, one
-    global reduction to a single row."""
+    """McNemar's test on a paired before/after design — per user, did
+    they make a big-ticket purchase (value > 200) in the first vs the
+    second half of the observation window — the within-subject test
+    for marginal-proportion change (the paired counterpart of
+    stats_chi_square: same subjects on both sides, so only the
+    DISCORDANT users carry information). The window splits at the
+    exact integer midpoint of epoch-micros (one 1-row min/max
+    broadcast; integer halving is identical cross-engine, unlike raw
+    timestamp-interval midpoints); the statistic (|b - c| - 1)^2 /
+    (b + c) with continuity correction is exact integer arithmetic
+    plus one IEEE division, NULL-gated when no discordant pairs
+    exist. Shape: one user-keyed hash aggregate to per-user flags,
+    one global reduction to a single row."""
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "a"
-        ),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("b"),
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+        )
+        .otherwise(0)
+        .alias("big"),
+    )
+    # exact integer midpoint: epoch-micros sums exceed 2^53, so a
+    # double `/` would round differently than DuckDB's exact `//`;
+    # integer `div` on positive longs is floor division on both
+    mm = t.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").cast("bigint").alias("mid")
+    )
+    u = (
+        t.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("big") == 1) & (F.col("us") < F.col("mid")), 1)
+                .otherwise(0)
+            ).alias("a"),
+            F.max(
+                F.when(
+                    (F.col("big") == 1) & (F.col("us") >= F.col("mid")), 1
+                ).otherwise(0)
+            ).alias("b"),
+        )
     )
     s = u.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -597,19 +632,19 @@ def stats_mcnemar(spark, sf_dir):
             F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
         )
         .cast("bigint")
-        .alias("n_click_only"),
+        .alias("n_before_only"),
         F.sum(
             F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)
         )
         .cast("bigint")
-        .alias("n_purchase_only"),
+        .alias("n_after_only"),
     )
-    b, c = F.col("n_click_only"), F.col("n_purchase_only")
+    b, c = F.col("n_before_only"), F.col("n_after_only")
     d = F.abs(b - c) - 1
     return s.select(
         "n_users",
-        "n_click_only",
-        "n_purchase_only",
+        "n_before_only",
+        "n_after_only",
         F.when(b + c == 0, F.lit(None).cast("double"))
         .otherwise((d * d).cast("double") / (b + c).cast("double"))
         .alias("chi2_mcnemar"),
@@ -1273,4 +1308,103 @@ def embedding_pca_power(spark, sf_dir):
                 / 1e6
             ).alias("anisotropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear — recursive (level, trend) smoothing as a fold
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_holt_linear",
+    # Holt's double exponential smoothing (alpha = beta = 1/2) as a
+    # LEFT FOLD with a TWO-ELEMENT ARRAY accumulator [level, trend]
+    # over each user's day-ordered spend series, in the FLATTENED
+    # form l' = 0.5*x + 0.5*(l + b), b' = 0.25*x - 0.25*l + 0.75*b
+    # (exactly-representable coefficients; no intra-step dependency,
+    # so no field references another field's fresh value). Both
+    # engines execute the identical IEEE op sequence over identical
+    # exact-cents inputs — bit-identical before the defensive grid.
+    # An array (not struct) accumulator is load-bearing for the
+    # oracle: DuckDB 1.0 list_reduce writes struct fields IN PLACE
+    # from the second application on, so a later field expression
+    # reading an earlier acc field sees the NEW value (probed
+    # directly; [l, b] lists evaluate correctly)
+    oracle=f"""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM({_CENTS})::BIGINT AS spend
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, COUNT(*)::BIGINT AS n_days,
+                 list(spend::DOUBLE ORDER BY day) AS xs
+          FROM d GROUP BY user_id),
+    f AS (SELECT user_id, n_days,
+                 list_reduce(
+                   list_transform(xs, x -> [x, 0.0::DOUBLE]),
+                   (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                                0.25 * e[1] - 0.25 * acc[1]
+                                + 0.75 * acc[2]]) AS h
+          FROM s)
+    SELECT user_id, n_days,
+           FLOOR(h[1] * 1e4) / 1e4 AS level,
+           FLOOR(h[2] * 1e4) / 1e4 AS trend,
+           FLOOR((h[1] + h[2]) * 1e4) / 1e4 AS fcst_next
+    FROM f
+    """,
+)
+def events_holt_linear(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of each
+    user's daily spend, alpha = beta = 1/2 — the level-plus-trend
+    recursive smoother behind short-horizon burn-rate forecasts,
+    extending events_ewma_smooth's single-state fold to a TWO-state
+    [level, trend] accumulator: l' = 0.5x + 0.5(l+b), b' = 0.25x -
+    0.25l + 0.75b (the substituted form of b' = 0.5(l'-l) + 0.5b —
+    flattened so neither state depends on the other's FRESH value,
+    which also dodges a DuckDB list_reduce struct-field in-place
+    hazard; see the oracle comment), forecast = level + trend. Both
+    engines fold the day-ordered list left-to-right seeded with
+    [x0, 0]; every coefficient is exactly representable and the op
+    sequence identical, so results agree bit-for-bit before the
+    defensive 1e-4 grid. Scale shape: per-user series are
+    calendar-bounded (~30 days here), so collect_list stays KB-sized
+    per key; one (user, day) aggregate + one user aggregate, no
+    window over raw events. The streaming form is the
+    stream_ewma_smooth recovery contract with this fold as the
+    finisher."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents()).alias("spend"))
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("day", F.col("spend").cast("double").alias("x"))
+            )
+        ).alias("sx"),
+    )
+    xs = F.transform(F.col("sx"), lambda e: e.getField("x"))
+
+    def merge(acc, x):
+        lo, bo = F.element_at(acc, 1), F.element_at(acc, 2)
+        return F.array(
+            F.lit(0.5) * x + F.lit(0.5) * (lo + bo),
+            F.lit(0.25) * x - F.lit(0.25) * lo + F.lit(0.75) * bo,
+        )
+
+    h = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.array(F.element_at(xs, 1), F.lit(0.0)),
+        merge,
+    )
+    return s.select(
+        "user_id",
+        "n_days",
+        (F.floor(F.element_at(h, 1) * 1e4) / 1e4).alias("level"),
+        (F.floor(F.element_at(h, 2) * 1e4) / 1e4).alias("trend"),
+        (
+            F.floor(
+                (F.element_at(h, 1) + F.element_at(h, 2)) * 1e4
+            )
+            / 1e4
+        ).alias("fcst_next"),
     )

@@ -1,0 +1,477 @@
+"""Round-9b tests: the model-evaluation / experimental-design /
+iterative-ML family (queries/evalops.py).
+
+Three layers, per the repo's established discipline:
+- bit-parity of the DuckDB XXH64 two-long-word generator against
+  Spark's native xxhash64 (the randomization-replay device);
+- from-scratch pure-Python references for every statistic, shaped
+  NOTHING like the Spark or SQL forms (the round-8 lesson: the
+  differential oracle passes on a SHARED formula bug — only an
+  independently-shaped reference catches it);
+- crafted micro-fixtures through the public queries for edge
+  semantics (constant/linear Holt series, separable logreg data).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+from easy_alterator_spark.queries import QUERIES, load_all
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+T0 = datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def events_rows(spark):
+    from easy_alterator_spark.sources import load_table
+
+    return [
+        (r["event_id"], r["user_id"], r["event_type"], r["value"], r["ts"])
+        for r in load_table(spark, SF, "events").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def emb_rows(spark):
+    from easy_alterator_spark.sources import load_table
+
+    return [
+        (r["vec_id"], list(r["embedding"]), r["label"])
+        for r in load_table(spark, SF, "embeddings").collect()
+    ]
+
+
+def _cents(v):
+    return math.floor(v * 100 + 0.5)
+
+
+def _score(emb):
+    return math.floor(float(emb[0]) * 1e4 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# xxh64 two-long-word oracle parity
+# ---------------------------------------------------------------------------
+
+
+class TestXxh64Long2Parity:
+    PAIRS = [
+        (0, 0),
+        (1, 2),
+        (-1, -1),
+        (42, 42),
+        (123456789, 63),
+        (-5, 17),
+        (2**63 - 1, -(2**63)),
+        (-(2**63), 2**63 - 1),
+        (0, -(2**31)),
+    ]
+
+    def test_matches_spark_xxhash64(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.queries._xxh64_sql import xxh64_long2_ctes
+
+        df = spark.createDataFrame(self.PAIRS, "la long, lb long")
+        want = {
+            (r["la"], r["lb"]): r["h"]
+            for r in df.select(
+                "la", "lb", F.xxhash64("la", "lb").alias("h")
+            ).collect()
+        }
+        def lit(x):
+            # -2^63 cannot parse as -(2^63::BIGINT); go through int128
+            return f"({x}::HUGEINT)::BIGINT"
+
+        vals = ", ".join(f"({lit(a)}, {lit(b)})" for a, b in self.PAIRS)
+        got = dict()
+        for la, lb, h in duckdb.sql(
+            f"""
+            WITH src AS (SELECT * FROM (VALUES {vals}) v(la, lb)),
+            {xxh64_long2_ctes('src')}
+            SELECT la, lb,
+                   CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE h::BIGINT END AS hs
+            FROM pf
+            """
+        ).fetchall():
+            got[(la, lb)] = h
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# classifier-metric references (independent shapes)
+# ---------------------------------------------------------------------------
+
+
+class TestEvalMetricsReferences:
+    @staticmethod
+    def _auc_ref(pairs):
+        """Tie-aware AUC by direct pairwise comparison — O(P*N),
+        nothing like the rank decomposition."""
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos
+            for n in neg
+        )
+        return wins / (len(pos) * len(neg))
+
+    def test_roc_auc_matches_pairwise_reference(self, spark, emb_rows):
+        pairs = [(_score(e), lab >= 5) for _, e, lab in emb_rows]
+        want = self._auc_ref(pairs)
+        row = QUERIES["eval_roc_auc"](spark, SF).collect()[0]
+        assert row["n_pos"] == sum(1 for _, y in pairs if y)
+        assert abs(row["auc"] - want) < 1e-12
+        assert abs(row["gini"] - (2 * want - 1)) < 1e-12
+
+    def test_pr_threshold_reference_and_monotone_recall(
+        self, spark, emb_rows
+    ):
+        pairs = [(_score(e), 1 if lab >= 5 else 0) for _, e, lab in emb_rows]
+        p_total = sum(y for _, y in pairs)
+        out = sorted(
+            QUERIES["eval_pr_threshold"](spark, SF).collect(),
+            key=lambda r: -r["threshold"],
+        )
+        # reference tp/fp at each threshold by direct counting
+        for r in (out[0], out[len(out) // 2], out[-1]):
+            t = r["threshold"]
+            tp = sum(y for s, y in pairs if s >= t)
+            fp = sum(1 - y for s, y in pairs if s >= t)
+            assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, p_total - tp)
+        # recall nondecreasing as the threshold drops; last recall = 1
+        recalls = [r["recall"] for r in out]
+        assert all(a <= b + 1e-15 for a, b in zip(recalls, recalls[1:]))
+        assert recalls[-1] == 1.0
+
+    def test_calibration_bins_partition_population(self, spark, emb_rows):
+        out = QUERIES["eval_calibration_bins"](spark, SF).collect()
+        assert sum(r["n"] for r in out) == len(emb_rows)
+        assert all(0 <= r["bin"] <= 9 for r in out)
+        for r in out:
+            assert 0 <= r["n_pos"] <= r["n"]
+            assert 0 <= r["conf_micro"] <= 10**6
+            assert 0 <= r["rate_micro"] <= 10**6
+            assert r["gap_micro"] == abs(r["conf_micro"] - r["rate_micro"])
+
+    def test_lift_cumgains_reference(self, spark, emb_rows):
+        out = sorted(
+            QUERIES["eval_lift_cumgains"](spark, SF).collect(),
+            key=lambda r: r["tile"],
+        )
+        n = len(emb_rows)
+        p = sum(1 for _, e, lab in emb_rows if lab >= 5)
+        assert [r["tile"] for r in out] == list(range(1, 11))
+        # NTILE row distribution: first n%10 tiles get one extra row
+        q, rem = divmod(n, 10)
+        assert [r["n"] for r in out] == [
+            q + (1 if i <= rem else 0) for i in range(1, 11)
+        ]
+        # gains monotone to exactly 1; cum_pos is the running sum
+        cp = 0
+        for r in out:
+            cp += r["n_pos"]
+            assert r["cum_pos"] == cp
+        assert out[-1]["gain"] == 1.0
+        assert sum(r["n_pos"] for r in out) == p
+        # full-population lift identity: sum(n*lift) == N
+        assert abs(sum(r["n"] * r["lift"] for r in out) - n) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# k-group / paired / resampling statistics vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+class TestKGroupStats:
+    def test_anova_f_reference(self, spark, events_rows):
+        groups = {}
+        for _, _, t, v, _ in events_rows:
+            if v is not None:
+                groups.setdefault(t, []).append(_cents(v))
+        k = len(groups)
+        n = sum(len(g) for g in groups.values())
+        mean = sum(sum(g) for g in groups.values()) / n
+        ssb = sum(
+            len(g) * (sum(g) / len(g) - mean) ** 2 for g in groups.values()
+        )
+        ssw = sum(
+            sum((x - sum(g) / len(g)) ** 2 for x in g)
+            for g in groups.values()
+        )
+        want = (ssb / (k - 1)) / (ssw / (n - k))
+        row = QUERIES["stats_anova_f"](spark, SF).collect()[0]
+        assert row["k_groups"] == k and row["n"] == n
+        assert abs(row["f_stat"] - want) < 1e-3 * max(1.0, want)
+
+    def test_kruskal_wallis_reference(self, spark, events_rows):
+        vals, labs = [], []
+        for _, _, t, v, _ in events_rows:
+            if v is not None:
+                vals.append(_cents(v))
+                labs.append(t)
+        n = len(vals)
+        order = sorted(range(n), key=lambda i: vals[i])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for x in order[i:j]:
+                ranks[x] = (i + j + 1) / 2.0
+            i = j
+        rsums, ns = {}, {}
+        for r, lab in zip(ranks, labs):
+            rsums[lab] = rsums.get(lab, 0.0) + r
+            ns[lab] = ns.get(lab, 0) + 1
+        h = 12.0 / (n * (n + 1)) * sum(
+            rsums[g] ** 2 / ns[g] for g in rsums
+        ) - 3 * (n + 1)
+        from collections import Counter
+
+        ties = Counter(vals)
+        c = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+        row = QUERIES["stats_kruskal_wallis"](spark, SF).collect()[0]
+        assert row["n"] == n and row["k_groups"] == len(ns)
+        assert abs(row["h_stat"] - h) < 1e-3
+        assert abs(row["h_adj"] - h / c) < 1e-3
+
+    def test_mcnemar_reference(self, spark, events_rows):
+        us = {
+            eid: int(ts.timestamp() * 1_000_000)
+            for eid, _, _, _, ts in events_rows
+        }
+        mid = (min(us.values()) + max(us.values())) // 2
+        flags = {}
+        for eid, u, t, v, _ in events_rows:
+            a, b = flags.get(u, (False, False))
+            big = t == "purchase" and v is not None and v > 200
+            if big and us[eid] < mid:
+                a = True
+            if big and us[eid] >= mid:
+                b = True
+            flags[u] = (a, b)
+        bb = sum(1 for a, b in flags.values() if a and not b)
+        cc = sum(1 for a, b in flags.values() if b and not a)
+        row = QUERIES["stats_mcnemar"](spark, SF).collect()[0]
+        assert (row["n_before_only"], row["n_after_only"]) == (bb, cc)
+        assert row["n_users"] == len(flags)
+        assert bb + cc > 0  # the design is non-degenerate on the fixture
+        want = (abs(bb - cc) - 1) ** 2 / (bb + cc)
+        assert abs(row["chi2_mcnemar"] - want) < 1e-12
+
+    def test_permutation_test_shape_and_determinism(self, spark):
+        r1 = QUERIES["stats_permutation_test"](spark, SF).collect()[0]
+        r2 = QUERIES["stats_permutation_test"](spark, SF).collect()[0]
+        assert r1 == r2  # hash replicates are deterministic
+        assert r1["k_reps"] == 64
+        assert 0 <= r1["n_extreme"] <= 64
+        assert 0 < r1["p_value"] <= 1.0
+        assert r1["p_value"] == (1 + r1["n_extreme"]) / 65.0
+
+    def test_jackknife_reference(self, spark, events_rows):
+        blocks = {}
+        for eid, _, _, v, _ in events_rows:
+            if v is not None:
+                blocks.setdefault(eid % 32, []).append(_cents(v))
+        s = sum(sum(b) for b in blocks.values())
+        n = sum(len(b) for b in blocks.values())
+        bcount = len(blocks)
+        thetas = [
+            (s - sum(b)) / (n - len(b)) for b in blocks.values()
+        ]
+        tbar = sum(thetas) / bcount
+        se = math.sqrt(
+            (bcount - 1) / bcount * sum((t - tbar) ** 2 for t in thetas)
+        )
+        row = QUERIES["stats_jackknife_mean"](spark, SF).collect()[0]
+        assert row["n"] == n and row["n_blocks"] == bcount
+        assert abs(row["mean_cents"] - s / n) < 1e-9
+        assert abs(row["se_jack"] - se) < 2e-4 + 1e-6 * se
+
+
+# ---------------------------------------------------------------------------
+# iterative ML: logreg GD replay and the PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+class TestLogregGd:
+    @staticmethod
+    def _replay(emb_rows, epochs=3, dims=64):
+        """From-scratch replay of the snapped GD iteration in pure
+        Python (floats ARE IEEE doubles)."""
+        xs = [
+            [math.floor(float(x) * 1e4 + 0.5) for x in e]
+            for _, e, _ in emb_rows
+        ]
+        ys = [1 if lab >= 5 else 0 for _, _, lab in emb_rows]
+        n = len(xs)
+        w = [0.0] * dims
+        for _ in range(epochs):
+            grad = [0] * dims
+            for x4, y in zip(xs, ys):
+                z8 = sum(math.floor(w[i] * x4[i] * 1e4) for i in range(dims))
+                z = z8 / 1e8
+                s6 = math.floor(1e6 / (1 + math.exp(-z)) + 1e-4)
+                r6 = s6 - y * 1000000
+                for i in range(dims):
+                    grad[i] += r6 * x4[i]
+            w = [
+                w[i] - 0.5 * (float(grad[i]) / float(n * 10000000000))
+                for i in range(dims)
+            ]
+        return w, xs, ys
+
+    def test_weights_match_pure_python_replay(self, spark, emb_rows):
+        w, _, _ = self._replay(emb_rows)
+        want = {d: math.floor(w[d] * 1e8) for d in range(64)}
+        got = {
+            r["dim"]: r["w8"]
+            for r in QUERIES["ml_logreg_gd"](spark, SF).collect()
+        }
+        assert got == want  # EXACT — the iteration closes bit-identically
+
+    def test_eval_confusion_and_accuracy(self, spark, emb_rows):
+        w, xs, ys = self._replay(emb_rows)
+        preds = [
+            1
+            if sum(math.floor(w[i] * x4[i] * 1e4) for i in range(64)) >= 0
+            else 0
+            for x4 in xs
+        ]
+        tp = sum(1 for p, y in zip(preds, ys) if p == 1 and y == 1)
+        fp = sum(1 for p, y in zip(preds, ys) if p == 1 and y == 0)
+        row = QUERIES["ml_logreg_eval"](spark, SF).collect()[0]
+        assert (row["tp"], row["fp"]) == (tp, fp)
+        acc = sum(1 for p, y in zip(preds, ys) if p == y) / len(ys)
+        assert row["accuracy"] == acc
+        # the probe actually learns: beats the majority-class rate
+        base = max(sum(ys), len(ys) - sum(ys)) / len(ys)
+        assert acc > base - 0.5  # sanity floor
+        assert acc > 0.55
+
+    def test_separable_micro_fixture(self, spark, tmp_path):
+        # y = 1 iff first coordinate positive, hugely separable: after
+        # 3 epochs the sign of w[0] must be positive and train
+        # accuracy 1.0
+        rows = []
+        for i in range(40):
+            sign = 1.0 if i % 2 == 0 else -1.0
+            vec = [sign * 0.4] + [0.0] * 63
+            rows.append((i, vec, 9 if sign > 0 else 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/embeddings.parquet"
+        )
+        w8 = {
+            r["dim"]: r["w8"]
+            for r in QUERIES["ml_logreg_gd"](spark, str(tmp_path)).collect()
+        }
+        assert w8[0] > 0
+        assert all(w8[d] in (0, -1) for d in range(1, 64))  # floor of ~0
+        row = QUERIES["ml_logreg_eval"](spark, str(tmp_path)).collect()[0]
+        assert row["accuracy"] == 1.0
+
+
+class TestPcaPower:
+    def test_loadings_and_estimates(self, spark, emb_rows):
+        out = QUERIES["embedding_pca_power"](spark, SF).collect()
+        assert len(out) == 64
+        loadings = [r["loading"] for r in out]
+        # max-norm: the peak component is exactly +-1 (u = m there)
+        assert max(abs(v) for v in loadings) == 1.0
+        eig = out[0]["eig_est"]
+        aniso = out[0]["anisotropy"]
+        assert all(r["eig_est"] == eig for r in out)
+        assert aniso >= 1.0  # dominant >= average variance
+        # cross-check against a direct covariance computation
+        import numpy as np
+
+        x = np.array([e for _, e, _ in emb_rows], dtype=float)
+        xc = x - x.mean(0)
+        cov = xc.T @ xc / len(x)
+        top = float(np.linalg.eigvalsh(cov)[-1])
+        # the max-norm estimate converges from below on this flat
+        # spectrum; 8 iterations land within ~15% (audited)
+        assert 0.7 * top < eig <= top * 1.001
+        # the returned direction is an above-average-variance probe
+        # (direction convergence is (l2/l1)^k — slow on this flat
+        # spectrum, per the docstring; the eigenvalue estimate is the
+        # fast-converging output)
+        v = np.array(loadings)
+        v = v / np.linalg.norm(v)
+        rayleigh = float(v @ cov @ v)
+        avg = float(cov.trace()) / 64
+        assert rayleigh > avg
+        assert rayleigh > 0.55 * eig
+
+
+class TestHoltLinear:
+    @staticmethod
+    def _ref(series):
+        level, trend = float(series[0]), 0.0
+        for x in series[1:]:
+            nl = 0.5 * x + 0.5 * (level + trend)
+            nb = 0.25 * x - 0.25 * level + 0.75 * trend
+            level, trend = nl, nb
+        return level, trend
+
+    def test_matches_pure_python_fold(self, spark, events_rows):
+        daily = {}
+        for _, u, _, v, ts in events_rows:
+            key = (u, ts.date())
+            daily[key] = daily.get(key, 0) + _cents(v)
+        series = {}
+        for (u, d), s in sorted(daily.items()):
+            series.setdefault(u, []).append(s)
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_holt_linear"](spark, SF).collect()
+        }
+        assert set(out) == set(series)
+        for u, xs in series.items():
+            level, trend = self._ref(xs)
+            assert out[u]["n_days"] == len(xs)
+            assert out[u]["level"] == math.floor(level * 1e4) / 1e4
+            assert out[u]["trend"] == math.floor(trend * 1e4) / 1e4
+
+    def _write_series(self, spark, path, series):
+        rows = []
+        eid = 0
+        for u, xs in series.items():
+            for day, x in enumerate(xs):
+                eid += 1
+                rows.append(
+                    (eid, T0 + timedelta(days=day), u, "view", x, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/events.parquet"
+        )
+
+    def test_constant_series_zero_trend(self, spark, tmp_path):
+        self._write_series(spark, tmp_path, {1: [5.0] * 8})
+        row = QUERIES["events_holt_linear"](spark, str(tmp_path)).collect()[0]
+        assert row["level"] == 500.0  # cents
+        assert row["trend"] == 0.0
+        assert row["fcst_next"] == 500.0
+
+    def test_single_day_seeds(self, spark, tmp_path):
+        self._write_series(spark, tmp_path, {7: [3.5]})
+        row = QUERIES["events_holt_linear"](spark, str(tmp_path)).collect()[0]
+        assert (row["n_days"], row["level"], row["trend"]) == (1, 350.0, 0.0)
