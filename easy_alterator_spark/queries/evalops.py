@@ -1408,3 +1408,468 @@ def events_holt_linear(spark, sf_dir):
             / 1e4
         ).alias("fcst_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature screening and variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+@query(
+    "feature_woe_iv",
+    # weight-of-evidence of each source for English-ness with 0.5
+    # Laplace smoothing: woe = ln(((g+0.5)*B) / ((b+0.5)*G)) — the
+    # only libm call, floor-gridded at 1e-4 with the +1e-6 nudge; the
+    # IV contribution (g/G - b/B) * woe multiplies a fixed two-
+    # division tree by the ALREADY-GRIDDED woe and snaps to integer
+    # micro-units, so the total IV is an exact integer sum (no float
+    # accumulation over categories)
+    oracle="""
+    WITH d AS (SELECT source,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+               FROM documents),
+    g AS (SELECT source, SUM(good)::BIGINT AS ng,
+                 SUM(1 - good)::BIGINT AS nb
+          FROM d GROUP BY source),
+    t AS (SELECT SUM(ng)::BIGINT AS gg, SUM(nb)::BIGINT AS bb FROM g),
+    w AS (SELECT g.source, g.ng, g.nb,
+                 FLOOR(ln(((g.ng + 0.5) * t.bb) / ((g.nb + 0.5) * t.gg))
+                       * 1e4 + 1e-6) / 1e4 AS woe,
+                 t.gg, t.bb
+          FROM g CROSS JOIN t),
+    v AS (SELECT source, ng, nb, woe,
+                 FLOOR((ng::DOUBLE / gg::DOUBLE - nb::DOUBLE / bb::DOUBLE)
+                       * woe * 1e6 + 1e-6)::BIGINT AS iv_micro
+          FROM w),
+    s AS (SELECT SUM(iv_micro)::BIGINT AS total_iv_micro FROM v)
+    SELECT v.source, v.ng AS n_good, v.nb AS n_bad, v.woe, v.iv_micro,
+           s.total_iv_micro
+    FROM v CROSS JOIN s
+    """,
+)
+def feature_woe_iv(spark, sf_dir):
+    """Weight-of-evidence and information value of the `source`
+    feature for predicting English documents — the credit-scoring-
+    standard categorical-feature screen (IV < 0.02 = useless,
+    > 0.3 = strong) a curation pipeline runs before trusting a
+    metadata column to route documents. WOE uses 0.5 Laplace
+    smoothing so empty cells stay finite. Exactness: category counts
+    are exact integers; each WOE is ONE ln of a ratio of exact
+    products, floor-gridded (the only libm call); each IV
+    contribution multiplies a fixed two-division tree by the gridded
+    WOE and snaps to integer micro-units BEFORE the total, so the
+    total IV is an exact integer sum. Shape: one hash aggregate to
+    category grain, a 2-value totals broadcast, a category-count-sized
+    reduction — nothing data-sized after the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("good"),
+    )
+    g = d.groupBy("source").agg(
+        F.sum("good").cast("bigint").alias("ng"),
+        F.sum(1 - F.col("good")).cast("bigint").alias("nb"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("gg"),
+        F.sum("nb").cast("bigint").alias("bb"),
+    )
+    woe = (
+        F.floor(
+            F.log(
+                ((F.col("ng") + 0.5) * F.col("bb"))
+                / ((F.col("nb") + 0.5) * F.col("gg"))
+            )
+            * 1e4
+            + 1e-6
+        )
+        / 1e4
+    )
+    w = g.crossJoin(F.broadcast(t)).select(
+        "source", "ng", "nb", "gg", "bb", woe.alias("woe")
+    )
+    iv = F.floor(
+        (
+            F.col("ng").cast("double") / F.col("gg").cast("double")
+            - F.col("nb").cast("double") / F.col("bb").cast("double")
+        )
+        * F.col("woe")
+        * 1e6
+        + 1e-6
+    ).cast("bigint")
+    v = w.select("source", "ng", "nb", "woe", iv.alias("iv_micro"))
+    s = v.agg(F.sum("iv_micro").cast("bigint").alias("total_iv_micro"))
+    return v.crossJoin(F.broadcast(s)).select(
+        "source",
+        F.col("ng").alias("n_good"),
+        F.col("nb").alias("n_bad"),
+        "woe",
+        "iv_micro",
+        "total_iv_micro",
+    )
+
+
+def _cuped_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    return f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us, {_CENTS} AS c
+               FROM events WHERE "value" IS NOT NULL),
+    mm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM t),
+    u AS (SELECT user_id,
+                 SUM(CASE WHEN us < mm.mid THEN c ELSE 0 END)::BIGINT AS x,
+                 SUM(CASE WHEN us >= mm.mid THEN c ELSE 0 END)::BIGINT AS y
+          FROM t CROSS JOIN mm GROUP BY user_id),
+    src AS (SELECT user_id AS la, 9::BIGINT AS lb, x, y FROM u),
+    {xxh64_long2_ctes('src')},
+    a AS (SELECT (h % 2)::INT AS arm, x, y FROM pf),
+    s AS (SELECT COUNT(*)::HUGEINT AS n,
+                 SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+                 SUM(x::HUGEINT * x::HUGEINT) AS sxx,
+                 SUM(x::HUGEINT * y::HUGEINT) AS sxy,
+                 SUM(y::HUGEINT * y::HUGEINT) AS syy
+          FROM a),
+    arm AS (SELECT arm, COUNT(*)::BIGINT AS na, SUM(x)::BIGINT AS sxa,
+                   SUM(y)::BIGINT AS sya
+            FROM a GROUP BY arm),
+    th AS (SELECT (s.n * s.sxy - s.sx * s.sy)::DOUBLE
+                      / (s.n * s.sxx - s.sx * s.sx)::DOUBLE AS theta,
+                  ((s.n * s.sxy - s.sx * s.sy)::DOUBLE
+                   * (s.n * s.sxy - s.sx * s.sy)::DOUBLE)
+                      / ((s.n * s.sxx - s.sx * s.sx)::DOUBLE
+                         * (s.n * s.syy - s.sy * s.sy)::DOUBLE) AS rho2,
+                  s.sx::DOUBLE / s.n::DOUBLE AS xbar
+           FROM s),
+    w AS (SELECT MAX(CASE WHEN arm = 0 THEN na END) AS n_c,
+                 MAX(CASE WHEN arm = 1 THEN na END) AS n_t,
+                 MAX(CASE WHEN arm = 0 THEN sxa END) AS sx_c,
+                 MAX(CASE WHEN arm = 1 THEN sxa END) AS sx_t,
+                 MAX(CASE WHEN arm = 0 THEN sya END) AS sy_c,
+                 MAX(CASE WHEN arm = 1 THEN sya END) AS sy_t
+          FROM arm)
+    SELECT w.n_t, w.n_c, th.theta, th.rho2,
+           w.sy_t::DOUBLE / w.n_t::DOUBLE
+               - w.sy_c::DOUBLE / w.n_c::DOUBLE AS diff_raw,
+           (w.sy_t::DOUBLE / w.n_t::DOUBLE
+            - th.theta * (w.sx_t::DOUBLE / w.n_t::DOUBLE - th.xbar))
+           - (w.sy_c::DOUBLE / w.n_c::DOUBLE
+              - th.theta * (w.sx_c::DOUBLE / w.n_c::DOUBLE - th.xbar))
+               AS diff_cuped
+    FROM w CROSS JOIN th
+    """
+
+
+@query(
+    "stats_cuped",
+    # CUPED variance-reduced experiment readout with DETERMINISTIC
+    # arm assignment (bit0 of xxhash64(user_id, 9), replayed
+    # bit-for-bit in DuckDB): theta = cov(X,Y)/var(X) and rho^2 come
+    # from exact int128/DECIMAL(38) sums of integer cents (the
+    # numerators n*Sxy - Sx*Sy etc. are exact), and every output is a
+    # fixed IEEE tree over those exact integers' correctly-rounded
+    # double casts — identical cross-engine, no grid needed
+    oracle=_cuped_oracle(),
+)
+def stats_cuped(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    readout: users hash-split into two arms, each user's pre-period
+    spend X (first half of the observation window, exact epoch-micros
+    midpoint) regresses out of their post-period spend Y, and the
+    adjusted treatment effect diff_cuped = diff_raw shrunk by the
+    covariate — the industry-standard variance-reduction technique
+    that cuts experiment runtimes by rho^2 (reported). Determinism:
+    arm assignment is bit0 of xxhash64(user_id, 9) — JVM-native on
+    the Spark side, replayed exactly in DuckDB by the generated
+    int128 XXH64 arithmetic; theta and rho^2 derive from exact
+    DECIMAL(38)/HUGEINT sums of integer cents; all outputs are fixed
+    IEEE trees over exact integers (single divisions and one
+    theta-product chain, written identically on both engines).
+    Shape: one user-keyed aggregate, one 5-value moment reduction,
+    one 2-row arm reduction — nothing data-sized after the first
+    aggregate; at 100 TB this is the cheapest two-pass experiment
+    readout there is."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", F.unix_micros("ts").alias("us"), _cents().alias("c")
+    )
+    mm = t.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").cast("bigint").alias("mid")
+    )
+    u = (
+        t.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("us") >= F.col("mid"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = u.select(
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.lit(9).cast("long")), F.lit(2)
+        )
+        .cast("int")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = a.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    covn = (n * F.col("sxy") - sx * sy).cast("double")
+    varxn = (n * F.col("sxx") - sx * sx).cast("double")
+    varyn = (n * F.col("syy") - sy * sy).cast("double")
+    th = s.select(
+        (covn / varxn).alias("theta"),
+        ((covn * covn) / (varxn * varyn)).alias("rho2"),
+        (sx.cast("double") / n.cast("double")).alias("xbar"),
+    )
+    arm = a.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na"),
+        F.sum("x").cast("bigint").alias("sxa"),
+        F.sum("y").cast("bigint").alias("sya"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("na"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("na"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sxa"))).alias("sx_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sxa"))).alias("sx_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sya"))).alias("sy_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sya"))).alias("sy_t"),
+    )
+    yt = F.col("sy_t").cast("double") / F.col("n_t").cast("double")
+    yc = F.col("sy_c").cast("double") / F.col("n_c").cast("double")
+    xt = F.col("sx_t").cast("double") / F.col("n_t").cast("double")
+    xc = F.col("sx_c").cast("double") / F.col("n_c").cast("double")
+    theta, xbar = F.col("theta"), F.col("xbar")
+    return w.crossJoin(F.broadcast(th)).select(
+        "n_t",
+        "n_c",
+        theta,
+        F.col("rho2"),
+        (yt - yc).alias("diff_raw"),
+        (
+            (yt - theta * (xt - xbar)) - (yc - theta * (xc - xbar))
+        ).alias("diff_cuped"),
+    )
+
+
+def _did_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    return f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us, {_CENTS} AS c
+               FROM events WHERE "value" IS NOT NULL),
+    mm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM t),
+    u AS (SELECT user_id,
+                 SUM(CASE WHEN us < mm.mid THEN c ELSE 0 END)::BIGINT AS x,
+                 SUM(CASE WHEN us >= mm.mid THEN c ELSE 0 END)::BIGINT AS y
+          FROM t CROSS JOIN mm GROUP BY user_id),
+    src AS (SELECT user_id AS la, 9::BIGINT AS lb, x, y FROM u),
+    {xxh64_long2_ctes('src')},
+    a AS (SELECT (h % 2)::INT AS arm, x, y FROM pf),
+    w AS (SELECT SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+                 SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx_t,
+                 SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx_c,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy_t,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy_c
+          FROM a)
+    SELECT n_t, n_c,
+           sy_t::DOUBLE / n_t::DOUBLE - sx_t::DOUBLE / n_t::DOUBLE
+               AS delta_t,
+           sy_c::DOUBLE / n_c::DOUBLE - sx_c::DOUBLE / n_c::DOUBLE
+               AS delta_c,
+           (sy_t::DOUBLE / n_t::DOUBLE - sx_t::DOUBLE / n_t::DOUBLE)
+           - (sy_c::DOUBLE / n_c::DOUBLE - sx_c::DOUBLE / n_c::DOUBLE)
+               AS did
+    FROM w
+    """
+
+
+@query(
+    "stats_did",
+    # difference-in-differences over the same deterministic design as
+    # stats_cuped (hash arms, integer epoch-micros midpoint): each
+    # arm's pre->post delta and their difference are fixed IEEE trees
+    # over exact int64 cent sums — four divisions and three
+    # subtractions, written identically on both engines
+    oracle=_did_oracle(),
+)
+def stats_did(spark, sf_dir):
+    """Difference-in-differences readout: each hash-assigned arm's
+    pre-to-post change in mean spend, and the difference of those
+    changes — the standard causal estimate when arms differ at
+    baseline (DiD subtracts each arm's own history, where a raw
+    post-period diff would carry the baseline gap). Shares
+    stats_cuped's deterministic design — arm = bit0 of
+    xxhash64(user_id, 9) replayed exactly in DuckDB, pre/post split
+    at the integer epoch-micros midpoint — so the two queries read
+    the SAME experiment two ways (CUPED shrinks variance with the
+    covariate; DiD nets out level differences). All outputs are fixed
+    IEEE trees over exact integer sums. Shape: one user-keyed
+    aggregate, one 6-value reduction — nothing data-sized after the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", F.unix_micros("ts").alias("us"), _cents().alias("c")
+    )
+    mm = t.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").cast("bigint").alias("mid")
+    )
+    u = (
+        t.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("us") >= F.col("mid"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = u.select(
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.lit(9).cast("long")), F.lit(2)
+        )
+        .cast("int")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    arm1 = F.col("arm") == 1
+    w = a.agg(
+        F.sum(F.when(arm1, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~arm1, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(arm1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_t"),
+        F.sum(F.when(~arm1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_c"),
+        F.sum(F.when(arm1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_t"),
+        F.sum(F.when(~arm1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_c"),
+    )
+    dt = F.col("sy_t").cast("double") / F.col("n_t").cast("double") - F.col(
+        "sx_t"
+    ).cast("double") / F.col("n_t").cast("double")
+    dc = F.col("sy_c").cast("double") / F.col("n_c").cast("double") - F.col(
+        "sx_c"
+    ).cast("double") / F.col("n_c").cast("double")
+    return w.select(
+        "n_t",
+        "n_c",
+        dt.alias("delta_t"),
+        dc.alias("delta_c"),
+        (dt - dc).alias("did"),
+    )
+
+
+@query(
+    "stats_power_mde",
+    # experiment sizing from exact moment sums: pooled variance
+    # var = (n*S2 - S1^2) / (n*(n-1)) from exact DECIMAL(38) integers,
+    # MDE at alpha = .05 two-sided / 80% power with the standard
+    # z-constants as exact double literals (1.959964, 0.841621):
+    # mde = (z_a + z_b) * sqrt(2*var/n_arm) — one sqrt (correctly
+    # rounded), gridded defensively; plus required n per arm to
+    # detect a 1% lift of the mean: n_req = ceil(2*var*(z_a+z_b)^2 /
+    # (0.01*mean)^2) — a fixed tree over the same exact integers
+    oracle=f"""
+    WITH c AS (SELECT user_id, {_CENTS} AS c FROM events
+               WHERE "value" IS NOT NULL),
+    u AS (SELECT user_id, SUM(c)::BIGINT AS s FROM c GROUP BY user_id),
+    m AS (SELECT COUNT(*)::HUGEINT AS n, SUM(s)::HUGEINT AS s1,
+                 SUM(s::HUGEINT * s::HUGEINT) AS s2
+          FROM u)
+    SELECT n::BIGINT AS n_users,
+           s1::DOUBLE / n::DOUBLE AS mean_spend,
+           FLOOR(SQRT((n * s2 - s1 * s1)::DOUBLE
+                      / (n * (n - 1))::DOUBLE) * 1e4 + 1e-6) / 1e4
+               AS sd_spend,
+           FLOOR((1.959964 + 0.841621)
+                 * SQRT(2 * ((n * s2 - s1 * s1)::DOUBLE
+                             / (n * (n - 1))::DOUBLE)
+                        / ((n // 2)::DOUBLE)) * 1e4 + 1e-6) / 1e4
+               AS mde_abs,
+           CEIL(2 * ((n * s2 - s1 * s1)::DOUBLE / (n * (n - 1))::DOUBLE)
+                * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                / ((0.01 * (s1::DOUBLE / n::DOUBLE))
+                   * (0.01 * (s1::DOUBLE / n::DOUBLE))))::BIGINT
+               AS n_per_arm_1pct
+    FROM m
+    """,
+)
+def stats_power_mde(spark, sf_dir):
+    """Experiment sizing readout: the user-level spend variance
+    (exact DECIMAL(38) moment sums), the minimum detectable effect of
+    an arm-split experiment on THIS population at alpha = 0.05
+    two-sided / 80% power, and the users-per-arm needed to detect a
+    1% lift of the mean — the pre-experiment calculation every A/B
+    platform runs before committing traffic (pairs with
+    stats_srm_check's post-hoc gate and stats_cuped, whose rho^2
+    says how much this MDE shrinks with a covariate). The z-quantile
+    constants ride as exact double literals (1.959964, 0.841621 —
+    the textbook normal quantiles at 1e-6 precision); variance is a
+    fixed tree over exact integers, the sqrt is correctly rounded
+    (IEEE 754 requirement), outputs gridded defensively at 1e-4.
+    Shape: one user-keyed aggregate + a 3-value reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .select("user_id", _cents().alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("s"))).alias("s1"),
+        F.sum(d38(F.col("s")) * d38(F.col("s"))).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    mean = s1.cast("double") / n.cast("double")
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        mean.alias("mean_spend"),
+        (F.floor(F.sqrt(var) * 1e4 + 1e-6) / 1e4).alias("sd_spend"),
+        (
+            F.floor(
+                zsum
+                * F.sqrt(
+                    F.lit(2)
+                    * var
+                    / F.expr("cast(n div 2 as double)")
+                )
+                * 1e4
+                + 1e-6
+            )
+            / 1e4
+        ).alias("mde_abs"),
+        F.ceil(
+            F.lit(2) * var * (zsum * zsum)
+            / ((F.lit(0.01) * mean) * (F.lit(0.01) * mean))
+        )
+        .cast("bigint")
+        .alias("n_per_arm_1pct"),
+    )
