@@ -643,3 +643,128 @@ class TestDidAndPower:
         assert row["n_per_arm_1pct"] == want_n
         # sanity: detecting a 1% lift needs far more than this fixture
         assert row["n_per_arm_1pct"] > n
+
+
+# ---------------------------------------------------------------------------
+# adversarial-fixture differential tests: tie-heavy / NULL-heavy /
+# sparse inputs through the SAME dtype-strict oracle comparison the
+# driver uses — the shapes where rank, tie, and NULL devices break
+# ---------------------------------------------------------------------------
+
+
+def _duck_for(path, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        # Spark writes <table>.parquet as a DIRECTORY of part files
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+class TestAdversarialFixtures:
+    EVENT_QUERIES = [
+        "stats_anova_f",
+        "stats_kruskal_wallis",
+        "stats_mcnemar",
+        "stats_permutation_test",
+        "stats_jackknife_mean",
+        "stats_cuped",
+        "stats_did",
+        "stats_power_mde",
+        "events_holt_linear",
+    ]
+    EMB_QUERIES = [
+        "eval_roc_auc",
+        "eval_calibration_bins",
+        "eval_pr_threshold",
+        "eval_lift_cumgains",
+        "ml_logreg_gd",
+        "ml_logreg_eval",
+        "embedding_pca_power",
+    ]
+
+    @pytest.fixture(scope="class")
+    def adv_events(self, spark, tmp_path_factory):
+        """40 users, tie-heavy values incl. NULLs, purchases clustered
+        so the before/after and permutation devices see skewed splits;
+        some users have a single event."""
+        path = tmp_path_factory.mktemp("adv_events")
+        vals = [None, 0.01, 1.0, 1.0, 1.005, 200.5, 333.33, 1.0]
+        types = ["purchase", "view", "click", "purchase", "view"]
+        rows = []
+        eid = 0
+        for u in range(1, 41):
+            n_ev = 1 if u % 7 == 0 else 12
+            for j in range(n_ev):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        T0 + timedelta(hours=(eid * 7) % 720),
+                        u,
+                        types[(u + j) % 5],
+                        vals[(u * 3 + j) % len(vals)],
+                        "{}",
+                    )
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/events.parquet"
+        )
+        return str(path)
+
+    @pytest.fixture(scope="class")
+    def adv_emb(self, spark, tmp_path_factory):
+        """Tie-heavy scores (identical first coordinates across both
+        classes), an all-zero vector, tiny n — both classes present
+        (the documented domain: AUC/lift need a nonempty pos and
+        neg)."""
+        path = tmp_path_factory.mktemp("adv_emb")
+        rows = []
+        for i in range(14):
+            first = [0.25, 0.25, -0.125, 0.0][i % 4]  # heavy score ties
+            vec = [float(first)] + [
+                0.0 if (i + j) % 3 else 0.1 for j in range(63)
+            ]
+            if i == 13:
+                vec = [0.0] * 64  # all-zero vector
+            rows.append((i, vec, 9 if i % 3 == 0 else 1))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/embeddings.parquet"
+        )
+        return str(path)
+
+    @pytest.mark.parametrize(
+        "name",
+        EVENT_QUERIES,
+    )
+    def test_events_queries_match_oracle(self, spark, adv_events, name):
+        from easy_alterator_spark.queries import ORACLES
+
+        from .util import assert_df_matches_oracle
+
+        con = _duck_for(adv_events, ["events"])
+        df = QUERIES[name](spark, adv_events)
+        assert_df_matches_oracle(df, con, ORACLES[name], f"adv:{name}")
+
+    @pytest.mark.parametrize(
+        "name",
+        EMB_QUERIES,
+    )
+    def test_embedding_queries_match_oracle(self, spark, adv_emb, name):
+        from easy_alterator_spark.queries import ORACLES
+
+        from .util import assert_df_matches_oracle
+
+        con = _duck_for(adv_emb, ["embeddings"])
+        df = QUERIES[name](spark, adv_emb)
+        assert_df_matches_oracle(df, con, ORACLES[name], f"adv:{name}")
