@@ -768,3 +768,39 @@ class TestAdversarialFixtures:
         con = _duck_for(adv_emb, ["embeddings"])
         df = QUERIES[name](spark, adv_emb)
         assert_df_matches_oracle(df, con, ORACLES[name], f"adv:{name}")
+
+
+# ---------------------------------------------------------------------------
+# plan contracts: column pruning reaches the scans (the queries built
+# on rank.py's localCheckpoint-pinned decompositions are excluded —
+# the checkpoint truncates the visible plan — and are covered by the
+# registry-wide no-global-window contract in test_plans.py instead)
+# ---------------------------------------------------------------------------
+
+
+class TestEvalopsPlanContracts:
+    CASES = {
+        "stats_anova_f": ("event_type", {"event_type", "value"}),
+        "stats_mcnemar": (
+            "user_id",
+            {"user_id", "ts", "event_type", "value"},
+        ),
+        "stats_permutation_test": (
+            "event_id",
+            {"event_id", "event_type", "value"},
+        ),
+        "stats_jackknife_mean": ("event_id", {"event_id", "value"}),
+        "stats_cuped": ("user_id", {"user_id", "ts", "value"}),
+        "stats_did": ("user_id", {"user_id", "ts", "value"}),
+        "stats_power_mde": ("user_id", {"user_id", "value"}),
+        "events_holt_linear": ("user_id", {"user_id", "ts", "value"}),
+        "feature_woe_iv": ("source", {"source", "lang"}),
+        "eval_calibration_bins": ("embedding", {"embedding", "label"}),
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_scan_prunes_columns(self, spark, name):
+        from easy_alterator_spark.plans.audit import assert_reads_only
+
+        marker, allowed = self.CASES[name]
+        assert_reads_only(QUERIES[name](spark, SF), marker, allowed)
