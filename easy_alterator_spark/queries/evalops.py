@@ -1332,22 +1332,11 @@ def embedding_pca_power(spark, sf_dir):
 # events_holt_linear — recursive (level, trend) smoothing as a fold
 # ---------------------------------------------------------------------------
 
-@query(
-    "events_holt_linear",
-    # Holt's double exponential smoothing (alpha = beta = 1/2) as a
-    # LEFT FOLD with a TWO-ELEMENT ARRAY accumulator [level, trend]
-    # over each user's day-ordered spend series, in the FLATTENED
-    # form l' = 0.5*x + 0.5*(l + b), b' = 0.25*x - 0.25*l + 0.75*b
-    # (exactly-representable coefficients; no intra-step dependency,
-    # so no field references another field's fresh value). Both
-    # engines execute the identical IEEE op sequence over identical
-    # exact-cents inputs — bit-identical before the defensive grid.
-    # An array (not struct) accumulator is load-bearing for the
-    # oracle: DuckDB 1.0 list_reduce writes struct fields IN PLACE
-    # from the second application on, so a later field expression
-    # reading an earlier acc field sees the NEW value (probed
-    # directly; [l, b] lists evaluate correctly)
-    oracle=f"""
+_HOLT_SINK_SEQ = [0]
+
+# Shared by events_holt_linear and its streaming twin
+# stream_holt_linear — both must land on the identical rows.
+_HOLT_ORACLE = f"""
     WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
                       SUM({_CENTS})::BIGINT AS spend
                FROM events GROUP BY 1, 2),
@@ -1366,31 +1355,14 @@ def embedding_pca_power(spark, sf_dir):
            FLOOR(h[2] * 1e4) / 1e4 AS trend,
            FLOOR((h[1] + h[2]) * 1e4) / 1e4 AS fcst_next
     FROM f
-    """,
-)
-def events_holt_linear(spark, sf_dir):
-    """Holt's linear-trend (double exponential) smoothing of each
-    user's daily spend, alpha = beta = 1/2 — the level-plus-trend
-    recursive smoother behind short-horizon burn-rate forecasts,
-    extending events_ewma_smooth's single-state fold to a TWO-state
-    [level, trend] accumulator: l' = 0.5x + 0.5(l+b), b' = 0.25x -
-    0.25l + 0.75b (the substituted form of b' = 0.5(l'-l) + 0.5b —
-    flattened so neither state depends on the other's FRESH value,
-    which also dodges a DuckDB list_reduce struct-field in-place
-    hazard; see the oracle comment), forecast = level + trend. Both
-    engines fold the day-ordered list left-to-right seeded with
-    [x0, 0]; every coefficient is exactly representable and the op
-    sequence identical, so results agree bit-for-bit before the
-    defensive 1e-4 grid. Scale shape: per-user series are
-    calendar-bounded (~30 days here), so collect_list stays KB-sized
-    per key; one (user, day) aggregate + one user aggregate, no
-    window over raw events. The streaming form is the
-    stream_ewma_smooth recovery contract with this fold as the
-    finisher."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(_cents()).alias("spend"))
+    """
+
+
+def _holt_finish(d):
+    """(user_id, day, spend) -> the Holt output — shared by the batch
+    query and the streaming twin so both evaluate the identical fold
+    expression tree (the stream_ewma_smooth / _ewma_finish pattern in
+    queries/featureops.py)."""
     s = d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.array_sort(
@@ -1425,6 +1397,49 @@ def events_holt_linear(spark, sf_dir):
             / 1e4
         ).alias("fcst_next"),
     )
+
+
+@query(
+    "events_holt_linear",
+    # Holt's double exponential smoothing (alpha = beta = 1/2) as a
+    # LEFT FOLD with a TWO-ELEMENT ARRAY accumulator [level, trend]
+    # over each user's day-ordered spend series, in the FLATTENED
+    # form l' = 0.5*x + 0.5*(l + b), b' = 0.25*x - 0.25*l + 0.75*b
+    # (exactly-representable coefficients; no intra-step dependency,
+    # so no field references another field's fresh value). Both
+    # engines execute the identical IEEE op sequence over identical
+    # exact-cents inputs — bit-identical before the defensive grid.
+    # An array (not struct) accumulator is load-bearing for the
+    # oracle: DuckDB 1.0 list_reduce writes struct fields IN PLACE
+    # from the second application on, so a later field expression
+    # reading an earlier acc field sees the NEW value (probed
+    # directly; [l, b] lists evaluate correctly)
+    oracle=_HOLT_ORACLE,
+)
+def events_holt_linear(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of each
+    user's daily spend, alpha = beta = 1/2 — the level-plus-trend
+    recursive smoother behind short-horizon burn-rate forecasts,
+    extending events_ewma_smooth's single-state fold to a TWO-state
+    [level, trend] accumulator: l' = 0.5x + 0.5(l+b), b' = 0.25x -
+    0.25l + 0.75b (the substituted form of b' = 0.5(l'-l) + 0.5b —
+    flattened so neither state depends on the other's FRESH value,
+    which also dodges a DuckDB list_reduce struct-field in-place
+    hazard; see the oracle comment), forecast = level + trend. Both
+    engines fold the day-ordered list left-to-right seeded with
+    [x0, 0]; every coefficient is exactly representable and the op
+    sequence identical, so results agree bit-for-bit before the
+    defensive 1e-4 grid. Scale shape: per-user series are
+    calendar-bounded (~30 days here), so collect_list stays KB-sized
+    per key; one (user, day) aggregate + one user aggregate, no
+    window over raw events. The streaming form is the
+    stream_ewma_smooth recovery contract with this fold as the
+    finisher."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents()).alias("spend"))
+    return _holt_finish(d)
 
 
 # ---------------------------------------------------------------------------
@@ -1889,4 +1904,204 @@ def stats_power_mde(spark, sf_dir):
         )
         .cast("bigint")
         .alias("n_per_arm_1pct"),
+    )
+
+
+@query(
+    "stream_holt_linear",
+    # STREAMING twin of events_holt_linear, same batch oracle: the
+    # per-(user, day) spend is an update-mode stateful SUM with
+    # BOUNDED state (calendar-bounded rows per user) whose re-emits
+    # are monotone (cents are non-negative), so max(spend) over the
+    # sink recovers final state — the stream_ewma_smooth recovery
+    # contract — and the recovered daily table goes through the SAME
+    # _holt_finish fold as the batch query
+    oracle=_HOLT_ORACLE,
+)
+def stream_holt_linear(spark, sf_dir):
+    """Streaming Holt — the bounded-state streaming twin of
+    events_holt_linear, by the same recovery contract as
+    stream_ewma_smooth: the running (user, day) spend is an
+    update-mode stateful aggregate (state calendar-bounded per user;
+    a deployment watermarks days closed and evicts), re-emitted rows
+    are SUM-monotone over non-negative cents so max(spend) over the
+    memory sink recovers the final daily totals, and the recovered
+    table folds through the IDENTICAL two-state _holt_finish tree as
+    the batch query. The batch oracle gates both — any divergence
+    between micro-batched and whole-table daily accumulation fails
+    the value-hash."""
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    _HOLT_SINK_SEQ[0] += 1
+    name = f"stream_holt_linear_sink_{_HOLT_SINK_SEQ[0]}"
+    daily = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).alias("spend"))
+    )
+    run_to_memory(daily, name, output_mode="update", state_partitions=8)
+    d = (
+        spark.table(name)
+        .groupBy("user_id", "day")
+        .agg(F.max("spend").alias("spend"))
+    )
+    return _holt_finish(d)
+
+
+def _seq_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    return f"""
+    WITH t0 AS (SELECT user_id, CAST(ts AS DATE) AS day, {_CENTS} AS c
+                FROM events WHERE "value" IS NOT NULL),
+    src AS (SELECT user_id AS la, 9::BIGINT AS lb, day, c FROM t0),
+    {xxh64_long2_ctes('src')},
+    t AS (SELECT (h % 2)::INT AS arm, day, c FROM pf),
+    v AS (SELECT COUNT(*)::HUGEINT AS n, SUM(c)::HUGEINT AS s1,
+                 SUM(c::HUGEINT * c::HUGEINT) AS s2
+          FROM t),
+    d AS (SELECT day, arm, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s
+          FROM t GROUP BY day, arm),
+    p AS (SELECT day,
+                 MAX(CASE WHEN arm = 1 THEN n ELSE 0 END) AS nt,
+                 MAX(CASE WHEN arm = 0 THEN n ELSE 0 END) AS nc,
+                 MAX(CASE WHEN arm = 1 THEN s ELSE 0 END) AS st,
+                 MAX(CASE WHEN arm = 0 THEN s ELSE 0 END) AS sc
+          FROM d GROUP BY day),
+    cum AS (SELECT day,
+                   ROW_NUMBER() OVER (ORDER BY day) AS k,
+                   (SUM(nt) OVER (ORDER BY day))::BIGINT AS cnt,
+                   (SUM(nc) OVER (ORDER BY day))::BIGINT AS cnc,
+                   (SUM(st) OVER (ORDER BY day))::BIGINT AS cst,
+                   (SUM(sc) OVER (ORDER BY day))::BIGINT AS csc
+            FROM p),
+    kk AS (SELECT COUNT(*)::BIGINT AS total_looks FROM p)
+    SELECT cum.day, cum.k::BIGINT AS k, cum.cnt AS n_t, cum.cnc AS n_c,
+           cum.cst::DOUBLE / cum.cnt::DOUBLE
+               - cum.csc::DOUBLE / cum.cnc::DOUBLE AS cum_diff,
+           FLOOR((cum.cst::DOUBLE / cum.cnt::DOUBLE
+                  - cum.csc::DOUBLE / cum.cnc::DOUBLE)
+                 / SQRT(((v.n * v.s2 - v.s1 * v.s1)::DOUBLE
+                         / (v.n * (v.n - 1))::DOUBLE)
+                        * (1.0 / cum.cnt::DOUBLE + 1.0 / cum.cnc::DOUBLE))
+                 * 1e4 + 1e-6) / 1e4 AS z,
+           FLOOR(1.959964
+                 * SQRT(kk.total_looks::DOUBLE / cum.k::DOUBLE)
+                 * 1e4 + 1e-6) / 1e4 AS obf_boundary,
+           ABS(FLOOR((cum.cst::DOUBLE / cum.cnt::DOUBLE
+                      - cum.csc::DOUBLE / cum.cnc::DOUBLE)
+                     / SQRT(((v.n * v.s2 - v.s1 * v.s1)::DOUBLE
+                             / (v.n * (v.n - 1))::DOUBLE)
+                            * (1.0 / cum.cnt::DOUBLE
+                               + 1.0 / cum.cnc::DOUBLE))
+                     * 1e4 + 1e-6) / 1e4)
+               > FLOOR(1.959964
+                       * SQRT(kk.total_looks::DOUBLE / cum.k::DOUBLE)
+                       * 1e4 + 1e-6) / 1e4 AS crossed
+    FROM cum CROSS JOIN kk CROSS JOIN v
+    """
+
+
+@query(
+    "stats_sequential_obf",
+    # daily sequential monitor with O'Brien-Fleming spending: per-day
+    # per-arm exact integer sums, calendar-day-grained cumulative
+    # table (~30 rows — the global window runs over LOOKS, never
+    # data), pooled variance from exact int128/DECIMAL(38) moments,
+    # z and the OBF boundary z_.025 * sqrt(K/k) as fixed sqrt-bearing
+    # trees floor-gridded at 1e-4, `crossed` compared on the GRIDDED
+    # values so both engines decide the boundary identically
+    oracle=_seq_oracle(),
+)
+def stats_sequential_obf(spark, sf_dir):
+    """Sequential experiment monitor: after each calendar day, the
+    cumulative treatment-control z-score (deterministic hash arms —
+    the stats_cuped design) against the O'Brien-Fleming group-
+    sequential boundary z_{.025} * sqrt(K/k) — the always-monitoring
+    readout that lets an A/B platform peek daily without inflating
+    false positives (early looks need overwhelming evidence; the
+    final look reduces to the fixed-horizon test). Variance uses the
+    pooled known-variance approximation from exact DECIMAL(38)
+    moments (standard for large-n monitoring). Exactness: per-look
+    counts and sums are exact integers; z and the boundary are fixed
+    sqrt-bearing trees gridded at 1e-4, and the boundary comparison
+    runs on the GRIDDED doubles so both engines flag the same looks.
+    Shape: one (day, arm) hash aggregate, a ~30-row look table
+    (calendar-bounded — the cumulative window is look-grained, never
+    data-sized), one 3-value moment broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.pmod(
+            F.xxhash64(F.col("user_id"), F.lit(9).cast("long")), F.lit(2)
+        )
+        .cast("int")
+        .alias("arm"),
+        F.col("ts").cast("date").alias("day"),
+        _cents().alias("c"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = t.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("c"))).alias("s1"),
+        F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("s2"),
+    )
+    d = t.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    p = d.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("nt"),
+        F.max(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("nc"),
+        F.max(F.when(F.col("arm") == 1, F.col("s")).otherwise(0)).alias("st"),
+        F.max(F.when(F.col("arm") == 0, F.col("s")).otherwise(0)).alias("sc"),
+    )
+    # look-grained (~30 calendar days) global windows — never the data
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = p.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("nt").over(w).cast("bigint").alias("cnt"),
+        F.sum("nc").over(w).cast("bigint").alias("cnc"),
+        F.sum("st").over(w).cast("bigint").alias("cst"),
+        F.sum("sc").over(w).cast("bigint").alias("csc"),
+    )
+    kk = p.agg(F.count(F.lit(1)).cast("bigint").alias("total_looks"))
+    var = (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    diff = F.col("cst").cast("double") / F.col("cnt").cast("double") - F.col(
+        "csc"
+    ).cast("double") / F.col("cnc").cast("double")
+    se = F.sqrt(
+        var
+        * (
+            F.lit(1.0) / F.col("cnt").cast("double")
+            + F.lit(1.0) / F.col("cnc").cast("double")
+        )
+    )
+    zg = F.floor(diff / se * 1e4 + 1e-6) / 1e4
+    bg = (
+        F.floor(
+            F.lit(1.959964)
+            * F.sqrt(
+                F.col("total_looks").cast("double")
+                / F.col("k").cast("double")
+            )
+            * 1e4
+            + 1e-6
+        )
+        / 1e4
+    )
+    return (
+        cum.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "day",
+            "k",
+            F.col("cnt").alias("n_t"),
+            F.col("cnc").alias("n_c"),
+            diff.alias("cum_diff"),
+            zg.alias("z"),
+            bg.alias("obf_boundary"),
+            (F.abs(zg) > bg).alias("crossed"),
+        )
     )

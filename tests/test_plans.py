@@ -1204,6 +1204,9 @@ class TestNoGlobalWindowContract:
         # decile cut via rank.global_ntile; the only global window is
         # the cumulative-positives sum over the TEN-row decile table
         "eval_lift_cumgains": "10-row decile table",
+        # the cumulative window runs over the LOOK table — one row per
+        # calendar day (~30), never the data
+        "stats_sequential_obf": "calendar-day-grained look table",
         # risk table is per-DISTINCT-event-day: calendar-bounded
         "events_survival_km": "distinct-day risk table (calendar)",
         # rank over the item dimension (distinct $.k values)

@@ -804,3 +804,69 @@ class TestEvalopsPlanContracts:
 
         marker, allowed = self.CASES[name]
         assert_reads_only(QUERIES[name](spark, SF), marker, allowed)
+
+
+class TestSequentialObf:
+    def test_reference_and_boundary_semantics(self, spark, events_rows):
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.sources import load_table
+
+        ev = load_table(spark, SF, "events").filter(
+            F.col("value").isNotNull()
+        )
+        rows = ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+            F.pmod(
+                F.xxhash64(F.col("user_id"), F.lit(9).cast("long")),
+                F.lit(2),
+            ).alias("arm"),
+        ).collect()
+        n = len(rows)
+        s1 = sum(r["c"] for r in rows)
+        s2 = sum(r["c"] * r["c"] for r in rows)
+        var = (n * s2 - s1 * s1) / (n * (n - 1))
+        days = sorted({r["day"] for r in rows})
+        out = {
+            r["day"]: r
+            for r in QUERIES["stats_sequential_obf"](spark, SF).collect()
+        }
+        assert sorted(out) == days
+        cnt = cnc = cst = csc = 0
+        for k, day in enumerate(days, start=1):
+            cnt += sum(1 for r in rows if r["day"] == day and r["arm"] == 1)
+            cnc += sum(1 for r in rows if r["day"] == day and r["arm"] == 0)
+            cst += sum(
+                r["c"] for r in rows if r["day"] == day and r["arm"] == 1
+            )
+            csc += sum(
+                r["c"] for r in rows if r["day"] == day and r["arm"] == 0
+            )
+            r = out[day]
+            assert (r["k"], r["n_t"], r["n_c"]) == (k, cnt, cnc)
+            diff = cst / cnt - csc / cnc
+            z = diff / math.sqrt(var * (1 / cnt + 1 / cnc))
+            assert abs(r["z"] - z) < 2e-4
+            b = 1.959964 * math.sqrt(len(days) / k)
+            assert abs(r["obf_boundary"] - b) < 2e-4
+            assert r["crossed"] == (abs(r["z"]) > r["obf_boundary"])
+        # OBF boundaries decrease monotonically to ~z_alpha at the end
+        bs = [out[d]["obf_boundary"] for d in days]
+        assert all(a >= b for a, b in zip(bs, bs[1:]))
+        assert abs(bs[-1] - 1.9599) < 1e-3
+
+
+class TestStreamHoltTwin:
+    def test_stream_equals_batch(self, spark):
+        batch = {
+            r["user_id"]: r
+            for r in QUERIES["events_holt_linear"](spark, SF).collect()
+        }
+        stream = {
+            r["user_id"]: r
+            for r in QUERIES["stream_holt_linear"](spark, SF).collect()
+        }
+        assert batch.keys() == stream.keys()
+        for u in batch:
+            assert batch[u] == stream[u]
