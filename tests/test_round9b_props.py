@@ -1,0 +1,122 @@
+"""Randomized differential tests for the round-9 evalops family:
+seeded random inputs with adversarial distributions (tie-heavy
+values, NULL bursts, skewed user activity, clustered labels) written
+as parquet fixtures and checked against the DuckDB oracles under the
+driver-grade dtype-strict canon. Complements test_round9b_ops.py's
+hand fixtures — the random shapes explore tie/NULL interactions no
+fixed fixture pins.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+from easy_alterator_spark.queries import ORACLES, QUERIES, load_all
+
+from .util import assert_df_matches_oracle
+
+load_all()
+
+T0 = datetime(2024, 3, 1)
+SEEDS = [11, 271, 9001]
+
+EVENT_QUERIES = [
+    "stats_anova_f",
+    "stats_kruskal_wallis",
+    "stats_permutation_test",
+    "stats_jackknife_mean",
+    "stats_cuped",
+    "stats_did",
+    "stats_sequential_obf",
+    "events_holt_linear",
+]
+EMB_QUERIES = [
+    "eval_roc_auc",
+    "eval_pr_threshold",
+    "eval_lift_cumgains",
+    "ml_logreg_gd",
+]
+
+
+def _duck_for(path, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _random_events(spark, path, seed):
+    rng = random.Random(seed)
+    # tie-heavy value pool with NULLs and negatives-free cents
+    pool = [None, 0.0, 0.01, 1.0, 1.0, 2.5, 2.5, 2.5, 37.13, 201.99, 450.0]
+    types = ["purchase", "view", "click", "signup", "error"]
+    rows = []
+    eid = 0
+    n_users = rng.randint(25, 60)
+    for u in range(1, n_users + 1):
+        # skewed activity: a few heavy users, many light ones
+        n_ev = rng.choice([1, 2, 3, 5, 8, 40])
+        for _ in range(n_ev):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    T0 + timedelta(minutes=rng.randint(0, 60 * 24 * 21)),
+                    u,
+                    rng.choice(types),
+                    rng.choice(pool),
+                    "{}",
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _random_embeddings(spark, path, seed):
+    rng = random.Random(seed)
+    rows = []
+    n = rng.randint(20, 60)
+    for i in range(n):
+        # clustered scores with exact ties across both classes
+        first = rng.choice([-0.3, -0.1, 0.0, 0.0, 0.2, 0.2, 0.45])
+        vec = [first] + [
+            round(rng.uniform(-0.5, 0.5), 2) for _ in range(63)
+        ]
+        rows.append((i, [float(x) for x in vec], rng.randint(0, 9)))
+    # both classes must exist (documented domain of AUC/lift)
+    rows[0] = (rows[0][0], rows[0][1], 9)
+    rows[1] = (rows[1][0], rows[1][1], 0)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/embeddings.parquet"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_random_events_match_oracle(spark, tmp_path, seed, name):
+    _random_events(spark, tmp_path, seed)
+    con = _duck_for(tmp_path, ["events"])
+    df = QUERIES[name](spark, str(tmp_path))
+    assert_df_matches_oracle(df, con, ORACLES[name], f"rand{seed}:{name}")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_random_embeddings_match_oracle(spark, tmp_path, seed, name):
+    _random_embeddings(spark, tmp_path, seed)
+    con = _duck_for(tmp_path, ["embeddings"])
+    df = QUERIES[name](spark, str(tmp_path))
+    assert_df_matches_oracle(df, con, ORACLES[name], f"rand{seed}:{name}")
