@@ -2105,3 +2105,339 @@ def stats_sequential_obf(spark, sf_dir):
             (F.abs(zg) > bg).alias("crossed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# eval completion: average precision, Brier decomposition, conformal
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_average_precision",
+    # AP = SUM over descending thresholds of delta-recall * precision
+    # = SUM cp_k * tp_k / (P * (tp_k + fp_k)). Each term is ONE
+    # division of exact int products -> identical doubles, snapped to
+    # a 1e-12 integer grid BEFORE the sum (terms <= 1, so the scaled
+    # sum stays exact int64 far beyond this corpus), so the sum is
+    # order-free; the final AP is one exact-int division by 1e12
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS score,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    g AS (SELECT score, SUM(y)::BIGINT AS cp, SUM(1 - y)::BIGINT AS cn
+          FROM d GROUP BY score),
+    c AS (SELECT score, cp,
+                 (SUM(cp) OVER (ORDER BY score DESC))::BIGINT AS tp,
+                 (SUM(cn) OVER (ORDER BY score DESC))::BIGINT AS fp
+          FROM g),
+    t AS (SELECT SUM(cp)::BIGINT AS p FROM g),
+    terms AS (SELECT FLOOR((c.cp * c.tp)::DOUBLE
+                           / (t.p * (c.tp + c.fp))::DOUBLE
+                           * 1e12)::BIGINT AS t12,
+                     t.p
+              FROM c CROSS JOIN t WHERE c.cp > 0)
+    SELECT MAX(p)::BIGINT AS p_total, COUNT(*)::BIGINT AS n_steps,
+           SUM(t12)::DOUBLE / 1e12 AS average_precision
+    FROM terms
+    """,
+)
+def eval_average_precision(spark, sf_dir):
+    """Average precision (the area under the precision-recall curve
+    by the step-interpolation every ranking library reports) of the
+    linear-probe score — the single-number PR summary that pairs with
+    eval_roc_auc when positives are rare and ROC flatters. AP sums
+    delta-recall x precision over descending distinct thresholds;
+    each term cp*tp/(P*(tp+fp)) is ONE division of exact integer
+    products (identical cross-engine), snapped to a 1e-12 integer
+    grid BEFORE summation so no float accumulation order exists, and
+    the cumulative tp/fp come from rank.global_prefix_sum (no
+    single-reducer sort). Output is one row; the term table is
+    score-vocabulary-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("cp"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("cn"),
+    )
+    c = global_prefix_sum(
+        g, [F.col("score").desc()], ["cp", "cn"], ["tp", "fp"]
+    ).select("cp", "tp", "fp")
+    t = g.agg(F.sum("cp").cast("bigint").alias("p"))
+    t12 = F.floor(
+        (F.col("cp") * F.col("tp")).cast("double")
+        / (F.col("p") * (F.col("tp") + F.col("fp"))).cast("double")
+        * 1e12
+    ).cast("bigint")
+    terms = (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("cp") > 0)
+        .select(t12.alias("t12"), "p")
+    )
+    return terms.agg(
+        F.max("p").cast("bigint").alias("p_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        (F.sum("t12").cast("double") / F.lit(1e12)).alias(
+            "average_precision"
+        ),
+    )
+
+
+@query(
+    "eval_brier_decomposition",
+    # Brier score and its Murphy decomposition over the 10
+    # calibration bins, ALL-INTEGER until the final divisions: with
+    # micro-unit confidences p6 and binary labels, n*1e12*brier =
+    # SUM((p6 - y*1e6)^2) is an exact integer; reliability and
+    # resolution use the bins' exact integer (conf, rate) micro
+    # values; uncertainty = P*(N-P)/N^2 is exact-int operands
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS s,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d),
+    p AS (SELECT y,
+                 FLOOR((d.s - mm.lo)::DOUBLE / (mm.hi - mm.lo)::DOUBLE
+                       * 1e6)::BIGINT AS p6
+          FROM d CROSS JOIN mm),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS pos,
+                   SUM((p6 - y * 1000000) * (p6 - y * 1000000))::BIGINT
+                       AS sq
+            FROM p),
+    b AS (SELECT LEAST(p6 // 100000, 9) AS bin, COUNT(*)::BIGINT AS nb,
+                 SUM(y)::BIGINT AS npos, SUM(p6)::BIGINT AS sp6
+          FROM p GROUP BY 1),
+    bb AS (SELECT nb,
+                  FLOOR(sp6::DOUBLE / nb::DOUBLE)::BIGINT AS conf,
+                  FLOOR((npos * 1000000)::DOUBLE / nb::DOUBLE)::BIGINT
+                      AS rate
+           FROM b),
+    dec AS (SELECT SUM(nb * (conf - rate) * (conf - rate))::BIGINT AS rel,
+                   tot.n, tot.pos, tot.sq,
+                   SUM(nb * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
+                                          / tot.n::DOUBLE)::BIGINT)
+                          * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
+                                          / tot.n::DOUBLE)::BIGINT))
+                       ::BIGINT AS res
+            FROM bb CROSS JOIN tot GROUP BY tot.n, tot.pos, tot.sq)
+    SELECT n, pos,
+           sq::DOUBLE / (n::DOUBLE * 1e12) AS brier,
+           rel::DOUBLE / (n::DOUBLE * 1e12) AS reliability,
+           res::DOUBLE / (n::DOUBLE * 1e12) AS resolution,
+           (pos * (n - pos))::DOUBLE / (n * n)::DOUBLE AS uncertainty
+    FROM dec
+    """,
+)
+def eval_brier_decomposition(spark, sf_dir):
+    """Brier score of the min-max-normalized probe confidence against
+    the binary label, with the Murphy decomposition (reliability -
+    resolution + uncertainty) over the same 10 equal-width bins as
+    eval_calibration_bins — the proper-scoring-rule view of the same
+    question the reliability table answers visually. All-integer
+    core: confidences are micro-units, so n*1e12*brier =
+    SUM((p6 - y*1e6)^2) folds exactly in int64 (DECIMAL(38) at
+    corpus scale), reliability and resolution are exact integer sums
+    over the bins' micro (conf, rate) pairs, and uncertainty is
+    P*(N-P)/N^2 — every output one or two IEEE divisions of exact
+    integers. Shape: one min/max broadcast, one row-level aggregate,
+    one 10-bin aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("s"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    mm = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    p6 = F.floor(
+        (F.col("s") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+        * 1e6
+    ).cast("bigint")
+    p = d.crossJoin(F.broadcast(mm)).select(p6.alias("p6"), "y")
+    sq = (F.col("p6") - F.col("y") * 1000000)
+    tot = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(sq * sq).cast("bigint").alias("sq"),
+    )
+    b = p.groupBy(
+        F.least(F.floor(F.col("p6") / 100000), F.lit(9))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("y").cast("bigint").alias("npos"),
+        F.sum("p6").alias("sp6"),
+    )
+    conf = F.floor(
+        F.col("sp6").cast("double") / F.col("nb").cast("double")
+    ).cast("bigint")
+    rate = F.floor(
+        (F.col("npos") * 1000000).cast("double") / F.col("nb").cast("double")
+    ).cast("bigint")
+    bb = b.select("nb", conf.alias("conf"), rate.alias("rate"))
+    ybar = F.floor(
+        (F.col("pos") * 1000000).cast("double") / F.col("n").cast("double")
+    ).cast("bigint")
+    dec = (
+        bb.crossJoin(F.broadcast(tot))
+        .groupBy("n", "pos", "sq")
+        .agg(
+            F.sum(
+                F.col("nb")
+                * (F.col("conf") - F.col("rate"))
+                * (F.col("conf") - F.col("rate"))
+            )
+            .cast("bigint")
+            .alias("rel"),
+            F.sum(
+                F.col("nb") * (F.col("rate") - ybar) * (F.col("rate") - ybar)
+            )
+            .cast("bigint")
+            .alias("res"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return dec.select(
+        "n",
+        "pos",
+        (F.col("sq").cast("double") / (nd * 1e12)).alias("brier"),
+        (F.col("rel").cast("double") / (nd * 1e12)).alias("reliability"),
+        (F.col("res").cast("double") / (nd * 1e12)).alias("resolution"),
+        (
+            (F.col("pos") * (F.col("n") - F.col("pos"))).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("uncertainty"),
+    )
+
+
+def _conformal_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    return f"""
+    WITH e AS (SELECT vec_id, {_SCORE} AS s,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    src AS (SELECT vec_id AS la, 7::BIGINT AS lb, s, y FROM e),
+    {xxh64_long2_ctes('src')},
+    sp AS MATERIALIZED (SELECT (h % 2)::INT AS grp, s, y FROM pf),
+    mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM sp WHERE grp = 0),
+    nc AS MATERIALIZED (SELECT sp.grp,
+                  ABS(sp.y * 1000000
+                      - FLOOR((sp.s - mm.lo)::DOUBLE
+                              / (mm.hi - mm.lo)::DOUBLE * 1e6)::BIGINT)
+                      AS nonconf
+           FROM sp CROSS JOIN mm),
+    cal AS (SELECT nonconf, COUNT(*)::BIGINT AS c FROM nc
+            WHERE grp = 0 GROUP BY nonconf),
+    nn AS (SELECT SUM(c)::BIGINT AS n_cal FROM cal),
+    qi AS (SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS q_idx FROM nn),
+    cum AS (SELECT nonconf,
+                   (SUM(c) OVER (ORDER BY nonconf))::BIGINT AS cumc
+            FROM cal),
+    qh AS (SELECT MIN(cum.nonconf)::BIGINT AS q_hat
+           FROM cum CROSS JOIN qi WHERE cum.cumc >= qi.q_idx),
+    tst AS (SELECT COUNT(*)::BIGINT AS n_test,
+                   SUM(CASE WHEN nc.nonconf <= qh.q_hat
+                            THEN 1 ELSE 0 END)::BIGINT AS covered
+            FROM nc CROSS JOIN qh WHERE nc.grp = 1)
+    SELECT qi.n_cal, tst.n_test, qi.q_idx::BIGINT AS q_idx, qh.q_hat,
+           tst.covered::DOUBLE / tst.n_test::DOUBLE AS coverage,
+           0.9::DOUBLE AS target
+    FROM qi CROSS JOIN qh CROSS JOIN tst
+    """
+
+
+@query(
+    "eval_conformal_coverage",
+    # split-conformal calibration: deterministic hash split (bit0 of
+    # xxhash64(vec_id, 7), replayed in DuckDB), nonconformity
+    # |y*1e6 - p6| an exact integer (micro-unit confidence normalized
+    # by the CALIBRATION half's min/max only — no test leakage), the
+    # conformal quantile q_hat = the ceil(0.9*(n+1))-th order
+    # statistic via per-distinct-value counts + the distributed
+    # prefix sum (never a single-reducer sort), and coverage one
+    # exact-int division
+    oracle=_conformal_oracle(),
+)
+def eval_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction check for the probe classifier: the
+    calibration half's nonconformity scores (|label - confidence| in
+    micro-units) yield the distribution-free threshold q_hat at the
+    ceil(0.9*(n+1)) order statistic, and the held-out half's coverage
+    (fraction with nonconformity <= q_hat) must sit near the 90%
+    target regardless of the model being right — the
+    assumption-free uncertainty wrapper modern eval stacks put around
+    any scorer. Determinism: the split is bit0 of xxhash64(vec_id, 7)
+    replayed exactly in DuckDB; normalization uses calibration-only
+    min/max (one 2-value broadcast, no test leakage); nonconformities
+    are exact integers; the order statistic resolves through
+    per-distinct-value counts + rank.global_prefix_sum (the KS shape
+    — vocabulary-sized, no global sort); q_idx uses integer ceiling
+    division. Shape: two hash aggregates + a distinct-values cumsum +
+    1-row broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.pmod(
+            F.xxhash64(F.col("vec_id"), F.lit(7).cast("long")), F.lit(2)
+        )
+        .cast("int")
+        .alias("grp"),
+        _score().alias("s"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    mm = e.filter(F.col("grp") == 0).agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    p6 = F.floor(
+        (F.col("s") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+        * 1e6
+    ).cast("bigint")
+    nc = e.crossJoin(F.broadcast(mm)).select(
+        "grp", F.abs(F.col("y") * 1000000 - p6).alias("nonconf")
+    )
+    cal = (
+        nc.filter(F.col("grp") == 0)
+        .groupBy("nonconf")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qi = cal.agg(F.sum("c").cast("bigint").alias("n_cal")).select(
+        "n_cal",
+        F.expr("(9 * (n_cal + 1) + 9) div 10").cast("bigint").alias("q_idx"),
+    )
+    cum = global_prefix_sum(cal, ["nonconf"], "c", "cumc").select(
+        "nonconf", "cumc"
+    )
+    qh = (
+        cum.crossJoin(F.broadcast(qi))
+        .filter(F.col("cumc") >= F.col("q_idx"))
+        .agg(F.min("nonconf").cast("bigint").alias("q_hat"))
+    )
+    tst = (
+        nc.filter(F.col("grp") == 1)
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("nonconf") <= F.col("q_hat"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        qi.crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_cal",
+            "n_test",
+            "q_idx",
+            "q_hat",
+            (
+                F.col("covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+            F.lit(0.9).alias("target"),
+        )
+    )

@@ -870,3 +870,87 @@ class TestStreamHoltTwin:
         assert batch.keys() == stream.keys()
         for u in batch:
             assert batch[u] == stream[u]
+
+
+class TestEvalCompletion:
+    def test_average_precision_reference(self, spark, emb_rows):
+        pairs = [(_score(e), 1 if lab >= 5 else 0) for _, e, lab in emb_rows]
+        p_total = sum(y for _, y in pairs)
+        from collections import Counter
+
+        cp = Counter(s for s, y in pairs if y)
+        cn = Counter(s for s, y in pairs if not y)
+        tp = fp = 0
+        ap = 0
+        for s in sorted(set(cp) | set(cn), reverse=True):
+            tp += cp[s]
+            fp += cn[s]
+            if cp[s]:
+                ap += math.floor(cp[s] * tp / (p_total * (tp + fp)) * 1e12)
+        row = QUERIES["eval_average_precision"](spark, SF).collect()[0]
+        assert row["p_total"] == p_total
+        assert row["average_precision"] == ap / 1e12
+        # AP of a weak scorer sits near the positive base rate
+        base = p_total / len(pairs)
+        assert 0.5 * base < row["average_precision"] < min(1.0, 3 * base)
+
+    def test_brier_reference_and_identity(self, spark, emb_rows):
+        scores = [_score(e) for _, e, _ in emb_rows]
+        ys = [1 if lab >= 5 else 0 for _, _, lab in emb_rows]
+        lo, hi = min(scores), max(scores)
+        p6s = [
+            math.floor((s - lo) / (hi - lo) * 1e6) for s in scores
+        ]
+        n = len(ys)
+        sq = sum((p - y * 1000000) ** 2 for p, y in zip(p6s, ys))
+        row = QUERIES["eval_brier_decomposition"](spark, SF).collect()[0]
+        assert row["n"] == n and row["pos"] == sum(ys)
+        assert row["brier"] == sq / (n * 1e12)  # exact integers
+        ybar = sum(ys) / n
+        assert abs(row["uncertainty"] - ybar * (1 - ybar)) < 1e-12
+        # Murphy identity holds up to within-bin variance of the
+        # confidences (binned decomposition), comfortably < 0.02 here
+        ident = row["reliability"] - row["resolution"] + row["uncertainty"]
+        assert abs(row["brier"] - ident) < 0.02
+
+    def test_conformal_reference_and_guarantee(self, spark, emb_rows):
+        from pyspark.sql import functions as F
+
+        from easy_alterator_spark.sources import load_table
+
+        grp = {
+            r["vec_id"]: r["g"]
+            for r in load_table(spark, SF, "embeddings")
+            .select(
+                "vec_id",
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.lit(7).cast("long")),
+                    F.lit(2),
+                ).alias("g"),
+            )
+            .collect()
+        }
+        cal_s = [
+            _score(e) for vid, e, _ in emb_rows if grp[vid] == 0
+        ]
+        lo, hi = min(cal_s), max(cal_s)
+
+        def nonconf(vid, e, lab):
+            p6 = math.floor(
+                (_score(e) - lo) / (hi - lo) * 1e6
+            )
+            return abs((1 if lab >= 5 else 0) * 1000000 - p6)
+
+        cal = sorted(
+            nonconf(v, e, lab) for v, e, lab in emb_rows if grp[v] == 0
+        )
+        tst = [nonconf(v, e, lab) for v, e, lab in emb_rows if grp[v] == 1]
+        q_idx = -(-9 * (len(cal) + 1) // 10)  # ceil(0.9*(n+1))
+        q_hat = cal[q_idx - 1]
+        cov = sum(1 for x in tst if x <= q_hat) / len(tst)
+        row = QUERIES["eval_conformal_coverage"](spark, SF).collect()[0]
+        assert (row["n_cal"], row["n_test"]) == (len(cal), len(tst))
+        assert (row["q_idx"], row["q_hat"]) == (q_idx, q_hat)
+        assert row["coverage"] == cov
+        # the distribution-free guarantee, with finite-sample slack
+        assert row["coverage"] > 0.8
