@@ -11,7 +11,7 @@ Coverage (stated as of round 9): the union of CORRECTNESS_r01-r08
 driver stamps covers all 257 queries that carried oracles through
 round 8 (262 registered). Round 9 adds exact oracles to dedup_simhash
 (xxhash64 replayed in DuckDB, queries/_xxh64_sql.py) and
-bpe_train_merges (chained-CTE merge-loop replay), plus 22 NEW
+bpe_train_merges (chained-CTE merge-loop replay), plus 23 NEW
 oracle-bearing queries (queries/evalops.py: classifier evaluation,
 k-group experiment stats, GD-trained logistic regression, PCA power
 iteration, Holt smoothing, WOE/IV feature screening, CUPED), so 274
@@ -25,8 +25,8 @@ whose code or oracle CHANGED this round, then the flagship as
 standing re-verification, then — oldest stamp first — to green
 queries whose newest driver stamp has aged the most, so no
 oracle-bearing query's latest stamp falls more than a few rounds
-behind. The 22 new round-9 queries take the slots that round-8
-planning had reserved for the tail of the r02-stale rotation; the 22
+behind. The 23 new round-9 queries take the slots that round-8
+planning had reserved for the tail of the r02-stale rotation; the 23
 displaced r02-stale entries (all green since r02, unchanged since)
 lead the r10 window instead.
 """
@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-9 rotation (policy in the module docstring):
-# (a0) the 22 queries NEW this round (queries/evalops.py) — never
+# (a0) the 23 queries NEW this round (queries/evalops.py) — never
 # stamped before, so they outrank every re-verification;
 # (a) the 14 queries whose code or oracle CHANGED this round — the
 # rank.global_* decompositions (rfm, lorenz, zipf, spearman, ks, mwu),
@@ -62,9 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEW oracles (dedup_simhash via the DuckDB xxhash64 replay,
 # bpe_train_merges via the merge-loop replay);
 # (b) the flagship pipeline as standing re-verification;
-# (c) the first 13 of the 33 remaining r02-stale queries (newest
+# (c) the first 12 of the 33 remaining r02-stale queries (newest
 # stamp CORRECTNESS_r02; dedup_simhash, the 34th, is already in (a));
-# the last 20 — plus the 2 r03-stale that round-8 planning had slotted
+# the last 21 — plus the 2 r03-stale that round-8 planning had slotted
 # — are displaced by (a0) and lead the r10 window.
 # The 3 ddl_* rows-only entries stay out of the window.
 # The full window re-ran green through tools/driver_sim (dtype-strict,
@@ -93,6 +93,7 @@ _PRIORITY = [
     "eval_average_precision",
     "eval_brier_decomposition",
     "eval_conformal_coverage",
+    "stats_wilson_ci",
     # --- (a) round-9 changed code or oracles ---
     "stats_spearman",
     "stats_ks_test",

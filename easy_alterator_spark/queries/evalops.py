@@ -2441,3 +2441,79 @@ def eval_conformal_coverage(spark, sf_dir):
             F.lit(0.9).alias("target"),
         )
     )
+
+
+@query(
+    "stats_wilson_ci",
+    # Wilson 95% interval for each event type's big-value rate: with
+    # exact integer (n, k), p_hat = k/n is one division; the center
+    # and half-width are fixed sqrt-bearing IEEE trees over (n, k)
+    # and the z constant, written identically on both engines and
+    # floor-gridded at 1e-6 (+1e-6 nudge dwarfs libm noise)
+    oracle="""
+    WITH g AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                      SUM(CASE WHEN "value" > 100 THEN 1 ELSE 0 END)::BIGINT
+                          AS k
+               FROM events WHERE "value" IS NOT NULL
+               GROUP BY event_type)
+    SELECT event_type, n, k,
+           k::DOUBLE / n::DOUBLE AS p_hat,
+           FLOOR(((k::DOUBLE / n::DOUBLE + 1.959964 * 1.959964
+                       / (2 * n::DOUBLE))
+                  - 1.959964 * SQRT((k::DOUBLE / n::DOUBLE)
+                                    * (1 - k::DOUBLE / n::DOUBLE)
+                                    / n::DOUBLE
+                                    + 1.959964 * 1.959964
+                                      / (4 * n::DOUBLE * n::DOUBLE)))
+                 / (1 + 1.959964 * 1.959964 / n::DOUBLE) * 1e6 + 1e-6)
+               / 1e6 AS wilson_lo,
+           FLOOR(((k::DOUBLE / n::DOUBLE + 1.959964 * 1.959964
+                       / (2 * n::DOUBLE))
+                  + 1.959964 * SQRT((k::DOUBLE / n::DOUBLE)
+                                    * (1 - k::DOUBLE / n::DOUBLE)
+                                    / n::DOUBLE
+                                    + 1.959964 * 1.959964
+                                      / (4 * n::DOUBLE * n::DOUBLE)))
+                 / (1 + 1.959964 * 1.959964 / n::DOUBLE) * 1e6 + 1e-6)
+               / 1e6 AS wilson_hi
+    FROM g
+    """,
+)
+def stats_wilson_ci(spark, sf_dir):
+    """Wilson 95% confidence interval for each event type's
+    big-value rate (value > 100) — the error bars every rate metric
+    (CTR, conversion, defect rate) should carry instead of the
+    Wald interval that collapses at extreme rates or small n (Wilson
+    stays inside [0, 1] and never degenerates at k = 0 or k = n).
+    Exactness: (n, k) are exact integers; p_hat is one division; the
+    center and half-width are fixed sqrt-bearing IEEE trees over
+    (n, k, z) written identically on both engines, floor-gridded at
+    1e-6. Shape: ONE map-side-partial hash aggregate to k rows — the
+    cheapest distributed shape."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    ph = F.col("k").cast("double") / nd
+    z = F.lit(1.959964)
+    center = ph + z * z / (2 * nd)
+    half = z * F.sqrt(
+        ph * (F.lit(1) - ph) / nd + z * z / (4 * nd * nd)
+    )
+    denom = F.lit(1) + z * z / nd
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        ph.alias("p_hat"),
+        (F.floor((center - half) / denom * 1e6 + 1e-6) / 1e6).alias(
+            "wilson_lo"
+        ),
+        (F.floor((center + half) / denom * 1e6 + 1e-6) / 1e6).alias(
+            "wilson_hi"
+        ),
+    )

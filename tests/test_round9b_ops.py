@@ -954,3 +954,29 @@ class TestEvalCompletion:
         assert row["coverage"] == cov
         # the distribution-free guarantee, with finite-sample slack
         assert row["coverage"] > 0.8
+
+
+class TestWilsonCi:
+    def test_reference_and_containment(self, spark, events_rows):
+        groups = {}
+        for _, _, t, v, _ in events_rows:
+            if v is not None:
+                n, k = groups.get(t, (0, 0))
+                groups[t] = (n + 1, k + (1 if v > 100 else 0))
+        out = {
+            r["event_type"]: r
+            for r in QUERIES["stats_wilson_ci"](spark, SF).collect()
+        }
+        assert set(out) == set(groups)
+        z = 1.959964
+        for t, (n, k) in groups.items():
+            r = out[t]
+            assert (r["n"], r["k"]) == (n, k)
+            ph = k / n
+            center = ph + z * z / (2 * n)
+            half = z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+            denom = 1 + z * z / n
+            assert abs(r["wilson_lo"] - (center - half) / denom) < 2e-6
+            assert abs(r["wilson_hi"] - (center + half) / denom) < 2e-6
+            # Wilson containment properties
+            assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
