@@ -40,6 +40,9 @@ def main() -> None:
     # warm the JVM/codegen paths outside the timed region
     QUERIES["q01_scan_project"](spark, sf_dir).collect()
 
+    host_cal = _host_calibration(spark)
+    shuffle_cal = _shuffle_calibration(spark)
+
     per_query: dict[str, float] = {}
     for name in sorted(set(QUERIES) - NO_BENCH):
         # one untimed warm-up execution per query: JIT-compiles the
@@ -78,12 +81,67 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     summary = summarize(per_query, sf)
+    summary["host_calibration_sec"] = host_cal
+    summary["shuffle_calibration_sec"] = shuffle_cal
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": per_query}, f, indent=1)
     print(json.dumps(summary))
+
+
+def _host_calibration(spark) -> float:
+    """Fixed pure-JVM workload timed best-of-3: 3e7 xxhash64 rows
+    hashed and summed through whole-stage codegen. The SAME work every
+    run, so the number calibrates the HOST, not the engine — this
+    shared VM's throughput swings by multiples across hours with zero
+    guest-visible steal (round 9 control: the round-start commit
+    re-measured 12.8-15.2 s on a query it had committed at 7.5 s).
+    Readers should normalize per-query times by the ratio of this
+    number across runs before calling anything a regression.
+    Reference: ~0.55 s on this VM in a fast window."""
+    import time as _t
+
+    def once() -> float:
+        t0 = _t.perf_counter()
+        spark.range(30_000_000).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).collect()
+        return _t.perf_counter() - t0
+
+    once()  # warm the codegen path
+    return round(min(once() for _ in range(3)), 3)
+
+
+def _shuffle_calibration(spark) -> float:
+    """Fixed shuffle-round-trip workload timed best-of-3: 1e7 rows
+    through a 64-partition hash exchange and a keyed aggregate — many
+    short tasks across two stages, the shape that is sensitive to the
+    hypervisor's thread-wakeup latency where _host_calibration's one
+    long stage is not. The round-9 slowdown investigation showed the
+    two dimensions move independently: CPU calibration 0.49 s (fast
+    window) while shuffle-heavy queries ran 1.5-2x slow; comparing
+    BOTH numbers across runs tells which kind of window a run got.
+    Reference: ~0.6-0.9 s on this VM in a fast window."""
+    import time as _t
+
+    from pyspark.sql import functions as _F
+
+    def once() -> float:
+        t0 = _t.perf_counter()
+        (
+            spark.range(10_000_000)
+            .repartition(64, _F.col("id"))
+            .groupBy(_F.pmod(_F.col("id"), _F.lit(997)).alias("k"))
+            .count()
+            .agg(_F.sum("count"))
+            .collect()
+        )
+        return _t.perf_counter() - t0
+
+    once()  # warm
+    return round(min(once() for _ in range(3)), 3)
 
 
 def summarize(per_query: dict[str, float], sf: str) -> dict:
