@@ -7,17 +7,13 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage (stated as of round 9): the union of CORRECTNESS_r01-r08
-driver stamps covers all 257 queries that carried oracles through
-round 8 (262 registered). Round 9 adds exact oracles to dedup_simhash
-(xxhash64 replayed in DuckDB, queries/_xxh64_sql.py) and
-bpe_train_merges (chained-CTE merge-loop replay), plus 23 NEW
-oracle-bearing queries (queries/evalops.py: classifier evaluation,
-k-group experiment stats, GD-trained logistic regression, PCA power
-iteration, Holt smoothing, WOE/IV feature screening, CUPED), so 274
-of 277 registered queries carry oracles; only the three ddl_* fixture
-queries stay rows-only by design (their inputs are DDL text, not the
-relational tables).
+Coverage (stated as of round 10): 288 registered queries, 285 with
+oracles; the union of CORRECTNESS_r01-r09 driver stamps is green for
+all 282 queries that carried oracles through round 9, and the 3 NEW
+round-10 queries (events_cusum_changepoint, stats_theilsen_trend,
+text_pmi_pairs) are oracle-gated and lead this round's window. Only
+the three ddl_* fixture queries stay rows-only by design (their
+inputs are DDL text, not the relational tables).
 
 Rotation policy (the driver checks the FIRST 50 entries of queries()
 order each round): every slot goes first to queries that are NEW or
@@ -25,10 +21,9 @@ whose code or oracle CHANGED this round, then the flagship as
 standing re-verification, then — oldest stamp first — to green
 queries whose newest driver stamp has aged the most, so no
 oracle-bearing query's latest stamp falls more than a few rounds
-behind. The 23 new round-9 queries take the slots that round-8
-planning had reserved for the tail of the r02-stale rotation; the 23
-displaced r02-stale entries (all green since r02, unchanged since)
-lead the r10 window instead.
+behind. tests/test_round10_audit.py enforces this structurally: any
+oracle-bearing query whose newest stamp is older than K=7 rounds must
+sit inside the current 50-slot window or the suite fails.
 """
 
 from __future__ import annotations
@@ -51,79 +46,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-9 rotation (policy in the module docstring):
-# (a0) the 23 queries NEW this round (queries/evalops.py) — never
-# stamped before, so they outrank every re-verification;
-# (a) the 14 queries whose code or oracle CHANGED this round — the
-# rank.global_* decompositions (rfm, lorenz, zipf, spearman, ks, mwu),
-# the scale-safe graph/recsys variants (degree-oriented triangles,
-# capped cooccur), the 1e-12-gridded Dirichlet sum, the +1e-6 nudge
-# retrofits (user_entropy + its stream twin, readability), and the two
-# NEW oracles (dedup_simhash via the DuckDB xxhash64 replay,
-# bpe_train_merges via the merge-loop replay);
+# order. Round-10 rotation (policy in the module docstring):
+# (a) the 3 queries NEW this round (events_cusum_changepoint,
+# stats_theilsen_trend, text_pmi_pairs) and the 8 whose code or
+# oracle CHANGED — events_rolling_7d (signed-event prefix-sum
+# decomposition replacing the quadratic sliding RANGE frame, found by
+# the r10 hot-user rehearsal), graph_triangles (per-user 256-item cap
+# on the upstream pair build, identical in the oracle), the three
+# min-max-normalized eval queries (hi = lo degenerate guard pinning
+# p6 = 0 on both engines), and the DECIMAL(38)/HUGEINT overflow-proof
+# folds (embedding_pca_power's covariance numerator;
+# eval_brier_decomposition's three squared sums; ml_logreg_gd/_eval
+# share the retrained-on-mtime memo fix);
 # (b) the flagship pipeline as standing re-verification;
-# (c) the first 12 of the 33 remaining r02-stale queries (newest
-# stamp CORRECTNESS_r02; dedup_simhash, the 34th, is already in (a));
-# the last 21 — plus the 2 r03-stale that round-8 planning had slotted
-# — are displaced by (a0) and lead the r10 window.
+# (c) the remaining 20 r02-stale queries (newest stamp
+# CORRECTNESS_r02 — the tail round-9's new-query burst displaced;
+# events_rolling_7d, the 21st, moved to (a) by its change);
+# (d) the 18 oldest r03-stale queries (alphabetical within the equal
+# stamp age), filling to exactly 50. The 28 r03-stale left over
+# (q05..q30, split_leakage_guard, text_boilerplate) lead the r11
+# window; tests/test_round10_audit.py fails the suite if any of them
+# is still out-of-window while stale beyond K=7 rounds.
 # The 3 ddl_* rows-only entries stay out of the window.
 # The full window re-ran green through tools/driver_sim (dtype-strict,
 # pandas-fetched like the driver) at sf0.01 before commit.
 _PRIORITY = [
-    # --- (a0) new this round: queries/evalops.py ---
-    "eval_roc_auc",
+    # --- (a) round-10 NEW queries and changed code or oracles ---
+    "events_cusum_changepoint",
+    "stats_theilsen_trend",
+    "text_pmi_pairs",
+    "events_rolling_7d",
+    "graph_triangles",
     "eval_calibration_bins",
-    "eval_pr_threshold",
-    "eval_lift_cumgains",
-    "stats_anova_f",
-    "stats_kruskal_wallis",
-    "stats_mcnemar",
-    "stats_permutation_test",
-    "stats_jackknife_mean",
-    "ml_logreg_gd",
-    "ml_logreg_eval",
-    "embedding_pca_power",
-    "events_holt_linear",
-    "feature_woe_iv",
-    "stats_cuped",
-    "stats_did",
-    "stats_power_mde",
-    "stream_holt_linear",
-    "stats_sequential_obf",
-    "eval_average_precision",
     "eval_brier_decomposition",
     "eval_conformal_coverage",
-    "stats_wilson_ci",
-    # --- (a) round-9 changed code or oracles ---
-    "stats_spearman",
-    "stats_ks_test",
-    "stats_mannwhitney",
-    "events_rfm_segments",
-    "events_lorenz_deciles",
-    "text_zipf_fit",
-    "rec_item_cooccur",
-    "graph_triangles",
-    "search_lm_dirichlet",
-    "events_user_entropy",
-    "stream_user_entropy",
-    "text_readability",
-    "dedup_simhash",
-    "bpe_train_merges",
+    "embedding_pca_power",
+    "ml_logreg_gd",
+    "ml_logreg_eval",
     # --- (b) flagship standing re-verification ---
     "pipeline_training_corpus",
-    # --- (c) all remaining r02-stale stamps ---
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "corpus_stats",
-    "decontaminate_ngram",
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "doc_chunk_split",
-    "doc_pack_sequences",
+    # --- (c) the 20 remaining r02-stale stamps ---
     "doc_sample_split",
     "events_asof_join",
     "events_funnel",
@@ -131,7 +93,6 @@ _PRIORITY = [
     "events_latest_by_key",
     "events_outliers",
     "events_range_join",
-    "events_rolling_7d",
     "events_sessionize",
     "layout_zorder",
     "stats_quantiles",
@@ -145,24 +106,31 @@ _PRIORITY = [
     "text_token_stats",
     "tfidf_top_terms",
     "vocab_topk",
-    # --- (d) oldest r03-stale, filling to 50 ---
+    # --- (d) the 18 oldest r03-stale, filling to exactly 50 ---
     "agg_incremental_merge",
     "corpus_entropy",
-    # --- below the fold: everything else already driver-green ---
-    "eval_lang_id_report",
-    "eval_kappa",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "decontaminate_bloom",
-    "cluster_kmeans",
-    "graph_pagerank",
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "search_hybrid_rrf",
-    "search_bm25",
-    "index_postings",
-    "multimodal_exact_dedup",
-    *[f"q{i:02d}" for i in range(1, 44)],  # name-prefix match below
+    "corpus_overlap_minhash",
+    "dedup_keep_best",
+    "dedup_robust_keep_best",
+    "dedup_threshold_sweep",
+    "doc_lm_score",
+    "doc_nb_classify",
+    "embedding_quantize_report",
+    "events_anomaly_mad",
+    "events_scd2",
+    "graph_edge_support",
+    "privacy_k_anonymity",
+    "profile_key_skew",
+    "q01_scan_project",
+    "q02_filter",
+    "q03_inner_join",
+    "q04_full_outer",
+    # --- below the fold: the 28 r03-stale that lead the r11 window ---
+    *[f"q{i:02d}" for i in range(5, 31)],  # name-prefix match below
+    "split_leakage_guard",
+    "text_boilerplate",
+    # --- then everything else already driver-green ---
+    *[f"q{i:02d}" for i in range(31, 44)],
 ]
 
 

@@ -111,30 +111,91 @@ def pivot_event_counts(spark, sf_dir):
     # CAST(floor(epoch(ts)) ...) not epoch(ts)::BIGINT: DuckDB's cast
     # ROUNDS fractional seconds while Spark's ts.cast('long') TRUNCATES
     # — with sub-second micros in every timestamp, rounding would shift
-    # ~half the RANGE-frame order keys by 1s vs the Spark side
+    # ~half the range keys by 1s vs the Spark side.
+    # Signed-event decomposition (r10): each event contributes +cents
+    # at its second s and -cents at s + 604801 (first second outside
+    # the trailing frame [t-604800, t]); the rolling sum at second t is
+    # then the per-user RUNNING total of the signed deltas — a
+    # cumulative frame both engines compute incrementally, instead of
+    # the sliding RANGE frame Spark re-aggregates per row (O(n*frame):
+    # measured 33 s on the genu10 hot-user corpus vs ~2 s decomposed).
+    # Exact int64 cents make the regrouped addition order-free;
+    # NULL-valued events contribute 0 by convention, identically here
     oracle="""
-    SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS roll_sum
-    FROM events WHERE user_id < 20
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS k,
+                      COALESCE(FLOOR(value * 100 + 0.5)::BIGINT, 0) AS c
+               FROM events WHERE user_id < 20),
+    sgn AS (SELECT user_id, event_id, k, c FROM e
+            UNION ALL
+            SELECT user_id, NULL, k + 604801, -c FROM e),
+    run AS (SELECT user_id, event_id,
+                   (SUM(c) OVER (PARTITION BY user_id ORDER BY k
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))::BIGINT AS rc
+            FROM sgn)
+    SELECT user_id, event_id, rc::DOUBLE / 100.0 AS roll_sum
+    FROM run WHERE event_id IS NOT NULL
     """,
 )
 def events_rolling_7d(spark, sf_dir):
-    """7-day rolling sum of value per user — a RANGE-frame window over
-    epoch seconds (time-based, not row-based: all peer rows at the
-    same timestamp aggregate identically). One shuffle on user_id;
-    state per partition is the frame, never the whole history."""
+    """7-day rolling sum of value per user — time-based (RANGE-frame
+    semantics: all peer rows at the same second aggregate identically),
+    computed by the SIGNED-EVENT decomposition instead of a sliding
+    frame: every event contributes +cents at its second and -cents at
+    the first second past the trailing window; the rolling sum at an
+    event's second is then the per-user RUNNING (unbounded-preceding
+    RANGE) total over the signed rows — peers at the same second share
+    the frame, so the original (+) rows read their answer directly and
+    the synthetic (-) rows are filtered out after the window. No join
+    back, no regrouping: ONE shuffle on user_id.
+
+    Why not `RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW` directly:
+    Spark's sliding aggregate frames have no retraction — every row
+    re-aggregates its whole frame, O(n * frame_size) per user, which
+    the r10 hot-user rehearsal measured at 33 s on genu10 (one bot
+    user holding ~68k events) vs ~2 s for this decomposition; the
+    running frame both engines maintain incrementally. Exact integer
+    cents make the reordered addition order-free cross-engine, and the
+    final /100.0 is one IEEE division of identical ints. NULL-valued
+    events contribute 0 (an all-NULL frame reports 0.0 rather than
+    NULL — the decomposition convention, identical in the oracle).
+    Shape: one union (2n rows), one user-keyed shuffle, one
+    incremental window pass, one filter — every step linear."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-604800, 0)
-    )
-    return ev.select(
+    e = ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("roll_sum"),
+        F.col("ts").cast("long").alias("k"),
+        F.coalesce(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint"), F.lit(0)
+        ).alias("c"),
+    )
+    sgn = e.unionByName(
+        e.select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            (F.col("k") + 604801).alias("k"),
+            (-F.col("c")).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        sgn.select(
+            "user_id",
+            "event_id",
+            F.sum("c").over(w).cast("bigint").alias("rc"),
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("rc").cast("double") / 100.0).alias("roll_sum"),
+        )
     )
 
 

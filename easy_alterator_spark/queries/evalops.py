@@ -30,6 +30,8 @@ label structure, so the metric surfaces are non-degenerate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -52,6 +54,22 @@ def _score() -> F.Column:
 
 def _cls() -> F.Column:
     return F.when(F.col("label") >= 5, "pos").otherwise("neg")
+
+
+def _p6_minmax() -> F.Column:
+    """Micro-unit min-max confidence FLOOR((s-lo)/(hi-lo)*1e6) with
+    the all-scores-tie guard: when hi = lo the division is 0/0 and
+    Spark's non-ANSI FLOOR(NaN)->BIGINT cast (0) diverges from
+    DuckDB's (error/NULL), so both engines pin p6 = 0 explicitly —
+    the deterministic all-mass-in-bin-0 convention, mirrored by a
+    CASE WHEN in every oracle that uses this column."""
+    return F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            (F.col("s") - F.col("lo")).cast("double")
+            / (F.col("hi") - F.col("lo")).cast("double")
+            * 1e6
+        ).cast("bigint")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -123,15 +141,21 @@ def eval_roc_auc(spark, sf_dir):
     # units p6 = FLOOR(p * 1e6) BEFORE any aggregation, so every
     # output is integer arithmetic: bin = p6 // 100000 (int division),
     # per-bin mean confidence FLOOR(SUM(p6)/n), observed rate
-    # FLOOR(n_pos*1e6/n), gap = ABS difference of the two BIGINTs
+    # FLOOR(n_pos*1e6/n), gap = ABS difference of the two BIGINTs.
+    # Degenerate guard: when ALL scores tie (hi = lo) the min-max
+    # division is 0/0 — Spark's non-ANSI FLOOR(NaN) cast and DuckDB's
+    # diverge, so BOTH engines pin p6 = 0 explicitly (all mass in
+    # bin 0, the deterministic convention)
     oracle=f"""
     WITH d AS (SELECT {_SCORE} AS s,
                       CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
                FROM embeddings),
     mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d),
     p AS (SELECT y,
-                 FLOOR((d.s - mm.lo)::DOUBLE / (mm.hi - mm.lo)::DOUBLE
-                       * 1e6)::BIGINT AS p6
+                 CASE WHEN mm.hi = mm.lo THEN 0
+                      ELSE FLOOR((d.s - mm.lo)::DOUBLE
+                                 / (mm.hi - mm.lo)::DOUBLE
+                                 * 1e6)::BIGINT END AS p6
           FROM d CROSS JOIN mm),
     b AS (SELECT LEAST(p6 // 100000, 9) AS bin, COUNT(*)::BIGINT AS n,
                  SUM(y)::BIGINT AS n_pos, SUM(p6)::BIGINT AS sp6
@@ -164,11 +188,7 @@ def eval_calibration_bins(spark, sf_dir):
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
     )
     mm = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
-    p6 = F.floor(
-        (F.col("s") - F.col("lo")).cast("double")
-        / (F.col("hi") - F.col("lo")).cast("double")
-        * 1e6
-    ).cast("bigint")
+    p6 = _p6_minmax()
     b = (
         d.crossJoin(F.broadcast(mm))
         .select(p6.alias("p6"), "y")
@@ -997,15 +1017,27 @@ def _logreg_grad(xy, w):
     )
 
 
-# (sf_dir) -> (w_after_E-1_epochs, n): the trained-probe memo. The
-# training is deterministic in the input path's data, so ml_logreg_gd
-# and ml_logreg_eval share one training run per corpus per process —
-# the offline-codebook discipline (see cluster_kmeans / ivf_centroids)
-# applied to weights. Keyed by sf_dir only: fixture paths are
-# immutable within a session (driver fixtures and pytest tmp dirs
-# alike). The xy frame is NOT memoized — localCheckpoints are
-# session-scoped and each query call re-derives its own.
-_LOGREG_MEMO: dict[str, tuple[list, int]] = {}
+# memo-key -> (w_after_E-1_epochs, n): the trained-probe memo. The
+# training is deterministic in the input DATA, so ml_logreg_gd and
+# ml_logreg_eval share one training run per corpus per process — the
+# offline-codebook discipline (see cluster_kmeans / ivf_centroids)
+# applied to weights. Keyed on (realpath, st_mtime_ns) of the
+# embeddings parquet — the _SCHEMA_CACHE discipline in
+# sources/tables.py — so a fixture REWRITTEN at the same path in the
+# same process retrains instead of silently reusing stale weights.
+# When the path is not stat-able the memo is bypassed entirely. The
+# xy frame is NOT memoized — localCheckpoints are session-scoped and
+# each query call re-derives its own.
+_LOGREG_MEMO: dict[tuple[str, int], tuple[list, int]] = {}
+
+
+def _logreg_memo_key(sf_dir):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (os.path.realpath(path), st.st_mtime_ns)
 
 
 def _logreg_weights(spark, sf_dir):
@@ -1016,8 +1048,9 @@ def _logreg_weights(spark, sf_dir):
     corpus path (deterministic, so recomputation is pure waste when
     ml_logreg_gd and ml_logreg_eval run in one session)."""
     xy = _logreg_xy(spark, sf_dir).localCheckpoint(eager=True)
-    if sf_dir in _LOGREG_MEMO:
-        w, n = _LOGREG_MEMO[sf_dir]
+    key = _logreg_memo_key(sf_dir)
+    if key is not None and key in _LOGREG_MEMO:
+        w, n = _LOGREG_MEMO[key]
         return list(w), n, xy
     n = xy.count()
     w = [0.0] * _LOGREG_DIMS
@@ -1029,7 +1062,8 @@ def _logreg_weights(spark, sf_dir):
             w[d] - 0.5 * (float(grad.get(d, 0)) / float(n * 10000000000))
             for d in range(_LOGREG_DIMS)
         ]
-    _LOGREG_MEMO[sf_dir] = (list(w), n)
+    if key is not None:
+        _LOGREG_MEMO[key] = (list(w), n)
     return w, n, xy
 
 
@@ -1179,10 +1213,11 @@ def _pca_oracle() -> str:
     mu AS (SELECT i, SUM(xi)::BIGINT AS m FROM e1 GROUP BY i),
     nn AS (SELECT COUNT(*)::BIGINT AS n FROM v),
     cm AS (SELECT m8.i, m8.j,
-                  (nn.n * m8.s - a.m * b.m)::BIGINT AS c
+                  (nn.n::HUGEINT * m8.s::HUGEINT
+                   - a.m::HUGEINT * b.m::HUGEINT) AS c
            FROM m8 JOIN mu a ON a.i = m8.i JOIN mu b ON b.i = m8.j
            CROSS JOIN nn),
-    tr AS (SELECT SUM(c)::BIGINT AS t FROM cm WHERE i = j),
+    tr AS (SELECT SUM(c) AS t FROM cm WHERE i = j),
     v0 AS (SELECT unnest(range(64))::BIGINT AS dim, 0.125::DOUBLE AS vv)"""
     steps = []
     for s in range(1, _POWER_ITERS + 1):
@@ -1214,7 +1249,8 @@ def _pca_oracle() -> str:
 @query(
     "embedding_pca_power",
     # covariance numerator C[i,j] = n*SUM(xi*xj) - SUM(xi)*SUM(xj) is
-    # EXACT int64 over the 1e-4-gridded features (= n^2 * cov, a
+    # EXACT in DECIMAL(38)/HUGEINT over the 1e-4-gridded features
+    # (int64 wraps around n ~ 1e5-1e7; = n^2 * cov, a
     # positive rescale power iteration is invariant to); every
     # mat-vec entry snaps, u_i = SUM_j FLOOR(C[i,j] * v_j), so the
     # 64-term sums are exact integers; normalization is by the exact
@@ -1241,7 +1277,14 @@ def embedding_pca_power(spark, sf_dir):
     aggregate (n*d^2 exploded rows, map-side partial combine; the
     matrix itself is 4096 rows — KBs), each iteration a
     broadcast-sized join-aggregate over it, no driver-side algebra,
-    no collect. Determinism: exact-int64 covariance numerator,
+    no collect. Determinism: exact DECIMAL(38)/HUGEINT covariance
+    numerator (int64 would wrap silently around n ~ 1e5-1e7 at this
+    grid). Residual int64 site: the mat-vec's per-entry FLOOR snap,
+    exact while max|C| < 2^63; past that the documented scale path
+    is dividing C by a fixed power of two before iterating (power
+    iteration is invariant to positive rescale, and the oracle would
+    apply the identical shift), which keeps the snap in-range
+    without changing the algorithm. Exact-int
     per-entry product snapping, exact-integer max normalization (see
     the oracle comment). At 100 TB the moment aggregate is one pass;
     for d too large for d^2 explode, the same plan runs on a
@@ -1266,15 +1309,18 @@ def embedding_pca_power(spark, sf_dir):
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("s") - F.col("ma") * F.col("mb"))
-            .cast("bigint")
-            .alias("c"),
+            # n*s - ma*mb wraps int64 around n ~ 1e5-1e7 at the 1e4
+            # grid; fold in decimal(38,0) (HUGEINT on the oracle
+            # side, the stats_cuped device) so the stored matrix
+            # stays exact at corpus scale instead of wrapping
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("s")
+                - F.col("ma").cast("decimal(38,0)") * F.col("mb")
+            ).alias("c"),
         )
         .localCheckpoint(eager=True)  # reused by every iteration
     )
-    tr = cm.filter(F.col("i") == F.col("j")).agg(
-        F.sum("c").cast("bigint").alias("t")
-    )
+    tr = cm.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("t"))
     v = None  # v0 is the constant 1/8 vector (unit L2 norm at d=64)
     m = None
     for _ in range(_POWER_ITERS):
@@ -2198,12 +2244,14 @@ def eval_average_precision(spark, sf_dir):
                FROM embeddings),
     mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d),
     p AS (SELECT y,
-                 FLOOR((d.s - mm.lo)::DOUBLE / (mm.hi - mm.lo)::DOUBLE
-                       * 1e6)::BIGINT AS p6
+                 CASE WHEN mm.hi = mm.lo THEN 0
+                      ELSE FLOOR((d.s - mm.lo)::DOUBLE
+                                 / (mm.hi - mm.lo)::DOUBLE
+                                 * 1e6)::BIGINT END AS p6
           FROM d CROSS JOIN mm),
     tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS pos,
-                   SUM((p6 - y * 1000000) * (p6 - y * 1000000))::BIGINT
-                       AS sq
+                   SUM((p6 - y * 1000000)::HUGEINT
+                       * (p6 - y * 1000000)::HUGEINT) AS sq
             FROM p),
     b AS (SELECT LEAST(p6 // 100000, 9) AS bin, COUNT(*)::BIGINT AS nb,
                  SUM(y)::BIGINT AS npos, SUM(p6)::BIGINT AS sp6
@@ -2213,13 +2261,15 @@ def eval_average_precision(spark, sf_dir):
                   FLOOR((npos * 1000000)::DOUBLE / nb::DOUBLE)::BIGINT
                       AS rate
            FROM b),
-    dec AS (SELECT SUM(nb * (conf - rate) * (conf - rate))::BIGINT AS rel,
+    dec AS (SELECT SUM(nb::HUGEINT * (conf - rate)::HUGEINT
+                       * (conf - rate)::HUGEINT) AS rel,
                    tot.n, tot.pos, tot.sq,
-                   SUM(nb * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
-                                          / tot.n::DOUBLE)::BIGINT)
-                          * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
-                                          / tot.n::DOUBLE)::BIGINT))
-                       ::BIGINT AS res
+                   SUM(nb::HUGEINT
+                       * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
+                                       / tot.n::DOUBLE)::BIGINT)::HUGEINT
+                       * (rate - FLOOR((tot.pos * 1000000)::DOUBLE
+                                       / tot.n::DOUBLE)::BIGINT)::HUGEINT)
+                       AS res
             FROM bb CROSS JOIN tot GROUP BY tot.n, tot.pos, tot.sq)
     SELECT n, pos,
            sq::DOUBLE / (n::DOUBLE * 1e12) AS brier,
@@ -2236,9 +2286,11 @@ def eval_brier_decomposition(spark, sf_dir):
     eval_calibration_bins — the proper-scoring-rule view of the same
     question the reliability table answers visually. All-integer
     core: confidences are micro-units, so n*1e12*brier =
-    SUM((p6 - y*1e6)^2) folds exactly in int64 (DECIMAL(38) at
-    corpus scale), reliability and resolution are exact integer sums
-    over the bins' micro (conf, rate) pairs, and uncertainty is
+    SUM((p6 - y*1e6)^2) folds exactly in DECIMAL(38,0) (HUGEINT on
+    the oracle side — int64 would wrap silently past ~9e6 rows, the
+    stats_cuped device), reliability and resolution are exact
+    DECIMAL(38) sums over the bins' micro (conf, rate) pairs, and
+    uncertainty is
     P*(N-P)/N^2 — every output one or two IEEE divisions of exact
     integers. Shape: one min/max broadcast, one row-level aggregate,
     one 10-bin aggregate."""
@@ -2248,17 +2300,17 @@ def eval_brier_decomposition(spark, sf_dir):
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
     )
     mm = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
-    p6 = F.floor(
-        (F.col("s") - F.col("lo")).cast("double")
-        / (F.col("hi") - F.col("lo")).cast("double")
-        * 1e6
-    ).cast("bigint")
+    p6 = _p6_minmax()
     p = d.crossJoin(F.broadcast(mm)).select(p6.alias("p6"), "y")
+    # per-row term <= 1e12 fits int64, but the SUM wraps past ~9e6
+    # rows — fold in decimal(38,0) (HUGEINT on the oracle side), the
+    # stats_cuped / stats_power_mde device, so corpus scale stays
+    # exact instead of wrapping silently
     sq = (F.col("p6") - F.col("y") * 1000000)
     tot = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
-        F.sum(sq * sq).cast("bigint").alias("sq"),
+        F.sum((sq * sq).cast("decimal(38,0)")).alias("sq"),
     )
     b = p.groupBy(
         F.least(F.floor(F.col("p6") / 100000), F.lit(9))
@@ -2284,17 +2336,15 @@ def eval_brier_decomposition(spark, sf_dir):
         .groupBy("n", "pos", "sq")
         .agg(
             F.sum(
-                F.col("nb")
+                F.col("nb").cast("decimal(38,0)")
                 * (F.col("conf") - F.col("rate"))
                 * (F.col("conf") - F.col("rate"))
-            )
-            .cast("bigint")
-            .alias("rel"),
+            ).alias("rel"),
             F.sum(
-                F.col("nb") * (F.col("rate") - ybar) * (F.col("rate") - ybar)
-            )
-            .cast("bigint")
-            .alias("res"),
+                F.col("nb").cast("decimal(38,0)")
+                * (F.col("rate") - ybar)
+                * (F.col("rate") - ybar)
+            ).alias("res"),
         )
     )
     nd = F.col("n").cast("double")
@@ -2324,8 +2374,10 @@ def _conformal_oracle() -> str:
     mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM sp WHERE grp = 0),
     nc AS MATERIALIZED (SELECT sp.grp,
                   ABS(sp.y * 1000000
-                      - FLOOR((sp.s - mm.lo)::DOUBLE
-                              / (mm.hi - mm.lo)::DOUBLE * 1e6)::BIGINT)
+                      - CASE WHEN mm.hi = mm.lo THEN 0
+                             ELSE FLOOR((sp.s - mm.lo)::DOUBLE
+                                        / (mm.hi - mm.lo)::DOUBLE
+                                        * 1e6)::BIGINT END)
                       AS nonconf
            FROM sp CROSS JOIN mm),
     cal AS (SELECT nonconf, COUNT(*)::BIGINT AS c FROM nc
@@ -2389,13 +2441,12 @@ def eval_conformal_coverage(spark, sf_dir):
     mm = e.filter(F.col("grp") == 0).agg(
         F.min("s").alias("lo"), F.max("s").alias("hi")
     )
-    p6 = F.floor(
-        (F.col("s") - F.col("lo")).cast("double")
-        / (F.col("hi") - F.col("lo")).cast("double")
-        * 1e6
-    ).cast("bigint")
+    # _p6_minmax carries the hi = lo degenerate guard: if every
+    # CALIBRATION-half score ties (possible on small corpora even
+    # with varied test scores), both engines pin p6 = 0 instead of
+    # diverging on FLOOR(NaN)
     nc = e.crossJoin(F.broadcast(mm)).select(
-        "grp", F.abs(F.col("y") * 1000000 - p6).alias("nonconf")
+        "grp", F.abs(F.col("y") * 1000000 - _p6_minmax()).alias("nonconf")
     )
     cal = (
         nc.filter(F.col("grp") == 0)
@@ -2516,4 +2567,158 @@ def stats_wilson_ci(spark, sf_dir):
         (F.floor((center + half) / denom * 1e6 + 1e-6) / 1e6).alias(
             "wilson_hi"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — CUSUM drift monitor over the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cusum_changepoint",
+    # CUSUM against the series' own mean, kept EXACT by clearing the
+    # denominator: C_k = sum_{i<=k}(x_i - S/D) is rescaled to
+    # D*C_k = D*prefix_k - k*S, an exact integer (folded in
+    # HUGEINT/DECIMAL(38) so corpus-scale prefixes cannot wrap). The
+    # changepoint flag compares exact integers (|num| = max|num|), so
+    # both engines pick the identical peak day. The cumulative window
+    # runs over the CALENDAR-day table (~30 rows), never the data
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, SUM({_CENTS})::BIGINT AS x
+               FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+    t AS (SELECT COUNT(*)::HUGEINT AS dd, SUM(x)::HUGEINT AS s FROM d),
+    c AS (SELECT day, x,
+                 (SUM(x) OVER (ORDER BY day))::HUGEINT AS pre,
+                 ROW_NUMBER() OVER (ORDER BY day)::HUGEINT AS k
+          FROM d),
+    m AS (SELECT c.day, c.x, (t.dd * c.pre - c.k * t.s) AS num
+          FROM c CROSS JOIN t),
+    mx AS (SELECT MAX(ABS(num)) AS mab FROM m)
+    SELECT m.day, m.x AS day_cents, m.num::BIGINT AS cusum_num,
+           (ABS(m.num) = mx.mab) AS is_peak
+    FROM m CROSS JOIN mx
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scan over the daily spend series — the
+    classic drift monitor (Page's cumulative sum against the global
+    mean): the day where |CUSUM| peaks is the estimated level-shift
+    point, the statistic behind data-freshness and metric-drift
+    alerts. Exactness device: instead of subtracting the float mean
+    S/D per day, the cumulative deviation is cleared of its
+    denominator — D*C_k = D*prefix_k - k*S — and folded in
+    DECIMAL(38)/HUGEINT, so the peak day is an exact-integer argmax
+    both engines resolve identically (no float accumulation order
+    anywhere; only the FINAL cast to BIGINT leaves the exact domain,
+    after the comparison). Shape: one data-sized hash aggregate to
+    calendar days, then a ~30-row cumulative window (ALLOWED-listed:
+    look-grained, never the data), a 1-row total and a 1-row max
+    broadcast. At 100 TB the day table is still calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).cast("bigint").alias("x"))
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("dd"),
+        F.sum(d38(F.col("x"))).alias("s"),
+    )
+    # look-grained (~30 calendar days) global windows — never the data
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        "x",
+        F.sum(d38(F.col("x"))).over(w).alias("pre"),
+        d38(F.row_number().over(Window.orderBy("day"))).alias("k"),
+    )
+    m = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        "x",
+        (F.col("dd") * F.col("pre") - F.col("k") * F.col("s")).alias("num"),
+    )
+    mx = m.agg(F.max(F.abs(F.col("num"))).alias("mab"))
+    return m.crossJoin(F.broadcast(mx)).select(
+        "day",
+        F.col("x").alias("day_cents"),
+        F.col("num").cast("bigint").alias("cusum_num"),
+        (F.abs(F.col("num")) == F.col("mab")).alias("is_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_theilsen_trend — robust slope of the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_theilsen_trend",
+    # Theil-Sen: the (lower) median of all C(D,2) pairwise slopes of
+    # the daily series. Each slope is ONE IEEE division of exact
+    # integers (cents delta / day delta) -> bit-identical doubles on
+    # both engines, so the order statistic (row_number over slope
+    # with (d1, d2) tiebreak) selects the identical pair. The pair
+    # table is C(days, 2) — calendar-bounded (~435 at 30 days), never
+    # data-sized
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, SUM({_CENTS})::BIGINT AS y
+               FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+    p AS (SELECT a.day AS d1, b.day AS d2,
+                 (b.y - a.y)::DOUBLE
+                     / date_diff('day', a.day, b.day)::DOUBLE AS slope
+          FROM d a JOIN d b ON a.day < b.day),
+    n AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM p),
+    r AS (SELECT slope,
+                 ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rk
+          FROM p)
+    SELECT (SELECT COUNT(*) FROM d)::BIGINT AS n_days,
+           n.n_pairs,
+           r.slope AS sen_slope
+    FROM r CROSS JOIN n
+    WHERE r.rk = (n.n_pairs + 1) // 2
+    """,
+)
+def stats_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust trend estimate of the daily spend series: the
+    median of all pairwise slopes — the slope estimator that tolerates
+    ~29% outlier days where OLS breaks, the standard robust trend for
+    metric monitoring. Every pairwise slope is a single IEEE division
+    of exact integers (cents difference over an integer day gap), so
+    both engines hold bit-identical doubles and the median — the
+    lower-median order statistic with a (d1, d2) tiebreak — selects
+    the identical pair with no grid needed. Shape: one data-sized hash
+    aggregate to calendar days; the pair self-join and its rank window
+    are C(days,2)-sized — calendar-bounded (~435 rows at 30 days,
+    ~6.6M at a 10-year retention), NEVER a function of event count;
+    ALLOWED-listed for the plan contract on that bound."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).cast("bigint").alias("y"))
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = d.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
+    p = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1",
+        "d2",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope"),
+    )
+    n = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # pair-table (C(days,2), calendar-bounded) rank window
+    r = p.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "d1", "d2"))
+        .alias("rk"),
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", "n_pairs", F.col("slope").alias("sen_slope"))
     )

@@ -566,11 +566,20 @@ def rec_item_cooccur(spark, sf_dir):
     # triangles over the above-average co-visitation graph: edge set =
     # item pairs with co*n_pairs > sum_co (integer cross-multiply, no
     # float threshold); count via the oriented two-join (a<b<c), then
-    # explode each triangle to its three corners for per-node counts
+    # explode each triangle to its three corners for per-node counts.
+    # The pair build caps each user at their 256 most-active items
+    # (identical cap, identical tie-break as rec_item_cooccur) so a
+    # hot user cannot explode the upstream self-join quadratically.
     oracle="""
-    WITH ui AS (SELECT DISTINCT user_id,
-                       json_extract_string(props, '$.k')::INT AS item
-                FROM events),
+    WITH uic AS (SELECT user_id,
+                        json_extract_string(props, '$.k')::INT AS item,
+                        COUNT(*)::BIGINT AS n_ev
+                 FROM events GROUP BY 1, 2),
+    ui AS (SELECT user_id, item FROM (
+               SELECT user_id, item,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY n_ev DESC, item) AS rn
+               FROM uic) WHERE rn <= 256),
     co AS (SELECT a.item AS u, b.item AS v, COUNT(*)::BIGINT AS co
            FROM ui a JOIN ui b
              ON a.user_id = b.user_id AND a.item < b.item
@@ -611,11 +620,33 @@ def graph_triangles(spark, sf_dir):
     back via two broadcasts (node table is dimension-sized; at
     corpus scale swap for sort-merge on the edge key — still
     key-partitioned). Per-node counts explode each triangle to its
-    three corners — output-sized work."""
+    three corners — output-sized work.
+
+    The UPSTREAM co-visitation pair build is bounded the same way
+    rec_item_cooccur's is: each user contributes only their 256
+    most-active items (row_number over (n_ev DESC, item) — the
+    identical cap and tie-break, applied identically in the oracle),
+    so the per-user self-join emits at most 256^2/2 pairs per user.
+    Without it, a hot user (a bot touching 1e5 distinct items) would
+    emit 5e9 pairs BEFORE the mean-co edge threshold can prune
+    anything — the one input axis the r9 degree orientation (which
+    bounds the downstream wedge join) did not cover. The fixture max
+    is 67 items/user, so the cap binds only on pathological inputs;
+    when it does bind it changes co-counts only for such bot-grade
+    users, the standard production mitigation."""
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.select(
-        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
-    ).distinct()
+    uic = ev.groupBy(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    wcap = Window.partitionBy("user_id").orderBy(
+        F.col("n_ev").desc(), F.col("item")
+    )
+    ui = (
+        uic.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 256)
+        .select("user_id", "item")
+    )
     aa, bb = ui.alias("a"), ui.alias("b")
     co = (
         aa.join(
@@ -2476,4 +2507,117 @@ def stats_brown_forsythe(spark, sf_dir):
         F.when(F.col("ssw3") == 0, F.lit(None).cast("double"))
         .otherwise(F.floor(f * 1e4 + 1e-6) / 1e4)
         .alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_pairs — pointwise mutual information of co-occurring tokens
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_pmi_pairs",
+    # document-level PMI: with N docs, c_a = docs containing a,
+    # c_ab = docs containing both, pmi = ln(N*c_ab / (c_a*c_b)).
+    # The ln argument is ONE division of exact integers -> identical
+    # doubles; the ln output floor-grids at 1e-4 with the +1e-6 nudge
+    # (the herdan_c device). Membership in the output is decided by
+    # INTEGER support alone (c_ab >= 10). The per-doc token set is
+    # CAPPED at the 64 highest-tf tokens (tf DESC, token ASC — the
+    # rec_item_cooccur cap device) so the pair explode is bounded at
+    # 64^2/2 per doc no matter how wide a real document's vocabulary
+    # is; the cap is applied identically in this oracle
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DTOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, term),
+    capped AS (SELECT doc_id, term FROM (
+                 SELECT doc_id, term,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY tf DESC, term) AS rn
+                 FROM tf) WHERE rn <= 64),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    ca AS (SELECT term, COUNT(*)::BIGINT AS c FROM capped GROUP BY term),
+    cab AS (SELECT a.term AS term_a, b.term AS term_b,
+                   COUNT(*)::BIGINT AS c_ab
+            FROM capped a JOIN capped b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2)
+    SELECT cab.term_a, cab.term_b, cab.c_ab, x.c AS c_a, y.c AS c_b,
+           FLOOR(ln((nn.n * cab.c_ab)::DOUBLE / (x.c * y.c)::DOUBLE)
+                 * 1e4 + 1e-6) / 1e4 AS pmi
+    FROM cab JOIN ca x ON cab.term_a = x.term
+             JOIN ca y ON cab.term_b = y.term
+             CROSS JOIN nn
+    WHERE cab.c_ab >= 10
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Document-level pointwise mutual information of token pairs —
+    the collocation / association primitive behind phrase mining and
+    embedding-training diagnostics: pmi(a,b) = ln(N*c_ab / (c_a*c_b))
+    over per-doc distinct-token sets, emitted for every pair with
+    support c_ab >= 10 (INTEGER membership — no float decides the row
+    set). Exactness: counts are exact int64, the ln argument is one
+    IEEE division of exact integers (identical doubles cross-engine),
+    and the ln output floor-grids at 1e-4 with the +1e-6 nudge — the
+    repo's standard libm discipline. Scale design: the per-doc token
+    set is capped at the 64 highest-tf tokens (tf DESC, token ASC —
+    the same cap device as rec_item_cooccur / graph_triangles, and
+    identical in the oracle), bounding the per-doc pair explode at
+    64^2/2 regardless of document width; pair counts hash-aggregate
+    with map-side combine (vocab^2-bounded, support-filtered); the
+    unigram-count joins are broadcast at fixture scale and stated
+    sort-merge-on-term at a 100 TB vocabulary."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wcap = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("term")
+    )
+    capped = (
+        tf.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 64)
+        .select("doc_id", "term")
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ca = capped.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cab = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 10)
+    )
+    x = ca.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    y = ca.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    return (
+        cab.join(F.broadcast(x), "term_a")
+        .join(F.broadcast(y), "term_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n") * F.col("c_ab")).cast("double")
+                        / (F.col("c_a") * F.col("c_b")).cast("double")
+                    )
+                    * 1e4
+                    + 1e-6
+                )
+                / 1e4
+            ).alias("pmi"),
+        )
     )

@@ -1207,6 +1207,11 @@ class TestNoGlobalWindowContract:
         # the cumulative window runs over the LOOK table — one row per
         # calendar day (~30), never the data
         "stats_sequential_obf": "calendar-day-grained look table",
+        # CUSUM prefix + peak over the calendar-day table (~30 rows)
+        "events_cusum_changepoint": "calendar-day-grained look table",
+        # median-slope rank over the C(days,2) pair table (~435 rows
+        # at 30 days; calendar-bounded, never a function of events)
+        "stats_theilsen_trend": "C(days,2) calendar-bounded pair table",
         # risk table is per-DISTINCT-event-day: calendar-bounded
         "events_survival_km": "distinct-day risk table (calendar)",
         # rank over the item dimension (distinct $.k values)

@@ -463,3 +463,211 @@ class TestDriftGateIngest:
                 assert r.psi is None
             else:
                 assert r.psi == want_psi and r.psi > 0.25
+
+
+class TestStateSizeContracts:
+    """State-store row-count contracts (r9 verdict task 6): the batch
+    side has a registry-wide no-global-window plan contract; this is
+    the streaming equivalent. Each stateful twin is drained over >= 3
+    micro-batches (time-ordered file splits, maxFilesPerTrigger=1) and
+    every batch's stateOperators numRowsTotal must stay within its
+    documented bound:
+
+    - latest_by_key / running_user_totals: KEY CARDINALITY (one state
+      row per user, forever — the materialized-view contract; no
+      watermark, nothing evicted).
+    - holt daily aggregate: key-cardinality at (user, day) grain.
+    - view_click stream-stream join: WATERMARK WINDOW — both sides
+      evict below watermark(2h) + gap(1h), so state is bounded by the
+      view/click rows above the horizon, never the stream length.
+    - session windows: WATERMARK WINDOW — closed sessions evict, so
+      state rows <= events above watermark(1h) + gap(30m) horizon
+      (each open-session state row contains >= 1 retained event).
+    """
+
+    N_SPLITS = 4
+
+    @pytest.fixture(scope="class")
+    def split_dir(self, tmp_path_factory):
+        """sf0.001 events, sorted by ts, split into 4 contiguous
+        time-ranged files (one micro-batch each under
+        maxFilesPerTrigger=1; file source orders by mtime, so write
+        them oldest-first)."""
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("ev_splits")
+        t = pq.read_table(f"{SF}/events.parquet")
+        pdf = t.to_pandas().sort_values("ts").reset_index(drop=True)
+        n = len(pdf)
+        step = (n + self.N_SPLITS - 1) // self.N_SPLITS
+        chunks = []
+        for i in range(self.N_SPLITS):
+            chunk = pdf.iloc[i * step : (i + 1) * step]
+            import pyarrow as pa
+
+            pq.write_table(
+                pa.Table.from_pandas(chunk, schema=t.schema, preserve_index=False),
+                str(d / f"part-{i}.parquet"),
+            )
+            _time.sleep(0.05)  # distinct mtimes -> deterministic order
+            chunks.append(chunk)
+        return str(d), chunks
+
+    def _stream(self, spark, path):
+        from easy_alterator_spark.streaming.events import _EVENTS_RAW_SCHEMA
+
+        return (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(path)
+        )
+
+    def _drain_with_progress(self, stream, name, mode):
+        """availableNow drain returning per-batch total state rows."""
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        progress = list(q.recentProgress)
+        q.stop()
+        out = []
+        for p in progress:
+            ops = p.get("stateOperators") or []
+            if ops:
+                out.append(sum(op["numRowsTotal"] for op in ops))
+        return out
+
+    def test_latest_by_key_state_bounded_by_keys(self, spark, split_dir):
+        from easy_alterator_spark.streaming.events import latest_by_key_stream
+
+        path, chunks = split_dir
+        import pandas as pd
+
+        n_users = pd.concat(chunks)["user_id"].nunique()
+        rows = self._drain_with_progress(
+            latest_by_key_stream(self._stream(spark, path)),
+            "t_state_latest",
+            "update",
+        )
+        assert len(rows) >= 3
+        # bound: one state row per key, across EVERY micro-batch
+        assert all(r <= n_users for r in rows), (rows, n_users)
+        # and the final batch holds exactly the key count
+        assert rows[-1] == n_users
+
+    def test_running_totals_state_bounded_by_keys(self, spark, split_dir):
+        from easy_alterator_spark.streaming.events import running_user_totals
+
+        path, chunks = split_dir
+        import pandas as pd
+
+        n_users = pd.concat(chunks)["user_id"].nunique()
+        rows = self._drain_with_progress(
+            running_user_totals(self._stream(spark, path)),
+            "t_state_running",
+            "update",
+        )
+        assert len(rows) >= 3
+        assert all(r <= n_users for r in rows), (rows, n_users)
+
+    def test_holt_daily_state_bounded_by_user_days(self, spark, split_dir):
+        path, chunks = split_dir
+        import pandas as pd
+
+        all_pdf = pd.concat(chunks)
+        n_user_days = (
+            all_pdf.assign(day=all_pdf["ts"].dt.date)[["user_id", "day"]]
+            .drop_duplicates()
+            .shape[0]
+        )
+        daily = (
+            self._stream(spark, path)
+            .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.count("*").alias("n"))
+        )
+        rows = self._drain_with_progress(daily, "t_state_holt", "update")
+        assert len(rows) >= 3
+        assert all(r <= n_user_days for r in rows), (rows, n_user_days)
+        assert rows[-1] == n_user_days
+
+    @staticmethod
+    def _horizon_bound(chunks, horizon_seconds, predicate=None):
+        """Per-batch upper bound on retained rows: rows in batches
+        <= b with ts >= (max ts of batches <= b-2) - horizon. The
+        watermark advances at the END of a batch and state eviction
+        applies it one micro-batch later (measured: state after batch
+        b still holds rows only the end-of-b-1 watermark would evict),
+        so the cutoff visible in batch b's numRowsTotal derives from
+        the data through batch b-2."""
+        import pandas as pd
+
+        bounds = []
+        for b in range(len(chunks)):
+            got = pd.concat(chunks[: b + 1])
+            if predicate is not None:
+                got = got[predicate(got)]
+            if b < 2:
+                bounds.append(len(got))
+                continue
+            prev_max = pd.concat(chunks[: b - 1])["ts"].max()
+            cutoff = prev_max - pd.Timedelta(seconds=horizon_seconds)
+            bounds.append(int((got["ts"] >= cutoff).sum()))
+        return bounds
+
+    def test_view_click_join_state_bounded_by_watermark(
+        self, spark, split_dir
+    ):
+        from easy_alterator_spark.streaming.events import (
+            view_click_stream_join,
+        )
+
+        path, chunks = split_dir
+        rows = self._drain_with_progress(
+            view_click_stream_join(self._stream(spark, path)),
+            "t_state_vc",
+            "append",
+        )
+        assert len(rows) >= 3
+        # watermark 2h + gap 1h horizon, both sides view/click only
+        bounds = self._horizon_bound(
+            chunks,
+            3 * 3600,
+            lambda df: df["event_type"].isin(["view", "click"]),
+        )
+        import pandas as pd
+
+        total_vc = int(
+            pd.concat(chunks)["event_type"].isin(["view", "click"]).sum()
+        )
+        for r, bound in zip(rows, bounds):
+            assert r <= bound, (rows, bounds)
+        # the bound itself must be doing real work: state never
+        # approaches the full stream
+        assert rows[-1] < 0.5 * total_vc
+
+    def test_session_state_bounded_by_watermark(self, spark, split_dir):
+        from easy_alterator_spark.streaming.events import session_counts
+
+        path, chunks = split_dir
+        rows = self._drain_with_progress(
+            session_counts(self._stream(spark, path)),
+            "t_state_sess",
+            "append",
+        )
+        assert len(rows) >= 3
+        # watermark 1h + session gap 30m horizon; every open-session
+        # state row contains at least one retained event
+        bounds = self._horizon_bound(chunks, 5400)
+        import pandas as pd
+
+        n_total = len(pd.concat(chunks))
+        for r, bound in zip(rows, bounds):
+            assert r <= bound, (rows, bounds)
+        assert rows[-1] < 0.5 * n_total

@@ -122,12 +122,22 @@ USERS_BASE = 1_500
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def gen_events(n: int, n_users: int, seed: int):
+def gen_events(n: int, n_users: int, seed: int, hot_users: int = 0):
     """sf0.1-shaped events table: 30 days of naive-micros timestamps,
     zipf-ish per-user activity (skewed keys are the property the
     per-user window families are measured under), 5 types, lognormal
     values. Users scale with rows so per-user streams stay ~constant
-    — the honest 100 TB regime (more users, not 10x-deeper users)."""
+    — the honest 100 TB regime (more users, not 10x-deeper users).
+
+    ``hot_users`` > 0 switches on the HOT-USER regime (r9 verdict
+    task 3): that many bot-grade users absorb 25% of all events and
+    draw their items UNIFORMLY over the whole catalog (not zipf), so
+    each holds 10-100x the median user's event count and a distinct-
+    item set that grows with catalog size — the axis that explodes
+    per-user self-joins quadratically and that the 256-item caps in
+    rec_item_cooccur / graph_triangles exist to bound. The hub-item
+    zipf rehearsal (plain ``gen``) holds baskets ~constant, so this is
+    the complementary stress."""
     rng = np.random.default_rng(seed)
     base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
     span_us = 30 * 86_400 * 1_000_000
@@ -144,6 +154,10 @@ def gen_events(n: int, n_users: int, seed: int):
     n_items = max(100, n_users // 10)
     wi = 1.0 / (np.arange(n_items) + 10.0)
     items = rng.choice(n_items, size=n, p=wi / wi.sum()) + 1
+    if hot_users:
+        hot_mask = rng.random(n) < 0.25
+        users[hot_mask] = rng.integers(1, hot_users + 1, size=hot_mask.sum())
+        items[hot_mask] = rng.integers(1, n_items + 1, size=hot_mask.sum())
     return pa.table(
         {
             "event_id": pa.array(np.arange(n), pa.int64()),
@@ -163,7 +177,14 @@ def gen_events(n: int, n_users: int, seed: int):
 def main(out_root: str = "/root/repo/.scale") -> None:
     import os
 
-    for prefix, entropy in (("gen", "low"), ("genh", "high")):
+    # genu = hot-user regime: 5 bot users absorb 25% of events with
+    # uniform item draws (distinct-item sets grow with the catalog —
+    # the per-user self-join explosion axis); docs/vectors as gen
+    for prefix, entropy, hot in (
+        ("gen", "low", 0),
+        ("genh", "high", 0),
+        ("genu", "low", 5),
+    ):
         for mult in (1, 3, 10):
             d = os.path.join(out_root, f"{prefix}{mult}")
             os.makedirs(d, exist_ok=True)
@@ -175,7 +196,12 @@ def main(out_root: str = "/root/repo/.scale") -> None:
             pq.write_table(
                 vecs, os.path.join(d, "embeddings.parquet"), row_group_size=ROW_GROUP
             )
-            evs = gen_events(EVENTS_BASE * mult, USERS_BASE * mult, seed=42 + mult)
+            evs = gen_events(
+                EVENTS_BASE * mult,
+                USERS_BASE * mult,
+                seed=42 + mult,
+                hot_users=hot,
+            )
             pq.write_table(
                 evs, os.path.join(d, "events.parquet"), row_group_size=ROW_GROUP
             )

@@ -50,6 +50,18 @@ FAMILIES_R9 = [
     ("dedup_minhash_lsh", "docs"),
     ("dedup_incremental", "docs"),
 ]
+# round-10 hot-user axis (VERDICT r9 task 3): the per-user pair
+# builds and the per-user window family, measured on the genu corpus
+# (5 bot users hold 25% of events with uniform item draws) vs the
+# plain gen corpus — run BOTH prefixes:
+# `python tools/scale_rehearsal.py 2 gen r10` and `... 2 genu r10`
+FAMILIES_R10 = [
+    ("graph_triangles", "events"),
+    ("rec_item_cooccur", "events"),
+    ("events_sessionize", "events"),
+    ("events_rolling_7d", "events"),
+    ("feature_lag_matrix", "events"),
+]
 SCALES = [
     (1, 5000, 2000, 100_000),
     (3, 15000, 6000, 300_000),
@@ -58,7 +70,11 @@ SCALES = [
 
 
 def main(reps: int = 2, prefix: str = "gen", fam: str = "core") -> None:
-    families = {"r7": FAMILIES_R7, "r9": FAMILIES_R9}.get(fam, FAMILIES)
+    families = {
+        "r7": FAMILIES_R7,
+        "r9": FAMILIES_R9,
+        "r10": FAMILIES_R10,
+    }.get(fam, FAMILIES)
     load_all()
     spark = get_spark("scale-rehearsal", master="local[32]")
     results: dict[str, dict[int, float]] = {}
