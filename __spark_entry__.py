@@ -7,11 +7,12 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage (stated as of round 10): 288 registered queries, 285 with
+Coverage (stated as of round 10): 291 registered queries, 288 with
 oracles; the union of CORRECTNESS_r01-r09 driver stamps is green for
 all 282 queries that carried oracles through round 9, and the 3 NEW
 round-10 queries (events_cusum_changepoint, stats_theilsen_trend,
-text_pmi_pairs) are oracle-gated and lead this round's window. Only
+text_pmi_pairs, stats_mann_kendall, stats_runs_test, eval_mcc) are
+oracle-gated and lead this round's window. Only
 the three ddl_* fixture queries stay rows-only by design (their
 inputs are DDL text, not the relational tables).
 
@@ -47,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-10 rotation (policy in the module docstring):
-# (a) the 3 queries NEW this round (events_cusum_changepoint,
-# stats_theilsen_trend, text_pmi_pairs) and the 8 whose code or
+# (a) the 6 queries NEW this round (events_cusum_changepoint,
+# stats_theilsen_trend, text_pmi_pairs, stats_mann_kendall,
+# stats_runs_test, eval_mcc) and the 8 whose code or
 # oracle CHANGED — events_rolling_7d (signed-event prefix-sum
 # decomposition replacing the quadratic sliding RANGE frame, found by
 # the r10 hot-user rehearsal), graph_triangles (per-user 256-item cap
@@ -62,9 +64,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the remaining 20 r02-stale queries (newest stamp
 # CORRECTNESS_r02 — the tail round-9's new-query burst displaced;
 # events_rolling_7d, the 21st, moved to (a) by its change);
-# (d) the 18 oldest r03-stale queries (alphabetical within the equal
-# stamp age), filling to exactly 50. The 28 r03-stale left over
-# (q05..q30, split_leakage_guard, text_boilerplate) lead the r11
+# (d) the 15 oldest r03-stale queries (alphabetical within the equal
+# stamp age), filling to exactly 50. The 31 r03-stale left over
+# (q02..q30, split_leakage_guard, text_boilerplate) lead the r11
 # window; tests/test_round10_audit.py fails the suite if any of them
 # is still out-of-window while stale beyond K=7 rounds.
 # The 3 ddl_* rows-only entries stay out of the window.
@@ -75,6 +77,9 @@ _PRIORITY = [
     "events_cusum_changepoint",
     "stats_theilsen_trend",
     "text_pmi_pairs",
+    "stats_mann_kendall",
+    "stats_runs_test",
+    "eval_mcc",
     "events_rolling_7d",
     "graph_triangles",
     "eval_calibration_bins",
@@ -106,7 +111,7 @@ _PRIORITY = [
     "text_token_stats",
     "tfidf_top_terms",
     "vocab_topk",
-    # --- (d) the 18 oldest r03-stale, filling to exactly 50 ---
+    # --- (d) the 15 oldest r03-stale, filling to exactly 50 ---
     "agg_incremental_merge",
     "corpus_entropy",
     "corpus_overlap_minhash",
@@ -122,11 +127,8 @@ _PRIORITY = [
     "privacy_k_anonymity",
     "profile_key_skew",
     "q01_scan_project",
-    "q02_filter",
-    "q03_inner_join",
-    "q04_full_outer",
-    # --- below the fold: the 28 r03-stale that lead the r11 window ---
-    *[f"q{i:02d}" for i in range(5, 31)],  # name-prefix match below
+    # --- below the fold: the 31 r03-stale that lead the r11 window ---
+    *[f"q{i:02d}" for i in range(2, 31)],  # name-prefix match below
     "split_leakage_guard",
     "text_boilerplate",
     # --- then everything else already driver-green ---

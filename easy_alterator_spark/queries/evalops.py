@@ -2722,3 +2722,349 @@ def stats_theilsen_trend(spark, sf_dir):
         .crossJoin(F.broadcast(nd))
         .select("n_days", "n_pairs", F.col("slope").alias("sen_slope"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_kendall — nonparametric trend TEST (companion to Theil-Sen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mann_kendall",
+    # Mann-Kendall S = sum over day pairs of sign(y_j - y_i): exact
+    # int64 from a calendar-bounded pair join (NO window anywhere).
+    # Tie-corrected variance cleared of its denominator:
+    # var18 = 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5), exact
+    # int64 over tie-group sizes. z applies the standard continuity
+    # correction (S-1 or S+1) and is ONE fixed sqrt tree over exact
+    # ints, floor-gridded at 1e-4 with the +1e-6 nudge
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, SUM({_CENTS})::BIGINT AS y
+               FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+    s AS (SELECT SUM(CASE WHEN b.y > a.y THEN 1
+                          WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+          FROM d a JOIN d b ON a.day < b.day),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+    ties AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+                        AS tcorr
+             FROM (SELECT COUNT(*)::BIGINT AS t FROM d GROUP BY y)
+             WHERE t > 1),
+    v AS (SELECT (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tcorr)::BIGINT
+                     AS var18
+          FROM nn CROSS JOIN ties)
+    SELECT nn.n AS n_days, s.s AS s_stat, v.var18,
+           CASE WHEN s.s = 0 OR v.var18 = 0 THEN 0.0
+                ELSE FLOOR((s.s - CASE WHEN s.s > 0 THEN 1 ELSE -1 END)
+                           ::DOUBLE
+                           / SQRT(v.var18::DOUBLE / 18.0) * 1e4 + 1e-6)
+                     / 1e4 END AS z
+    FROM s CROSS JOIN nn CROSS JOIN v
+    """,
+)
+def stats_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test over the daily spend series — the
+    nonparametric significance companion to stats_theilsen_trend's
+    slope estimate (the pairing every monitoring stack ships: Sen's
+    slope for magnitude, MK for 'is there a trend at all'). S is the
+    exact-int64 sum of pairwise signs over the calendar-bounded day
+    pair join (C(days,2) rows — ~435 at 30 days — never data-sized,
+    and a pure aggregate: no window at all); the tie-corrected
+    variance is kept exact by clearing the /18 denominator
+    (var18 = n(n-1)(2n+5) - sum over tie groups of t(t-1)(2t+5), all
+    int64); z applies the standard +/-1 continuity correction and is
+    one fixed sqrt-bearing IEEE tree over exact integers, written
+    identically on both engines and floor-gridded at 1e-4 (+1e-6
+    nudge). Degenerate guards: S = 0 or zero variance (all days tie)
+    pin z = 0.0 explicitly on both engines. Shape: one data-sized
+    hash aggregate to days, then look-sized joins and three 1-row
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).cast("bigint").alias("y"))
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = d.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tg = d.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    ties = tg.filter(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tcorr")
+    )
+    v = (
+        nn.crossJoin(F.broadcast(ties))
+        .select(
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tcorr")
+            )
+            .cast("bigint")
+            .alias("var18")
+        )
+    )
+    z = (
+        F.floor(
+            (
+                F.col("s")
+                - F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(-1))
+            ).cast("double")
+            / F.sqrt(F.col("var18").cast("double") / 18.0)
+            * 1e4
+            + 1e-6
+        )
+        / 1e4
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            "var18",
+            F.when((F.col("s") == 0) | (F.col("var18") == 0), F.lit(0.0))
+            .otherwise(z)
+            .alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_runs_test — Wald-Wolfowitz randomness check of the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_runs_test",
+    # Wald-Wolfowitz runs test vs the series' own LOWER MEDIAN (an
+    # exact order statistic over integer cents — no float midpoint):
+    # days strictly above vs strictly below the median (median-equal
+    # days excluded, the standard convention), R = 1 + boundary count
+    # via lag over the ~30-row day table; mu and sigma are fixed IEEE
+    # trees over exact (n1, n2), z floor-gridded at 1e-4 + 1e-6
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, SUM({_CENTS})::BIGINT AS y
+               FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+    med AS (SELECT y AS m FROM (
+                SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS rk
+                FROM d) r CROSS JOIN nn
+            WHERE r.rk = (nn.n + 1) // 2),
+    b AS (SELECT day, (y > med.m) AS up FROM d CROSS JOIN med
+          WHERE y <> med.m),
+    r AS (SELECT COUNT(*)::BIGINT AS n_runs FROM (
+             SELECT up, LAG(up) OVER (ORDER BY day) AS prev FROM b)
+          WHERE prev IS NULL OR up <> prev),
+    c AS (SELECT SUM(CASE WHEN up THEN 1 ELSE 0 END)::BIGINT AS n1,
+                 SUM(CASE WHEN up THEN 0 ELSE 1 END)::BIGINT AS n2
+          FROM b)
+    SELECT c.n1, c.n2, r.n_runs,
+           CASE WHEN c.n1 = 0 OR c.n2 = 0 THEN 0.0
+                ELSE FLOOR((r.n_runs::DOUBLE
+                            - (1.0 + 2.0 * c.n1 * c.n2
+                                     / (c.n1 + c.n2)::DOUBLE))
+                           / SQRT(2.0 * c.n1 * c.n2
+                                  * (2.0 * c.n1 * c.n2 - c.n1 - c.n2)
+                                  / ((c.n1 + c.n2)::DOUBLE
+                                     * (c.n1 + c.n2)::DOUBLE
+                                     * (c.n1 + c.n2 - 1)::DOUBLE))
+                           * 1e4 + 1e-6) / 1e4 END AS z
+    FROM c CROSS JOIN r
+    """,
+)
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test of the daily spend series against its
+    own lower median — 'is the sequence of above/below-median days
+    random, or does it cluster/alternate', the classic check before
+    trusting i.i.d.-assuming monitors (CUSUM, control charts) on a
+    metric. The reference level is the exact LOWER-MEDIAN order
+    statistic over integer cents (a ~30-row rank window, no float
+    midpoint so both engines pick the identical day's value);
+    median-equal days are excluded per the standard convention, runs
+    count from a lag over the calendar-day table, and z is one fixed
+    sqrt-bearing IEEE tree over exact (n1, n2, R), floor-gridded at
+    1e-4 (+1e-6). Degenerate guard: one-sided series (n1 or n2 = 0)
+    pins z = 0.0 on both engines. Shape: one data-sized hash
+    aggregate to days; every window is calendar-day-grained
+    (ALLOWED-listed)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_cents()).cast("bigint").alias("y"))
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = d.select(
+        "y", F.row_number().over(Window.orderBy("y", "day")).alias("rk")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(nn))
+        .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("y").alias("m"))
+    )
+    b = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("day", (F.col("y") > F.col("m")).alias("up"))
+    )
+    lagged = b.select(
+        "up", F.lag("up").over(Window.orderBy("day")).alias("prev")
+    )
+    r = lagged.filter(
+        F.col("prev").isNull() | (F.col("up") != F.col("prev"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    c = b.agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    tot = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / tot
+    sig = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            tot
+            * tot
+            * (F.col("n1") + F.col("n2") - 1).cast("double")
+        )
+    )
+    z = F.floor(
+        (F.col("n_runs").cast("double") - mu) / sig * 1e4 + 1e-6
+    ) / 1e4
+    return c.crossJoin(F.broadcast(r)).select(
+        "n1",
+        "n2",
+        "n_runs",
+        F.when((F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0))
+        .otherwise(z)
+        .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_mcc — Matthews correlation at the mid-confidence threshold
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_mcc",
+    # confusion counts at the p6 >= 500000 threshold (micro-unit
+    # min-max confidence, the eval_calibration_bins device incl. its
+    # hi = lo guard) are exact int64; the MCC numerator tp*tn - fp*fn
+    # folds in HUGEINT/DECIMAL(38) (products reach n^2); the
+    # denominator sqrt takes ONE double product of four exact counts
+    # (identical expression tree both engines), and mcc floor-grids
+    # at 1e-6 with the +1e-6-style nudge at that scale. Any empty
+    # margin pins mcc = 0.0 explicitly (the 0/0 convention)
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS s,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d),
+    p AS (SELECT y,
+                 CASE WHEN mm.hi = mm.lo THEN 0
+                      ELSE FLOOR((d.s - mm.lo)::DOUBLE
+                                 / (mm.hi - mm.lo)::DOUBLE
+                                 * 1e6)::BIGINT END AS p6
+          FROM d CROSS JOIN mm),
+    c AS (SELECT SUM(CASE WHEN p6 >= 500000 AND y = 1 THEN 1 ELSE 0 END)
+                     ::BIGINT AS tp,
+                 SUM(CASE WHEN p6 >= 500000 AND y = 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS fp,
+                 SUM(CASE WHEN p6 < 500000 AND y = 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS tn,
+                 SUM(CASE WHEN p6 < 500000 AND y = 1 THEN 1 ELSE 0 END)
+                     ::BIGINT AS fn
+          FROM p)
+    SELECT tp, fp, tn, fn,
+           CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                     OR (tn + fp) = 0 OR (tn + fn) = 0 THEN 0.0
+                ELSE FLOOR((tp::HUGEINT * tn::HUGEINT
+                            - fp::HUGEINT * fn::HUGEINT)::DOUBLE
+                           / SQRT((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                                  * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE)
+                           * 1e6 + 1e-6) / 1e6 END AS mcc
+    FROM c
+    """,
+)
+def eval_mcc(spark, sf_dir):
+    """Matthews correlation coefficient of the probe classifier at the
+    mid-confidence operating point (min-max-normalized score >= 0.5)
+    — the single-number confusion summary that stays honest under
+    class imbalance where accuracy and F1 mislead, standard in
+    quality-filter gate reviews. Confusion counts are exact int64 over
+    the micro-unit confidence (same normalization and hi = lo
+    degenerate guard as eval_calibration_bins); the numerator
+    tp*tn - fp*fn folds in DECIMAL(38)/HUGEINT (each product reaches
+    n^2, past int64 near 3e9 rows); the denominator is ONE sqrt over
+    a double product of four exact margin counts with the identical
+    expression tree on both engines, and mcc floor-grids at 1e-6.
+    Any empty margin pins mcc = 0.0 explicitly. Shape: one 2-value
+    min/max broadcast + ONE map-side-partial aggregate to a single
+    row — the cheapest distributed shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("s"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    mm = d.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    p = d.crossJoin(F.broadcast(mm)).select(
+        _p6_minmax().alias("p6"), "y"
+    )
+    pos = F.col("p6") >= 500000
+    c = p.agg(
+        F.sum(F.when(pos & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pos & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pos & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when(~pos & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    d38 = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    num = d38(F.col("tp")) * d38(F.col("tn")) - d38(F.col("fp")) * d38(
+        F.col("fn")
+    )
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn")).cast("double")
+        * (F.col("tn") + F.col("fp")).cast("double")
+        * (F.col("tn") + F.col("fn")).cast("double")
+    )
+    degenerate = (
+        ((F.col("tp") + F.col("fp")) == 0)
+        | ((F.col("tp") + F.col("fn")) == 0)
+        | ((F.col("tn") + F.col("fp")) == 0)
+        | ((F.col("tn") + F.col("fn")) == 0)
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(
+            F.floor(num.cast("double") / den * 1e6 + 1e-6) / 1e6
+        )
+        .alias("mcc"),
+    )

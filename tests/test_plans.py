@@ -1212,6 +1212,8 @@ class TestNoGlobalWindowContract:
         # median-slope rank over the C(days,2) pair table (~435 rows
         # at 30 days; calendar-bounded, never a function of events)
         "stats_theilsen_trend": "C(days,2) calendar-bounded pair table",
+        # median rank + runs lag over the calendar-day table (~30 rows)
+        "stats_runs_test": "calendar-day-grained look table",
         # risk table is per-DISTINCT-event-day: calendar-bounded
         "events_survival_km": "distinct-day risk table (calendar)",
         # rank over the item dimension (distinct $.k values)

@@ -1,0 +1,206 @@
+"""Round-10 ops: from-scratch pure-Python references for the new
+queries (CUSUM, Theil-Sen, Mann-Kendall, runs test, MCC, PMI), run
+against the sf0.001 driver fixture. The round-8 lesson stands:
+equivalent-form tests and the differential oracle can both pass on a
+SHARED formula bug — only an independently-shaped reference catches
+it. These references use plain dict/sort/math Python, deliberately
+nothing like the Spark or SQL forms.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from easy_alterator_spark.queries import QUERIES, load_all
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def daily_cents(spark):
+    """day -> exact total cents, the shared input of the series tests."""
+    from easy_alterator_spark.sources import load_table
+
+    rows = load_table(spark, SF, "events").collect()
+    d = defaultdict(int)
+    for r in rows:
+        if r["value"] is None:
+            continue
+        d[r["ts"].date()] += math.floor(r["value"] * 100 + 0.5)
+    return dict(d)
+
+
+def test_cusum_changepoint_reference(spark, daily_cents):
+    got = {
+        r["day"]: (r["day_cents"], r["cusum_num"], r["is_peak"])
+        for r in QUERIES["events_cusum_changepoint"](spark, SF).collect()
+    }
+    days = sorted(daily_cents)
+    D, S = len(days), sum(daily_cents.values())
+    pre = 0
+    want = {}
+    for k, day in enumerate(days, start=1):
+        pre += daily_cents[day]
+        want[day] = D * pre - k * S
+    mab = max(abs(v) for v in want.values())
+    assert set(got) == set(want)
+    for day in days:
+        assert got[day] == (daily_cents[day], want[day], abs(want[day]) == mab)
+    assert sum(1 for d in days if got[d][2]) >= 1  # a peak exists
+
+
+def test_theilsen_reference(spark, daily_cents):
+    (row,) = QUERIES["stats_theilsen_trend"](spark, SF).collect()
+    days = sorted(daily_cents)
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            dy = daily_cents[days[j]] - daily_cents[days[i]]
+            dd = (days[j] - days[i]).days
+            slopes.append((dy / dd, days[i], days[j]))
+    slopes.sort()
+    n_pairs = len(slopes)
+    lower_median = slopes[(n_pairs + 1) // 2 - 1][0]
+    assert row["n_days"] == len(days)
+    assert row["n_pairs"] == n_pairs
+    assert row["sen_slope"] == lower_median
+
+
+def test_mann_kendall_reference(spark, daily_cents):
+    (row,) = QUERIES["stats_mann_kendall"](spark, SF).collect()
+    days = sorted(daily_cents)
+    ys = [daily_cents[d] for d in days]
+    s = sum(
+        (0 if ys[j] == ys[i] else (1 if ys[j] > ys[i] else -1))
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    n = len(ys)
+    tcorr = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tcorr
+    assert row["n_days"] == n and row["s_stat"] == s and row["var18"] == var18
+    if s != 0 and var18 != 0:
+        z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+        assert abs(row["z"] - z) < 2e-4
+    else:
+        assert row["z"] == 0.0
+
+
+def test_runs_test_reference(spark, daily_cents):
+    (row,) = QUERIES["stats_runs_test"](spark, SF).collect()
+    days = sorted(daily_cents)
+    ys = [daily_cents[d] for d in days]
+    lower_median = sorted(ys)[(len(ys) + 1) // 2 - 1]
+    seq = [y > lower_median for y in ys if y != lower_median]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    assert (row["n1"], row["n2"], row["n_runs"]) == (n1, n2, runs)
+    if n1 and n2:
+        tot = n1 + n2
+        mu = 1 + 2 * n1 * n2 / tot
+        sig = math.sqrt(
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (tot * tot * (tot - 1))
+        )
+        assert abs(row["z"] - (runs - mu) / sig) < 2e-4
+
+
+def test_mcc_reference(spark):
+    from easy_alterator_spark.sources import load_table
+
+    (row,) = QUERIES["eval_mcc"](spark, SF).collect()
+    vecs = load_table(spark, SF, "embeddings").collect()
+    scored = [
+        (math.floor(float(r["embedding"][0]) * 1e4 + 0.5), int(r["label"] >= 5))
+        for r in vecs
+    ]
+    lo = min(s for s, _ in scored)
+    hi = max(s for s, _ in scored)
+    tp = fp = tn = fn = 0
+    for s, y in scored:
+        p6 = 0 if hi == lo else math.floor((s - lo) / (hi - lo) * 1e6)
+        pred = p6 >= 500000
+        if pred and y:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (tp, fp, tn, fn)
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if den:
+        mcc = (tp * tn - fp * fn) / math.sqrt(den)
+        assert abs(row["mcc"] - mcc) < 2e-6
+    else:
+        assert row["mcc"] == 0.0
+
+
+def test_pmi_reference_and_cap(spark, tmp_path):
+    """PMI on a synthetic corpus where one doc is WIDER than the
+    64-token cap: the reference applies the identical cap, and the
+    capped tokens are the highest-tf ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = []
+    # 30 docs over a small vocab so pairs clear the support floor
+    for i in range(30):
+        toks = ["alpha", "beta"] + (["gamma"] if i % 2 == 0 else ["delta"])
+        docs.append((i, " ".join(toks)))
+    # one wide doc: 100 distinct rare tokens plus "alpha alpha" (tf 2
+    # keeps alpha ahead of the singletons under the tf-then-token cap)
+    wide = "alpha alpha " + " ".join(f"rare{j:03d}" for j in range(100))
+    docs.append((30, wide))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) for d in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["term_a"], r["term_b"]): (r["c_ab"], r["c_a"], r["c_b"], r["pmi"])
+        for r in QUERIES["text_pmi_pairs"](spark, str(tmp_path)).collect()
+    }
+
+    # reference with the identical cap: per-doc top-64 by (tf desc,
+    # token asc)
+    capped_sets = []
+    for _, text in docs:
+        tf = Counter(t for t in text.lower().split() if t)
+        kept = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+        capped_sets.append({t for t, _ in kept})
+    n = len(docs)
+    ca = Counter(t for s in capped_sets for t in s)
+    cab = Counter()
+    for s in capped_sets:
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                cab[(ss[i], ss[j])] += 1
+    want = {}
+    for (ta, tb), c in cab.items():
+        if c >= 10:
+            pmi = math.floor(
+                math.log(n * c / (ca[ta] * ca[tb])) * 1e4 + 1e-6
+            ) / 1e4
+            want[(ta, tb)] = (c, ca[ta], ca[tb], pmi)
+    assert got == want and len(got) > 0
+    # the wide doc's alpha (tf 2) survived its cap; 37 of its 100
+    # singleton rares were evicted (64 - 1 kept slots for rares)
+    assert "alpha" in capped_sets[-1]
+    assert len(capped_sets[-1]) == 64
