@@ -3068,3 +3068,132 @@ def eval_mcc(spark, sf_dir):
         )
         .alias("mcc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_matryoshka_eval — prefix-dimension retrieval quality audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_matryoshka_eval",
+    # exact-integer retrieval: scores are int64 dot products over the
+    # 1e-4-gridded features (full 64 dims vs the 16-dim prefix), ranks
+    # break ties on (score DESC, vec_id) — no float ordering anywhere,
+    # so both engines produce the identical top-10 sets; overlap@10,
+    # and the two top-1 ids are pure integer outputs
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> FLOOR(x::DOUBLE * 1e4 + 0.5)
+                                          ::BIGINT) AS x4
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, x4 AS qx4 FROM v WHERE vec_id <= 4),
+    p AS (SELECT q.qid, v.vec_id,
+                 list_sum(list_transform(range(64),
+                                          i -> q.qx4[i + 1] * v.x4[i + 1]))
+                     ::BIGINT AS s_full,
+                 list_sum(list_transform(range(16),
+                                          i -> q.qx4[i + 1] * v.x4[i + 1]))
+                     ::BIGINT AS s_pre
+          FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+    r AS (SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY s_full DESC, vec_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY s_pre DESC, vec_id) AS rp
+          FROM p)
+    SELECT qid,
+           SUM(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END)::BIGINT
+               AS overlap10,
+           MAX(CASE WHEN rf = 1 THEN vec_id END)::BIGINT AS full_top1,
+           MAX(CASE WHEN rp = 1 THEN vec_id END)::BIGINT AS prefix_top1
+    FROM r GROUP BY qid
+    """,
+)
+def embedding_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-embedding retrieval audit: for each probe vector,
+    how much of the full-dimension (64) exact top-10 survives when
+    retrieval uses only the 16-dim PREFIX — the measurement behind
+    adopting truncated (MRL-style) embeddings for cheap first-stage
+    retrieval, where prefix dims carry most of the signal and the
+    full vector only reranks. Reports overlap@10 plus both top-1 ids
+    per probe. Exactness: scores are exact int64 dot products on the
+    1e-4 feature grid (zip_with + integer fold — the ml_logreg
+    device), ranks tie-break on (score DESC, vec_id), every output an
+    integer — nothing for libm to perturb.
+
+    Scale shape: the 5 probes broadcast; scoring is MAP-ONLY over the
+    vector table (never shuffled); then a PARTITION-LOCAL top-10
+    prune per (probe, input partition) — the global top-10 is a
+    subset of the union of local top-10s for any split, so the
+    nondeterministic spark_partition_id never reaches the result —
+    cuts the per-probe rank window to <= 20 rows x partition count
+    before the exact global ranks. The brute-force oracle ranks the
+    unpruned pairs; equality IS the prune's correctness check. At
+    100 TB the same plan holds: one scan, bounded shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x4 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e4 + 0.5).cast("long"),
+    )
+    v = emb.select("vec_id", x4.alias("x4"))
+    q = v.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("x4").alias("qx4")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            idot(F.col("qx4"), F.col("x4")).alias("s_full"),
+            idot(
+                F.slice(F.col("qx4"), 1, 16), F.slice(F.col("x4"), 1, 16)
+            ).alias("s_pre"),
+        )
+    )
+    # partition-local prune: any split's local top-10s contain the
+    # global top-10, so the arbitrary pid never affects the output
+    local = scored.withColumn("pid", F.spark_partition_id())
+    wlf = Window.partitionBy("qid", "pid").orderBy(
+        F.col("s_full").desc(), F.col("vec_id")
+    )
+    wlp = Window.partitionBy("qid", "pid").orderBy(
+        F.col("s_pre").desc(), F.col("vec_id")
+    )
+    pruned = (
+        local.withColumn("lf", F.row_number().over(wlf))
+        .withColumn("lp", F.row_number().over(wlp))
+        .filter((F.col("lf") <= 10) | (F.col("lp") <= 10))
+        .drop("pid", "lf", "lp")
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("s_full").desc(), F.col("vec_id")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("s_pre").desc(), F.col("vec_id")
+    )
+    r = pruned.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    return r.groupBy("qid").agg(
+        F.sum(
+            F.when((F.col("rf") <= 10) & (F.col("rp") <= 10), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("overlap10"),
+        F.max(F.when(F.col("rf") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("full_top1"),
+        F.max(F.when(F.col("rp") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("prefix_top1"),
+    )

@@ -204,3 +204,48 @@ def test_pmi_reference_and_cap(spark, tmp_path):
     # singleton rares were evicted (64 - 1 kept slots for rares)
     assert "alpha" in capped_sets[-1]
     assert len(capped_sets[-1]) == 64
+
+
+def test_matryoshka_reference(spark):
+    """Brute-force pure-Python replay on sf0.001 — also the prune's
+    independent correctness check (the query prunes per-partition;
+    this reference never prunes)."""
+    from easy_alterator_spark.sources import load_table
+
+    got = {
+        r["qid"]: (r["overlap10"], r["full_top1"], r["prefix_top1"])
+        for r in QUERIES["embedding_matryoshka_eval"](spark, SF).collect()
+    }
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * 1e4 + 0.5) for x in r["embedding"]
+        ]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    want = {}
+    for qid in (0, 1, 2, 3, 4):
+        qv = vecs[qid]
+        full, pre = [], []
+        for vid, cv in vecs.items():
+            if vid == qid:
+                continue
+            full.append((-sum(a * b for a, b in zip(qv, cv)), vid))
+            pre.append((-sum(a * b for a, b in zip(qv[:16], cv[:16])), vid))
+        full.sort()
+        pre.sort()
+        f10 = {vid for _, vid in full[:10]}
+        p10 = {vid for _, vid in pre[:10]}
+        want[qid] = (len(f10 & p10), full[0][1], pre[0][1])
+    assert got == want
+
+
+def test_matryoshka_plan_shape(spark):
+    """The vector table must never be the shuffled side of a join —
+    probes broadcast, scoring map-only; the rank windows run over the
+    partition-locally pruned pairs."""
+    from easy_alterator_spark.plans.audit import formatted_plan, join_counts
+
+    plan = formatted_plan(QUERIES["embedding_matryoshka_eval"](spark, SF))
+    jc = join_counts(plan)
+    assert jc["SortMergeJoin"] == 0 and jc["ShuffledHashJoin"] == 0, jc
+    assert jc["BroadcastNestedLoopJoin"] >= 1, jc
