@@ -328,3 +328,59 @@ def test_rolling_7d_decomposition_equals_naive_frame(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_logreg_memo_invalidated_on_fixture_rewrite(spark, tmp_path):
+    """ADVICE r9: rewriting a fixture at the SAME path in-process must
+    retrain rather than silently reuse weights memoized for the old
+    bytes (the _SCHEMA_CACHE st_mtime_ns discipline)."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from easy_alterator_spark.queries import QUERIES, load_all
+
+    load_all()
+    path = str(tmp_path / "embeddings.parquet")
+
+    def write(seed):
+        rng = np.random.default_rng(seed)
+        n = 64
+        x = rng.normal(0, 1, size=(n, 64)).astype(np.float32)
+        labels = rng.integers(0, 10, size=n).astype(np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(
+                        [r for r in x], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    write(1)
+    w1 = {
+        r["dim"]: r["w8"]
+        for r in QUERIES["ml_logreg_gd"](spark, str(tmp_path)).collect()
+    }
+    # same path, different data; ensure the mtime_ns actually moves
+    time.sleep(0.02)
+    write(2)
+    os.utime(path)
+    w2 = {
+        r["dim"]: r["w8"]
+        for r in QUERIES["ml_logreg_gd"](spark, str(tmp_path)).collect()
+    }
+    assert w1 != w2, "memo reused stale weights after fixture rewrite"
+    # and re-reading the same bytes IS memoized (stable result)
+    w3 = {
+        r["dim"]: r["w8"]
+        for r in QUERIES["ml_logreg_gd"](spark, str(tmp_path)).collect()
+    }
+    assert w2 == w3
