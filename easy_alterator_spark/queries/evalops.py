@@ -3197,3 +3197,156 @@ def embedding_matryoshka_eval(spark, sf_dir):
         .cast("bigint")
         .alias("prefix_top1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_poisson — the production bootstrap, deterministic
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF breakpoints floored onto the 2^20 grid — shared
+# verbatim by the Spark CASE ladder and the DuckDB oracle, so the
+# weight is a pure integer table lookup on both engines. The modulus
+# is a POWER OF TWO (2^20) because 2^64 mod 2^20 = 0: Spark's SIGNED
+# xxhash64 and the oracle's unsigned HUGEINT replay then agree on
+# h mod 2^20 without any signedness bridging (the h % 2 trick of
+# stats_permutation_test, generalized).
+_BOOT_B = 32
+_POIS_CUM_20 = [385749, 771499, 964373, 1028665, 1044738, 1047952,
+                1048488, 1048565]
+
+
+def _boot_oracle() -> str:
+    from ._xxh64_sql import xxh64_long2_ctes
+
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM_20)
+    )
+    w_sql = f"CASE {ladder} ELSE {len(_POIS_CUM_20)} END"
+    return f"""
+    WITH e AS (SELECT event_id, {_CENTS} AS c FROM events
+               WHERE "value" IS NOT NULL),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(c)::HUGEINT AS s FROM e),
+    src AS (SELECT e.event_id AS la, r.k::BIGINT AS lb, e.c
+            FROM e CROSS JOIN range({_BOOT_B}) r(k)),
+    {xxh64_long2_ctes('src')},
+    w AS (SELECT lb, c, {w_sql} AS wt
+          FROM (SELECT lb, c, (h % 1048576)::BIGINT AS u FROM pf)),
+    rep AS (SELECT lb, SUM(wt)::BIGINT AS nw,
+                   SUM(wt::HUGEINT * c::HUGEINT) AS sw
+            FROM w GROUP BY lb),
+    mk AS (SELECT sw::DOUBLE / nw::DOUBLE AS mean_b,
+                  ROW_NUMBER() OVER (ORDER BY sw::DOUBLE / nw::DOUBLE, lb)
+                      AS rk
+           FROM rep WHERE nw > 0),
+    kk AS (SELECT COUNT(*)::BIGINT AS b_eff FROM mk)
+    SELECT tot.n AS n_events,
+           tot.s::DOUBLE / tot.n::DOUBLE AS mean,
+           (SELECT mean_b FROM mk CROSS JOIN kk
+            WHERE rk = CAST(ceil(0.05 * b_eff) AS BIGINT)) AS ci90_lo,
+           (SELECT mean_b FROM mk CROSS JOIN kk
+            WHERE rk = CAST(ceil(0.95 * b_eff) AS BIGINT)) AS ci90_hi,
+           kk.b_eff
+    FROM tot CROSS JOIN kk
+    """
+
+
+@query(
+    "stats_bootstrap_poisson",
+    # Poisson(1) bootstrap: replicate b weights each row by the
+    # Poisson quantile of xxhash64(event_id, b) mod 2^20 (breakpoint
+    # table shared verbatim with the Spark side; the 2^20 modulus
+    # makes signed/unsigned hash agreement free), replicate means are
+    # ONE division of exact integer sums each, and the 90% CI is a
+    # pure ORDER-STATISTIC selection (ceil(0.05B)/ceil(0.95B)-th of
+    # the B=32 replicate means, (mean, b)-tiebroken) — no arithmetic
+    # ever combines replicates, so no grid is needed anywhere
+    oracle=_boot_oracle(),
+)
+def stats_bootstrap_poisson(spark, sf_dir):
+    """Percentile-bootstrap 90% confidence interval for the mean event
+    value, by the POISSON BOOTSTRAP — the one-pass streaming form
+    (each row's multiplicity in replicate b is an independent
+    Poisson(1) draw) that production systems use because classic
+    multinomial resampling needs n known up front and a shuffle per
+    replicate, while this is a MAP over the data: B=32 weights per
+    row, one 32-group aggregate with map-side partial combine.
+
+    Determinism device: the 'draw' is the Poisson(1) inverse-CDF of
+    xxhash64(event_id, replicate) mod 2^20 against a breakpoint table
+    shared VERBATIM between the Spark CASE ladder and the DuckDB
+    xxh64 replay (queries/_xxh64_sql.py); the power-of-two modulus
+    sidesteps signed-vs-unsigned hash representation entirely
+    (2^64 mod 2^20 = 0 — the h % 2 trick of stats_permutation_test,
+    generalized). Replicate means are single IEEE divisions of exact
+    integer sums (weighted sums folded in DECIMAL(38)/HUGEINT); the
+    CI bounds are order statistics of the 32 replicate means — pure
+    selection, bit-identical cross-engine with no grid. Empty
+    replicates (possible only on tiny corpora) are excluded with the
+    count reported as b_eff. The only global window ranks the
+    32-row replicate table (ALLOWED-listed). At 100 TB: one scan,
+    32x map-side explode, 32-group aggregate — the canonical
+    'bootstrap the mean of a petabyte' shape."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        "event_id", _cents().alias("c")
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    )
+    reps = e.select(
+        "event_id",
+        "c",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in range(_BOOT_B)])
+        ).alias("b"),
+    )
+    u = F.pmod(
+        F.xxhash64(F.col("event_id"), F.col("b")), F.lit(1048576)
+    )
+    wt = F.lit(len(_POIS_CUM_20))
+    for k in range(len(_POIS_CUM_20) - 1, -1, -1):
+        wt = F.when(u < _POIS_CUM_20[k], k).otherwise(wt)
+    rep = (
+        reps.select("b", "c", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum("wt").cast("bigint").alias("nw"),
+            F.sum(F.col("wt").cast("decimal(38,0)") * F.col("c")).alias(
+                "sw"
+            ),
+        )
+        .filter(F.col("nw") > 0)
+    )
+    mean_b = F.col("sw").cast("double") / F.col("nw").cast("double")
+    mk = rep.select(
+        mean_b.alias("mean_b"),
+        F.row_number()
+        .over(Window.orderBy(mean_b, F.col("b")))
+        .alias("rk"),
+    )
+    kk = mk.agg(F.count(F.lit(1)).cast("bigint").alias("b_eff"))
+    lo = (
+        mk.crossJoin(F.broadcast(kk))
+        .filter(F.col("rk") == F.ceil(0.05 * F.col("b_eff")))
+        .select(F.col("mean_b").alias("ci90_lo"))
+    )
+    hi = (
+        mk.crossJoin(F.broadcast(kk))
+        .filter(F.col("rk") == F.ceil(0.95 * F.col("b_eff")))
+        .select(F.col("mean_b").alias("ci90_hi"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            F.col("n").alias("n_events"),
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean"
+            ),
+            "ci90_lo",
+            "ci90_hi",
+            "b_eff",
+        )
+    )

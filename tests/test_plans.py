@@ -1214,6 +1214,8 @@ class TestNoGlobalWindowContract:
         "stats_theilsen_trend": "C(days,2) calendar-bounded pair table",
         # median rank + runs lag over the calendar-day table (~30 rows)
         "stats_runs_test": "calendar-day-grained look table",
+        # order statistics over the B=32 bootstrap-replicate table
+        "stats_bootstrap_poisson": "32-row replicate table",
         # risk table is per-DISTINCT-event-day: calendar-bounded
         "events_survival_km": "distinct-day risk table (calendar)",
         # rank over the item dimension (distinct $.k values)

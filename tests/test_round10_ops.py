@@ -249,3 +249,66 @@ def test_matryoshka_plan_shape(spark):
     jc = join_counts(plan)
     assert jc["SortMergeJoin"] == 0 and jc["ShuffledHashJoin"] == 0, jc
     assert jc["BroadcastNestedLoopJoin"] >= 1, jc
+
+
+def test_bootstrap_poisson_reference(spark):
+    """Replay the bootstrap in pure Python from the Spark-computed
+    hash residues (the hash itself is parity-pinned against DuckDB in
+    the round-9 xxh64 tests): weight ladder, replicate means, order
+    statistics, and the CI must match; the CI must bracket the mean."""
+    from pyspark.sql import functions as F
+
+    from easy_alterator_spark.queries.evalops import (
+        _BOOT_B,
+        _POIS_CUM_20,
+    )
+    from easy_alterator_spark.sources import load_table
+
+    (row,) = QUERIES["stats_bootstrap_poisson"](spark, SF).collect()
+
+    ev = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    e = [
+        (r["event_id"], math.floor(r["value"] * 100 + 0.5))
+        for r in ev.collect()
+    ]
+    # hash residues via Spark (one batch), arithmetic in Python
+    ids = spark.createDataFrame(
+        [(i,) for i, _ in e], "event_id long"
+    ).select(
+        "event_id",
+        *[
+            F.pmod(
+                F.xxhash64("event_id", F.lit(b).cast("long")),
+                F.lit(1048576),
+            ).alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    us = {r["event_id"]: [r[f"u{b}"] for b in range(_BOOT_B)] for r in ids.collect()}
+
+    def weight(u):
+        for k, c in enumerate(_POIS_CUM_20):
+            if u < c:
+                return k
+        return len(_POIS_CUM_20)
+
+    means = []
+    for b in range(_BOOT_B):
+        nw = sw = 0
+        for eid, c in e:
+            w = weight(us[eid][b])
+            nw += w
+            sw += w * c
+        if nw > 0:
+            means.append(sw / nw)
+    means.sort()
+    b_eff = len(means)
+    lo = means[math.ceil(0.05 * b_eff) - 1]
+    hi = means[math.ceil(0.95 * b_eff) - 1]
+    n = len(e)
+    mean = sum(c for _, c in e) / n
+    assert row["n_events"] == n and row["b_eff"] == b_eff
+    assert row["mean"] == mean
+    assert row["ci90_lo"] == lo and row["ci90_hi"] == hi
+    assert row["ci90_lo"] <= row["mean"] <= row["ci90_hi"]
+    assert row["ci90_lo"] < row["ci90_hi"]
