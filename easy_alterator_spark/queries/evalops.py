@@ -3350,3 +3350,105 @@ def stats_bootstrap_poisson(spark, sf_dir):
             "b_eff",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_isotonic_fit — isotonic (PAVA) calibration via the minimax form
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_isotonic_fit",
+    # isotonic regression of the positive rate onto the score order,
+    # by the MINIMAX characterization fit_i = max_{j<=i} min_{k>=i}
+    # avg(y over bins j..k) — equivalent to PAVA but expressible as
+    # joins/windows instead of a sequential pool loop. Every interval
+    # average is ONE division of exact integer prefix sums (identical
+    # doubles cross-engine); min/max are pure selections, so the fit
+    # needs no grid. Pair table is m^2/2 with m bounded by the score
+    # GRID (1e-4), never by data
+    oracle=f"""
+    WITH d AS (SELECT {_SCORE} AS s,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+               FROM embeddings),
+    g AS (SELECT s, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS k
+          FROM d GROUP BY s),
+    p AS (SELECT s, n, k,
+                 (SUM(n) OVER w)::BIGINT AS nc,
+                 (SUM(k) OVER w)::BIGINT AS kc
+          FROM g WINDOW w AS (ORDER BY s)),
+    pr AS (SELECT a.s AS j, b.s AS i,
+                  (b.kc - (a.kc - a.k))::DOUBLE
+                      / (b.nc - (a.nc - a.n))::DOUBLE AS iv
+           FROM p a JOIN p b ON a.s <= b.s),
+    sm AS (SELECT j, i,
+                  MIN(iv) OVER (PARTITION BY j ORDER BY i DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS bmin
+           FROM pr),
+    f AS (SELECT i AS s, MAX(bmin) AS fit FROM sm GROUP BY i)
+    SELECT g.s, g.n, g.k, g.k::DOUBLE / g.n::DOUBLE AS raw_rate, f.fit
+    FROM g JOIN f USING (s)
+    """,
+)
+def eval_isotonic_fit(spark, sf_dir):
+    """Isotonic calibration of the probe classifier: the monotone
+    step function closest (least squares) to the per-score positive
+    rate — PAVA, the calibrator production stacks prefer over Platt
+    scaling because it assumes only monotonicity. PAVA's
+    pool-adjacent-violators loop is inherently sequential, so this
+    query computes the IDENTICAL fit by the minimax characterization
+    fit(i) = max over j <= i of min over k >= i of the interval
+    positive rate avg(j..k): per-score bins with exact integer
+    prefix sums (rank.global_prefix_sum — no single-reducer window),
+    an m^2/2 interval join whose averages are single IEEE divisions
+    of exact integers, a per-j suffix-min window (partitions of size
+    <= m), and one hash aggregate for the max — minimum and maximum
+    are pure selections over bit-identical doubles, so the fit
+    matches the oracle with NO grid. Scale: m is bounded by the
+    score GRID (1e-4 over [-1, 1] -> <= 20001 bins, 2e8 pair rows at
+    the theoretical max, all parallel hash/window work; coarsen the
+    grid to shrink it) — never by the data. The output fit is
+    provably nondecreasing in s (property-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        _score().alias("s"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    p = global_prefix_sum(g, ["s"], ["n", "k"], ["nc", "kc"]).select(
+        "s", "n", "k", F.col("nc").cast("bigint").alias("nc"),
+        F.col("kc").cast("bigint").alias("kc"),
+    )
+    a = p.select(
+        F.col("s").alias("j"),
+        (F.col("nc") - F.col("n")).alias("np"),
+        (F.col("kc") - F.col("k")).alias("kp"),
+    )
+    b = p.select(F.col("s").alias("i"), "nc", "kc")
+    pr = a.join(b, F.col("j") <= F.col("i")).select(
+        "j",
+        "i",
+        (
+            (F.col("kc") - F.col("kp")).cast("double")
+            / (F.col("nc") - F.col("np")).cast("double")
+        ).alias("iv"),
+    )
+    wsm = (
+        Window.partitionBy("j")
+        .orderBy(F.col("i").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sm = pr.select("j", "i", F.min("iv").over(wsm).alias("bmin"))
+    f = sm.groupBy(F.col("i").alias("s")).agg(F.max("bmin").alias("fit"))
+    return g.join(f, "s").select(
+        "s",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        "fit",
+    )

@@ -312,3 +312,55 @@ def test_bootstrap_poisson_reference(spark):
     assert row["ci90_lo"] == lo and row["ci90_hi"] == hi
     assert row["ci90_lo"] <= row["mean"] <= row["ci90_hi"]
     assert row["ci90_lo"] < row["ci90_hi"]
+
+
+def test_isotonic_fit_equals_pava(spark):
+    """The minimax-form query must equal ACTUAL pool-adjacent-
+    violators — a genuinely different algorithm (sequential pooling
+    vs joins+windows), so a shared formula bug cannot pass both."""
+    from easy_alterator_spark.sources import load_table
+
+    got = {
+        r["s"]: (r["n"], r["k"], r["fit"])
+        for r in QUERIES["eval_isotonic_fit"](spark, SF).collect()
+    }
+    vecs = load_table(spark, SF, "embeddings").collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in vecs:
+        s = math.floor(float(r["embedding"][0]) * 1e4 + 0.5)
+        bins[s][0] += 1
+        bins[s][1] += int(r["label"] >= 5)
+    order = sorted(bins)
+    # PAVA with weights = bin counts
+    blocks = [
+        [bins[s][1] / bins[s][0], bins[s][0], [s]] for s in order
+    ]  # [mean, weight, members]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            m = (
+                blocks[i][0] * blocks[i][1]
+                + blocks[i + 1][0] * blocks[i + 1][1]
+            ) / (blocks[i][1] + blocks[i + 1][1])
+            blocks[i] = [
+                m,
+                blocks[i][1] + blocks[i + 1][1],
+                blocks[i][2] + blocks[i + 1][2],
+            ]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    want_fit = {}
+    for mean, _, members in blocks:
+        for s in members:
+            want_fit[s] = mean
+    assert set(got) == set(want_fit)
+    for s in order:
+        n, k, fit = got[s]
+        assert (n, k) == tuple(bins[s])
+        assert abs(fit - want_fit[s]) < 1e-9, (s, fit, want_fit[s])
+    # monotone nondecreasing in s
+    fits = [got[s][2] for s in order]
+    assert all(a <= b + 1e-15 for a, b in zip(fits, fits[1:]))
