@@ -364,3 +364,72 @@ def test_isotonic_fit_equals_pava(spark):
     # monotone nondecreasing in s
     fits = [got[s][2] for s in order]
     assert all(a <= b + 1e-15 for a, b in zip(fits, fits[1:]))
+
+
+def test_round10_degenerate_fixture_differential(spark, tmp_path):
+    """Adversarial-degenerate corpus (ONE calendar day, all-equal
+    values, 6 tiny embeddings): every round-10 query must agree with
+    its oracle here too — single-day series (0 Theil-Sen pairs, MK
+    var18 = 0), all-tied daily totals (runs test excludes every day),
+    and a query set as large as the candidate set (matryoshka)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from easy_alterator_spark.queries import ORACLES, load_all
+
+    load_all()
+    d = str(tmp_path)
+    n = 20
+    base = 1_704_067_200_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base + i * 1000 for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1 + i % 3 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([10.0] * n, pa.float64()),
+                "props": pa.array(['{"k": 1}'] * n, pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(
+                    [[0.1 * i] + [0.0] * 63 for i in range(6)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([1, 9, 1, 9, 1, 9], pa.int64()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    for q in (
+        "stats_theilsen_trend",
+        "stats_mann_kendall",
+        "stats_runs_test",
+        "events_cusum_changepoint",
+        "stats_bootstrap_poisson",
+        "eval_isotonic_fit",
+        "eval_mcc",
+        "embedding_matryoshka_eval",
+    ):
+        srows = sorted(tuple(r) for r in QUERIES[q](spark, d).collect())
+        orows = sorted(tuple(r) for r in con.execute(ORACLES[q]).fetchall())
+        assert srows == orows, (q, srows, orows)
+    # and the degenerate shapes are the DOCUMENTED ones
+    assert QUERIES["stats_theilsen_trend"](spark, d).count() == 0
+    (mk,) = QUERIES["stats_mann_kendall"](spark, d).collect()
+    assert mk["var18"] == 0 and mk["z"] == 0.0
