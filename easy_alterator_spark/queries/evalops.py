@@ -2687,10 +2687,12 @@ def stats_theilsen_trend(spark, sf_dir):
     both engines hold bit-identical doubles and the median — the
     lower-median order statistic with a (d1, d2) tiebreak — selects
     the identical pair with no grid needed. Shape: one data-sized hash
-    aggregate to calendar days; the pair self-join and its rank window
-    are C(days,2)-sized — calendar-bounded (~435 rows at 30 days,
-    ~6.6M at a 10-year retention), NEVER a function of event count;
-    ALLOWED-listed for the plan contract on that bound."""
+    aggregate to calendar days; the pair self-join is C(days,2)-sized
+    — calendar-bounded (~435 rows at 30 days, ~6.6M at a 10-year
+    retention), NEVER a function of event count — and the median
+    selection runs through rank.global_rank (the terasort
+    decomposition), so even the 10-year pair table never funnels
+    through a single reducer."""
     ev = load_table(spark, sf_dir, "events")
     d = (
         ev.filter(F.col("value").isNotNull())
@@ -2709,13 +2711,12 @@ def stats_theilsen_trend(spark, sf_dir):
     )
     n = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    # pair-table (C(days,2), calendar-bounded) rank window
-    r = p.select(
-        "slope",
-        F.row_number()
-        .over(Window.orderBy("slope", "d1", "d2"))
-        .alias("rk"),
-    )
+    # exact global rank over the calendar-bounded pair table through
+    # the terasort decomposition — no single-reducer window even at
+    # a 10-year C(days,2)
+    from ..operators.rank import global_rank
+
+    r = global_rank(p, ["slope", "d1", "d2"], "rk").select("slope", "rk")
     return (
         r.crossJoin(F.broadcast(n))
         .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))

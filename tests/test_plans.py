@@ -1209,9 +1209,6 @@ class TestNoGlobalWindowContract:
         "stats_sequential_obf": "calendar-day-grained look table",
         # CUSUM prefix + peak over the calendar-day table (~30 rows)
         "events_cusum_changepoint": "calendar-day-grained look table",
-        # median-slope rank over the C(days,2) pair table (~435 rows
-        # at 30 days; calendar-bounded, never a function of events)
-        "stats_theilsen_trend": "C(days,2) calendar-bounded pair table",
         # median rank + runs lag over the calendar-day table (~30 rows)
         "stats_runs_test": "calendar-day-grained look table",
         # order statistics over the B=32 bootstrap-replicate table
