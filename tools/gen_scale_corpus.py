@@ -20,9 +20,10 @@ scan splits at the larger scales (the driver's single-row-group files
 cap the bench at one task per scan — representative of nothing at
 100 TB).
 
-Usage: python tools/gen_scale_corpus.py [out_root]
-Writes <out_root>/gen{mult}/{documents,embeddings}.parquet for
-mult in 1, 3, 10 (gen1 == bench-scale row counts: 5000 docs / 2000
+Usage: python tools/gen_scale_corpus.py [out_root] [mults]
+Writes <out_root>/{gen,genh,genu}{mult}/ parquet for each mult in the
+comma-separated ``mults`` (default "1,3,10"; pass "30" to extend the
+scaling curves — gen1 == bench-scale row counts: 5000 docs / 2000
 vectors). Never touches /root/testdata (read-only).
 """
 
@@ -174,7 +175,7 @@ def gen_events(n: int, n_users: int, seed: int, hot_users: int = 0):
     )
 
 
-def main(out_root: str = "/root/repo/.scale") -> None:
+def main(out_root: str = "/root/repo/.scale", mults=(1, 3, 10)) -> None:
     import os
 
     # genu = hot-user regime: 5 bot users absorb 25% of events with
@@ -185,7 +186,7 @@ def main(out_root: str = "/root/repo/.scale") -> None:
         ("genh", "high", 0),
         ("genu", "low", 5),
     ):
-        for mult in (1, 3, 10):
+        for mult in mults:
             d = os.path.join(out_root, f"{prefix}{mult}")
             os.makedirs(d, exist_ok=True)
             docs = gen_documents(DOCS_BASE * mult, random.Random(42 + mult), entropy)
@@ -217,4 +218,9 @@ def main(out_root: str = "/root/repo/.scale") -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale",
+        tuple(int(m) for m in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (1, 3, 10),
+    )

@@ -67,18 +67,24 @@ SCALES = [
     (3, 15000, 6000, 300_000),
     (10, 50000, 20000, 1_000_000),
 ]
+# extended curve (4th CLI arg "ext"): adds the 30x point — generate
+# the dirs first with `python tools/gen_scale_corpus.py .scale 30`
+SCALES_EXT = SCALES + [(30, 150000, 60000, 3_000_000)]
 
 
-def main(reps: int = 2, prefix: str = "gen", fam: str = "core") -> None:
+def main(
+    reps: int = 2, prefix: str = "gen", fam: str = "core", ext: str = ""
+) -> None:
     families = {
         "r7": FAMILIES_R7,
         "r9": FAMILIES_R9,
         "r10": FAMILIES_R10,
     }.get(fam, FAMILIES)
+    scales = SCALES_EXT if ext == "ext" else SCALES
     load_all()
     spark = get_spark("scale-rehearsal", master="local[32]")
     results: dict[str, dict[int, float]] = {}
-    for mult, *_ in SCALES:
+    for mult, *_ in scales:
         sf_dir = f"/root/repo/.scale/{prefix}{mult}"
         for name, _kind in families:
             q = QUERIES[name]
@@ -88,20 +94,25 @@ def main(reps: int = 2, prefix: str = "gen", fam: str = "core") -> None:
             )
             results.setdefault(name, {})[mult] = best
             print(f"{prefix}{mult} {name}: {best:.2f}s", flush=True)
-    print("\n| family | rows base | t(1x) | t(3x) | t(10x) | exp 1->3 | exp 3->10 |")
-    print("|---|---|---|---|---|---|---|")
+    mults = [m for m, *_ in scales]
+    hdr = " | ".join(f"t({m}x)" for m in mults)
+    ehdr = " | ".join(
+        f"exp {a}->{b}" for a, b in zip(mults, mults[1:])
+    )
+    print(f"\n| family | rows base | {hdr} | {ehdr} |")
+    print("|---|" + "---|" * (len(mults) * 2))
     for name, kind in families:
         r = results[name]
         n = {
             m: (d if kind == "docs" else (v if kind == "vecs" else e))
-            for m, d, v, e in SCALES
+            for m, d, v, e in scales
         }
-        e13 = math.log(r[3] / r[1]) / math.log(n[3] / n[1])
-        e310 = math.log(r[10] / r[3]) / math.log(n[10] / n[3])
-        print(
-            f"| {name} | {n[1]} {kind} | {r[1]:.2f} | {r[3]:.2f} | {r[10]:.2f} "
-            f"| {e13:.2f} | {e310:.2f} |"
+        ts = " | ".join(f"{r[m]:.2f}" for m in mults)
+        es = " | ".join(
+            f"{math.log(r[b] / r[a]) / math.log(n[b] / n[a]):.2f}"
+            for a, b in zip(mults, mults[1:])
         )
+        print(f"| {name} | {n[1]} {kind} | {ts} | {es} |")
 
 
 def _timed(q, spark, sf_dir) -> float:
@@ -115,4 +126,5 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 2,
         sys.argv[2] if len(sys.argv) > 2 else "gen",
         sys.argv[3] if len(sys.argv) > 3 else "core",
+        sys.argv[4] if len(sys.argv) > 4 else "",
     )
