@@ -7,13 +7,14 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage (stated as of round 10): 294 registered queries, 291 with
+Coverage (stated as of round 10): 295 registered queries, 292 with
 oracles; the union of CORRECTNESS_r01-r09 driver stamps is green for
 all 282 queries that carried oracles through round 9, and the 3 NEW
 round-10 queries (events_cusum_changepoint, stats_theilsen_trend,
 text_pmi_pairs, stats_mann_kendall, stats_runs_test, eval_mcc,
 embedding_matryoshka_eval, stats_bootstrap_poisson,
-eval_isotonic_fit) are oracle-gated and lead this round's window. Only
+eval_isotonic_fit, corpus_mix_plan) are oracle-gated and lead this
+round's window. Only
 the three ddl_* fixture queries stay rows-only by design (their
 inputs are DDL text, not the relational tables).
 
@@ -49,10 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 entries in queries()
 # order. Round-10 rotation (policy in the module docstring):
-# (a) the 9 queries NEW this round (events_cusum_changepoint,
+# (a) the 10 queries NEW this round (events_cusum_changepoint,
 # stats_theilsen_trend, text_pmi_pairs, stats_mann_kendall,
 # stats_runs_test, eval_mcc, embedding_matryoshka_eval,
-# stats_bootstrap_poisson, eval_isotonic_fit) and the 8 whose code or
+# stats_bootstrap_poisson, eval_isotonic_fit, corpus_mix_plan) and
+# the 8 whose code or
 # oracle CHANGED — events_rolling_7d (signed-event prefix-sum
 # decomposition replacing the quadratic sliding RANGE frame, found by
 # the r10 hot-user rehearsal), graph_triangles (per-user 256-item cap
@@ -66,10 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the remaining 20 r02-stale queries (newest stamp
 # CORRECTNESS_r02 — the tail round-9's new-query burst displaced;
 # events_rolling_7d, the 21st, moved to (a) by its change);
-# (d) the 12 oldest r03-stale queries (alphabetical within the equal
-# stamp age), filling to exactly 50. The 34 r03-stale left over
-# (privacy_k_anonymity, profile_key_skew, q01..q30,
-# split_leakage_guard, text_boilerplate) lead the r11
+# (d) the 11 oldest r03-stale queries (alphabetical within the equal
+# stamp age), filling to exactly 50. The 35 r03-stale left over
+# (graph_edge_support, privacy_k_anonymity, profile_key_skew,
+# q01..q30, split_leakage_guard, text_boilerplate) lead the r11
 # window; tests/test_round10_audit.py fails the suite if any of them
 # is still out-of-window while stale beyond K=7 rounds.
 # The 3 ddl_* rows-only entries stay out of the window.
@@ -86,6 +88,7 @@ _PRIORITY = [
     "embedding_matryoshka_eval",
     "stats_bootstrap_poisson",
     "eval_isotonic_fit",
+    "corpus_mix_plan",
     "events_rolling_7d",
     "graph_triangles",
     "eval_calibration_bins",
@@ -117,7 +120,7 @@ _PRIORITY = [
     "text_token_stats",
     "tfidf_top_terms",
     "vocab_topk",
-    # --- (d) the 12 oldest r03-stale, filling to exactly 50 ---
+    # --- (d) the 11 oldest r03-stale, filling to exactly 50 ---
     "agg_incremental_merge",
     "corpus_entropy",
     "corpus_overlap_minhash",
@@ -129,8 +132,8 @@ _PRIORITY = [
     "embedding_quantize_report",
     "events_anomaly_mad",
     "events_scd2",
+    # --- below the fold: the 35 r03-stale that lead the r11 window ---
     "graph_edge_support",
-    # --- below the fold: the 34 r03-stale that lead the r11 window ---
     "privacy_k_anonymity",
     "profile_key_skew",
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below

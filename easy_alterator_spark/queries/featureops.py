@@ -2621,3 +2621,87 @@ def text_pmi_pairs(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_plan — domain-reweighting plan against a token budget
+# ---------------------------------------------------------------------------
+
+# target mixture shares in integer percent (planning constants, shared
+# verbatim with the oracle); unknown languages get share 0
+_MIX_SHARES = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+
+
+@query(
+    "corpus_mix_plan",
+    # per-language exact token counts -> integer target allocation
+    # target_l = floor(budget * share / 100) with budget = floor(T/2)
+    # -> alloc = min(tokens, target), deficit = target - alloc, and
+    # the per-doc sampling rate floor(alloc*1e6/tokens) — every output
+    # integer except the one-division rate; all shares are constants
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      SUM(len(list_filter(string_split_regex(
+                              lower(trim(text)), '\\s+'), x -> x <> '')))
+                          ::BIGINT AS tokens
+               FROM documents GROUP BY lang),
+    tot AS (SELECT (SUM(tokens) // 2)::BIGINT AS budget FROM t),
+    p AS (SELECT t.lang, t.tokens,
+                 (tot.budget * (CASE t.lang
+                     {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_SHARES.items())}
+                     ELSE 0 END)) // 100 AS target
+          FROM t CROSS JOIN tot)
+    SELECT lang, tokens, target::BIGINT AS target,
+           LEAST(tokens, target)::BIGINT AS alloc,
+           (target - LEAST(tokens, target))::BIGINT AS deficit,
+           (LEAST(tokens, target) * 1000000 // tokens)::BIGINT
+               AS rate_micro
+    FROM p
+    """,
+)
+def corpus_mix_plan(spark, sf_dir):
+    """Data-mixing plan: per-language sampling rates that hit a target
+    mixture (40% en / 15% each zh-es-de-fr, planning constants shared
+    with the oracle) within a token budget of half the corpus — the
+    static domain-reweighting step every multi-source training
+    pipeline runs before sampling (the DoReMi-style learned weights
+    replace the constants; the allocation arithmetic is identical).
+    Exactness: per-language token counts are exact int64 over the
+    whitespace tokenizer; target = floor(budget*share/100), alloc =
+    min(tokens, target), deficit, and the per-doc sampling rate
+    floor(alloc*1e6/tokens) are ALL integer arithmetic — nothing for
+    floats to perturb. Shape: one data-sized map (token count per
+    doc) into a |langs|-group hash aggregate with map-side combine,
+    then broadcast-sized planning math — the cheapest distributed
+    shape at any corpus size; a deficit > 0 row tells the operator
+    which domain under-fills its quota (upsample or relax share)."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(T.tokens(F.col("text"))).cast("long"))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = t.agg(
+        F.floor(F.sum("tokens") / 2).cast("bigint").alias("budget")
+    )
+    share = F.lit(0)
+    for k, v in _MIX_SHARES.items():
+        share = F.when(F.col("lang") == k, v).otherwise(share)
+    p = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "tokens",
+        F.floor(F.col("budget") * share / 100).cast("bigint").alias("target"),
+    )
+    alloc = F.least(F.col("tokens"), F.col("target"))
+    return p.select(
+        "lang",
+        "tokens",
+        "target",
+        alloc.cast("bigint").alias("alloc"),
+        (F.col("target") - alloc).cast("bigint").alias("deficit"),
+        F.floor(alloc * 1000000 / F.col("tokens"))
+        .cast("bigint")
+        .alias("rate_micro"),
+    )

@@ -433,3 +433,33 @@ def test_round10_degenerate_fixture_differential(spark, tmp_path):
     assert QUERIES["stats_theilsen_trend"](spark, d).count() == 0
     (mk,) = QUERIES["stats_mann_kendall"](spark, d).collect()
     assert mk["var18"] == 0 and mk["z"] == 0.0
+
+
+def test_corpus_mix_plan_reference(spark):
+    from easy_alterator_spark.queries.featureops import _MIX_SHARES
+    from easy_alterator_spark.sources import load_table
+
+    got = {
+        r["lang"]: (
+            r["tokens"],
+            r["target"],
+            r["alloc"],
+            r["deficit"],
+            r["rate_micro"],
+        )
+        for r in QUERIES["corpus_mix_plan"](spark, SF).collect()
+    }
+    toks = defaultdict(int)
+    for r in load_table(spark, SF, "documents").collect():
+        toks[r["lang"]] += len(
+            [t for t in r["text"].lower().strip().split() if t]
+        )
+    budget = sum(toks.values()) // 2
+    want = {}
+    for lang, n in toks.items():
+        target = budget * _MIX_SHARES.get(lang, 0) // 100
+        alloc = min(n, target)
+        want[lang] = (n, target, alloc, target - alloc, alloc * 1000000 // n)
+    assert got == want and len(got) >= 3
+    # the plan allocates no more than the budget
+    assert sum(v[2] for v in got.values()) <= budget
