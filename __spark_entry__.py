@@ -7,14 +7,12 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage (stated as of round 10): 295 registered queries, 292 with
-oracles; the union of CORRECTNESS_r01-r09 driver stamps is green for
-all 282 queries that carried oracles through round 9, and the 3 NEW
-round-10 queries (events_cusum_changepoint, stats_theilsen_trend,
-text_pmi_pairs, stats_mann_kendall, stats_runs_test, eval_mcc,
-embedding_matryoshka_eval, stats_bootstrap_poisson,
-eval_isotonic_fit, corpus_mix_plan) are oracle-gated and lead this
-round's window. Only
+Coverage (stated as of round 11): 295 registered queries, 292 with
+oracles; the union of CORRECTNESS_r01-r10 driver stamps is green for
+all 292 oracle-bearing queries (stamp histogram r03:35 r04:41 r06:42
+r07:40 r08:42 r09:42 r10:50). Round 11 is an optimization round — no
+new queries; the window below re-stamps the 35 r03-stale queries the
+r10 verdict slated for this round. Only
 the three ddl_* fixture queries stay rows-only by design (their
 inputs are DDL text, not the relational tables).
 
@@ -49,97 +47,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-10 rotation (policy in the module docstring):
-# (a) the 10 queries NEW this round (events_cusum_changepoint,
-# stats_theilsen_trend, text_pmi_pairs, stats_mann_kendall,
-# stats_runs_test, eval_mcc, embedding_matryoshka_eval,
-# stats_bootstrap_poisson, eval_isotonic_fit, corpus_mix_plan) and
-# the 8 whose code or
-# oracle CHANGED — events_rolling_7d (signed-event prefix-sum
-# decomposition replacing the quadratic sliding RANGE frame, found by
-# the r10 hot-user rehearsal), graph_triangles (per-user 256-item cap
-# on the upstream pair build, identical in the oracle), the three
-# min-max-normalized eval queries (hi = lo degenerate guard pinning
-# p6 = 0 on both engines), and the DECIMAL(38)/HUGEINT overflow-proof
-# folds (embedding_pca_power's covariance numerator;
-# eval_brier_decomposition's three squared sums; ml_logreg_gd/_eval
-# share the retrained-on-mtime memo fix);
-# (b) the flagship pipeline as standing re-verification;
-# (c) the remaining 20 r02-stale queries (newest stamp
-# CORRECTNESS_r02 — the tail round-9's new-query burst displaced;
-# events_rolling_7d, the 21st, moved to (a) by its change);
-# (d) the 11 oldest r03-stale queries (alphabetical within the equal
-# stamp age), filling to exactly 50. The 35 r03-stale left over
-# (graph_edge_support, privacy_k_anonymity, profile_key_skew,
-# q01..q30, split_leakage_guard, text_boilerplate) lead the r11
-# window; tests/test_round10_audit.py fails the suite if any of them
-# is still out-of-window while stale beyond K=7 rounds.
+# order. Round-11 rotation (policy in the module docstring):
+# (a) the 35 r03-stale queries (newest stamp CORRECTNESS_r03, age 8 >
+# K=7) that the r10 verdict slated to lead this window and that
+# tests/test_round10_audit.py::test_rotation_staleness_bounded forces
+# in-window: graph_edge_support, privacy_k_anonymity,
+# profile_key_skew, q01..q30, split_leakage_guard, text_boilerplate.
+# Round 11 is an optimization round (no new queries), so the stale
+# cohort leads outright; any query whose CODE changed in the r11
+# optimization work is listed in section (b) so its rewrite is
+# re-stamped by the driver this round.
+# (b) optimization-changed queries + the flagship as standing
+# re-verification;
+# (c) the oldest r04-stale queries (alphabetical within the equal
+# stamp age), filling to exactly 50.
+# Window arithmetic for K=7 (VERDICT r10 task 6): the registry is 295
+# (292 oracle-bearing) and grew ~10/round through r10; with a 50-slot
+# window a full sweep is ceil(292/50) = 6 rounds, so the steady-state
+# stamp age is ~6 and K=7 is exactly one round of slack — a burst of
+# new queries displaces a tail by at most one window before the
+# tripwire fires. r12 pre-staging: after this round the oldest cohort
+# is the remaining 27 r04 stamps (41 minus the 14 in (c)); they fill
+# the r12 window after r12's changed queries, then the r06 cohort.
 # The 3 ddl_* rows-only entries stay out of the window.
-# The full window re-ran green through tools/driver_sim (dtype-strict,
-# pandas-fetched like the driver) at sf0.01 before commit.
 _PRIORITY = [
-    # --- (a) round-10 NEW queries and changed code or oracles ---
-    "events_cusum_changepoint",
-    "stats_theilsen_trend",
-    "text_pmi_pairs",
-    "stats_mann_kendall",
-    "stats_runs_test",
-    "eval_mcc",
-    "embedding_matryoshka_eval",
-    "stats_bootstrap_poisson",
-    "eval_isotonic_fit",
-    "corpus_mix_plan",
-    "events_rolling_7d",
-    "graph_triangles",
-    "eval_calibration_bins",
-    "eval_brier_decomposition",
-    "eval_conformal_coverage",
-    "embedding_pca_power",
-    "ml_logreg_gd",
-    "ml_logreg_eval",
-    # --- (b) flagship standing re-verification ---
-    "pipeline_training_corpus",
-    # --- (c) the 20 remaining r02-stale stamps ---
-    "doc_sample_split",
-    "events_asof_join",
-    "events_funnel",
-    "events_json_extract",
-    "events_latest_by_key",
-    "events_outliers",
-    "events_range_join",
-    "events_sessionize",
-    "layout_zorder",
-    "stats_quantiles",
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_histogram",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "vocab_topk",
-    # --- (d) the 11 oldest r03-stale, filling to exactly 50 ---
-    "agg_incremental_merge",
-    "corpus_entropy",
-    "corpus_overlap_minhash",
-    "dedup_keep_best",
-    "dedup_robust_keep_best",
-    "dedup_threshold_sweep",
-    "doc_lm_score",
-    "doc_nb_classify",
-    "embedding_quantize_report",
-    "events_anomaly_mad",
-    "events_scd2",
-    # --- below the fold: the 35 r03-stale that lead the r11 window ---
+    # --- (a) the 35 r03-stale queries (tripwire-forced this round) ---
     "graph_edge_support",
     "privacy_k_anonymity",
     "profile_key_skew",
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "split_leakage_guard",
     "text_boilerplate",
-    # --- then everything else already driver-green ---
+    # --- (b) r11 optimization-changed queries + flagship ---
+    "pipeline_training_corpus",
+    # --- (c) the 14 oldest r04-stale, filling to exactly 50 ---
+    "corpus_snapshot_diff",
+    "decontaminate_bloom",
+    "dedup_cluster_assign_star",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_embedding_lsh_planted",
+    "dedup_lsh_recall_audit",
+    "dedup_semantic",
+    "dedup_simhash_md5",
+    "doc_chunk_dedup",
+    "doc_chunk_overlap",
+    "doc_quality_filter",
+    "events_dwell_time",
+    "events_rolling_median",
+    # --- below the fold: everything else already driver-green ---
     *[f"q{i:02d}" for i in range(31, 44)],
 ]
 

@@ -136,8 +136,76 @@ _PERM_B = [((0xBF58476D1CE4E5B9 * (i + 1) + 0x94D049BB133111EB) % (_MERSENNE31 -
 _PERM_C = [(0xD6E8FEB86659FD93 * (i + 1)) % _MERSENNE31 for i in range(256)]
 
 
+# num_perm -> cached Arrow kernel (the pandas_udf object is reused
+# across query invocations so each call doesn't re-register a UDF)
+_MINHASH_KERNELS: dict[int, "object"] = {}
+
+
+def _minhash_kernel(num_perm: int):
+    """Arrow-batched numpy MinHash kernel — the r11 production form of
+    :func:`_minhash_from_hashes_col` (guide §4.2: hand whole batches
+    to vectorized native code instead of interpreted expressions).
+
+    Spark's higher-order functions evaluate INTERPRETED (no codegen):
+    the Column form costs |set| x num_perm lambda evaluations per row
+    — measured 3.24 s for the 3,935-unique-set signature stage of
+    dedup_minhash_lsh at sf0.1 (~2.4 s of pure signature math on one
+    post-AQE-coalesce task), vs 0.96 s with this kernel (the residual
+    is the upstream set-collapse). The arithmetic is the SAME
+    overflow-free integer multiply-add mod 2^31-1 — int64 all the way,
+    so the result is bit-identical to the Column form (pinned by
+    tests/test_round11_optim.py) and order-free. The Column twin is
+    kept for environments where the Python boundary is unavailable.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    if num_perm in _MINHASH_KERNELS:
+        return _MINHASH_KERNELS[num_perm]
+    a = np.array(_PERM_A[:num_perm], dtype=np.int64)
+    b = np.array(_PERM_B[:num_perm], dtype=np.int64)
+    c = np.array(_PERM_C[:num_perm], dtype=np.int64)
+    p = np.int64(_MERSENNE31)
+    sentinel = np.int64(_MERSENNE31) + np.arange(num_perm, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def mh(hsets: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        out = []
+        for h in hsets:
+            if h is None:
+                out.append(sentinel)
+                continue
+            v = _np.asarray(h, dtype=_np.int64)
+            if v.size == 0:
+                out.append(sentinel)
+                continue
+            # identical operand construction to the Column form:
+            # lo = h & 0x7FFFFFFF, hi = h >>> 33 (unsigned shift)
+            lo = v & _np.int64(0x7FFFFFFF)
+            hi = (v.view(_np.uint64) >> _np.uint64(33)).view(_np.int64)
+            # lo*a + hi*b + c < 2^63 (see constant derivation), so the
+            # int64 matrix never overflows; % p == pmod for
+            # non-negative operands
+            m = (lo[:, None] * a + hi[:, None] * b + c) % p
+            out.append(m.min(axis=0))
+        return pd.Series(out)
+
+    _MINHASH_KERNELS[num_perm] = mh
+    return mh
+
+
 def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
-    """Signature from pre-hashed (long) tokens.
+    """Signature from pre-hashed (long) tokens — Arrow numpy kernel
+    (see :func:`_minhash_kernel`); bit-identical to the Column twin
+    :func:`_minhash_from_hashes_col`."""
+    return _minhash_kernel(num_perm)(htoks)
+
+
+def _minhash_from_hashes_col(htoks: F.Column, num_perm: int) -> F.Column:
+    """Column-expression MinHash twin (pre-r11 production path).
 
     Every permutation is an overflow-free multiply-add universal hash
     over the two 31-bit halves of the 64-bit token hash (see constant
@@ -148,6 +216,11 @@ def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
     and compiles fast; the naive form (num_perm separate array_min
     subtrees) costs seconds of compilation alone. Empty token sets get
     a sentinel signature so they only ever match each other.
+
+    Higher-order functions evaluate interpreted, which makes this form
+    ~24x slower than the Arrow kernel on the signature math (r11
+    measurement in :func:`_minhash_kernel`); it remains the reference
+    implementation and the bit-equality oracle for the kernel.
     """
     pa = F.array(*[F.lit(a) for a in _PERM_A[:num_perm]])
     pb = F.array(*[F.lit(b) for b in _PERM_B[:num_perm]])
@@ -357,9 +430,22 @@ def minhash_dedup_pairs(
         # tiny sets make Jaccard degenerate (two docs sharing one rare
         # token are "identical"); standard floor after DF pruning
         hs = hs.filter(F.size("hset") >= min_set)
-    # group identical token sets; the group key IS the set
-    groups = hs.repartition("hset").groupBy("hset").agg(
-        F.array_sort(F.collect_list("id")).alias("members")
+    # group identical token sets; the group key IS the set.
+    # MATERIALIZED ONCE (r11, guide §3.3 "materialise an intermediate
+    # result"): five consumers read this table — the two band-join
+    # sides, the two verify join-backs (ga/gb), and the same-set
+    # `within` branch — and without a checkpoint each one re-executes
+    # the tokenize+hash+collect_list collapse (AQE reuses the
+    # repartition Exchange, but the aggregate above it re-runs per
+    # consumer; measured 5x ObjectHashAggregate in the r11 plan
+    # audit, plans/r11/dedup_minhash_lsh_before.txt). At 100 TB this
+    # is the standard unique-sets materialization every dedup
+    # pipeline persists (reliable checkpoint dir there instead).
+    groups = (
+        hs.repartition("hset")
+        .groupBy("hset")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .localCheckpoint(eager=False)
     )
     reps = groups.select(F.element_at("members", 1).alias("id"), "hset", "members")
 
@@ -405,6 +491,14 @@ def minhash_dedup_pairs(
             F.explode(band_seq).alias("band_idx"),
         )
         .withColumn("band_hash", F.element_at(F.col("tbh"), F.col("band_idx") + 1))
+        # earlier-band prefix computed ONCE per banded row (r11): the
+        # first-matching-band predicate needs only tbh[0..band_idx);
+        # slicing inside the join condition re-allocated both prefixes
+        # per COLLIDING PAIR (19M evaluations at sf0.1 vs 63k banded
+        # rows). The full tbh is dropped from the join payload, so
+        # shuffle bytes shrink too (prefix averages bands/2 tags).
+        .withColumn("tbh_pre", F.slice(F.col("tbh"), 1, F.col("band_idx")))
+        .drop("tbh")
     )
     left, right = banded.alias("l"), banded.alias("r")
     # exact size prune INSIDE the band join: jac(A,B) <= min/max of the
@@ -415,11 +509,9 @@ def minhash_dedup_pairs(
         >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
     )
     # first-matching-band: no earlier tagged band hash agrees -> each
-    # pair is emitted exactly once across all bands (replaces distinct())
-    first_band = ~F.arrays_overlap(
-        F.slice(F.col("l.tbh"), 1, F.col("l.band_idx")),
-        F.slice(F.col("r.tbh"), 1, F.col("r.band_idx")),
-    )
+    # pair is emitted exactly once across all bands (replaces
+    # distinct()); prefixes precomputed per banded row, see above
+    first_band = ~F.arrays_overlap(F.col("l.tbh_pre"), F.col("r.tbh_pre"))
     # signature-level pre-verify (see docstring for the 8σ bound)
     sigma = (threshold * (1.0 - threshold) / num_perm) ** 0.5
     pre_cut = max(0.0, threshold - max(0.25, 8.0 * sigma))
@@ -557,7 +649,7 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy: pinned at first action (r11)
     )
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "comp", F.col("id")
@@ -571,7 +663,12 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            # lazy (r11): the convergence-witness collect right below
+            # is the first action, so the checkpoint materializes as
+            # part of that job instead of running its own eager job
+            # per round (the pin itself — one boundary draw for all
+            # consumers — is unchanged)
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("comp").alias("t")).collect()[0]["t"]
         if s == prev_sum:
@@ -605,13 +702,13 @@ def _connected_components_star(
     edges = (
         e.select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy: pinned at first action (r11)
     )
     nodes = (
         edges.select(F.col("s").alias("id"))
         .unionByName(edges.select(F.col("d").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy: pinned at first action (r11)
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -638,7 +735,9 @@ def _connected_components_star(
             .unionByName(joined.select(F.col("mn").alias("s"), F.col("h").alias("d")))
             .filter(F.col("s") != F.col("d"))
             .distinct()
-            .localCheckpoint()
+            # lazy (r11): the witness collect below is the first
+            # action and materializes the pin in the same job
+            .localCheckpoint(eager=False)
         )
         # best-known label per node (centers label themselves)
         lbl = nodes.join(
@@ -733,8 +832,13 @@ def incremental_near_dup_pairs(
     Cross-side identical sets need no special case: their signatures
     collide in band 0 and exact-verify at jac = 1.0.
     """
-    rb = _inc_reps(batch, "b", id_col, text_col)
-    rc = _inc_reps(corpus, "c", id_col, text_col)
+    # Each side's rep table feeds BOTH the banding and the verify
+    # join-back; materialize once (r11, guide §3.3) so the
+    # tokenize+hash+collect_list collapse is not re-executed per
+    # consumer. The persisted-index path (probe_band_index) reads the
+    # corpus side from a bucketed table and needs no pin.
+    rb = _inc_reps(batch, "b", id_col, text_col).localCheckpoint(eager=False)
+    rc = _inc_reps(corpus, "c", id_col, text_col).localCheckpoint(eager=False)
     bb = _inc_banded(rb, "b", num_perm, bands)
     bc = _inc_banded(rc, "c", num_perm, bands)
     return _probe_pairs(rb, bb, rc, bc, threshold, num_perm)
@@ -797,6 +901,15 @@ def _inc_banded(rp: DataFrame, side: str, num_perm: int, bands: int) -> DataFram
             "band_hash",
             F.element_at(F.col(f"{side}_tbh"), F.col(f"{side}_band_idx") + 1),
         )
+        # earlier-band prefix once per banded row (r11, same device as
+        # minhash_dedup_pairs — the probe join otherwise re-slices
+        # both prefixes per colliding pair); full tbh dropped from the
+        # join payload
+        .withColumn(
+            f"{side}_tbh_pre",
+            F.slice(F.col(f"{side}_tbh"), 1, F.col(f"{side}_band_idx")),
+        )
+        .drop(f"{side}_tbh")
     )
 
 
@@ -820,11 +933,9 @@ def _probe_pairs(
         >= F.lit(threshold) * F.greatest(F.col("b_sz"), F.col("c_sz"))
     )
     # equal tagged band_hash implies equal band index, so each side
-    # slices by its OWN band position
-    first_band = ~F.arrays_overlap(
-        F.slice(F.col("b_tbh"), 1, F.col("b_band_idx")),
-        F.slice(F.col("c_tbh"), 1, F.col("c_band_idx")),
-    )
+    # slices by its OWN band position (prefixes precomputed per banded
+    # row in _inc_banded)
+    first_band = ~F.arrays_overlap(F.col("b_tbh_pre"), F.col("c_tbh_pre"))
     est_ok = F.size(F.array_intersect(F.col("b_tsig"), F.col("c_tsig"))) >= F.lit(
         int(pre_cut * num_perm)
     )

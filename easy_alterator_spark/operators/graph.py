@@ -51,20 +51,32 @@ def pagerank(
     # executor-side once; blocks are GC-reclaimed when the result DF
     # goes out of scope.
     ed = e.join(deg, "s").localCheckpoint(eager=False)
-    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = deg.select(F.col("s").alias("node")).crossJoin(
-        F.broadcast(n1)
-    ).select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    # r11: the node count is ONE scalar — collect it once instead of
+    # crossJoin(broadcast(n1)) in every iteration, which executed a
+    # separate broadcast job per round (measured: 22 jobs for the
+    # 10-iteration fixture query; each job is pure scheduling latency
+    # around a 1-row table). Same IEEE expression: (1-d)/n and 1/n are
+    # the identical double divisions on the identical count-derived
+    # double, so ranks are bit-equal. One COUNT to the driver is a
+    # scalar at any corpus size.
+    # count from the CHECKPOINTED edge table so this one construction
+    # job also materializes the pin (counting `deg` directly would
+    # execute the upstream pair derivation once for the count and
+    # again for ed's checkpoint)
+    nd = float(ed.select("s").distinct().count())
+    ranks = deg.select(F.col("s").alias("node")).select(
+        "node", (F.lit(1.0) / F.lit(nd)).alias("rank")
+    )
     for i in range(iters):
         contrib = (
             ed.join(ranks, ed["s"] == ranks["node"])
             .groupBy("d")
             .agg(F.sum(F.col("rank") / F.col("dg")).alias("c"))
         )
-        ranks = contrib.crossJoin(F.broadcast(n1)).select(
+        ranks = contrib.select(
             F.col("d").alias("node"),
             (
-                (1.0 - damping) / F.col("n") + damping * F.col("c")
+                (1.0 - damping) / F.lit(nd) + damping * F.col("c")
             ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:

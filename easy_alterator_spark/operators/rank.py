@@ -134,6 +134,25 @@ def global_rank(
       are quantiles of it). Property-tested equal to ``range_pin`` on
       randomized inputs in tests/test_round10_audit.py.
     """
+    ranked, _counts = _ranked_and_counts(
+        df, order_cols, rank_col, num_partitions, strategy
+    )
+    return ranked
+
+
+def _ranked_and_counts(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str,
+    num_partitions: int | None = None,
+    strategy: str = "range_pin",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`global_rank` body, additionally returning the
+    one-row-per-partition ``(__pid, __cnt)`` counts table so callers
+    that need the GLOBAL row count (ntile, equi-depth) can aggregate
+    those few rows instead of re-scanning the ranked data (r11: the
+    extra full pass was one whole job per ntile call — events_rfm
+    runs three)."""
     first = order_cols[0]
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
@@ -162,11 +181,12 @@ def global_rank(
         "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    ranked = (
         tagged.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, F.row_number().over(w_local) + F.col("__off"))
         .drop("__pid", "__off")
     )
+    return ranked, counts
 
 
 def _ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
@@ -194,8 +214,10 @@ def global_ntile(
     :func:`global_rank` (two data-sized exchanges, no global funnel)
     with the exact NTILE remainder formula against a broadcast 1-row
     total. Bit-identical to SQL NTILE for any total order."""
-    ranked = global_rank(df, order_cols, "__rk", num_partitions)
-    total1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked, counts = _ranked_and_counts(df, order_cols, "__rk", num_partitions)
+    # global row count from the partition-count table (rows = number
+    # of range partitions), not another pass over the ranked data
+    total1 = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(total1))
         .withColumn(
@@ -221,8 +243,10 @@ def equi_depth_histogram(
     over one row per bucket/partition.
     """
     order_cols = [value_col, *tiebreak_cols]
-    ranked = global_rank(df.select(*order_cols), order_cols)
-    total1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked, counts = _ranked_and_counts(
+        df.select(*order_cols), order_cols, "rank"
+    )
+    total1 = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
     bucket = _ntile_from_rank(F.col("rank"), F.col("__n"), k)
     return (
         ranked.crossJoin(F.broadcast(total1))

@@ -366,6 +366,68 @@ def keyword_search_bm25(
     )
 
 
+def keyword_search_bm25_runs(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(q_term, doc_id, rank): per-term BM25 top-k run lists for
+    SEVERAL single-term queries in ONE corpus pass — the eval-harness
+    shape (r11). Looping :func:`keyword_search_bm25` per term re-scans
+    and re-tokenizes the corpus once per query term (measured: 3x the
+    whole BM25 pipeline for search_eval_metrics' three terms); here
+    tokenize/tf/df/stats are computed once and the per-term top-k is a
+    row_number window PARTITIONED by term — partition-sized in df(t),
+    the standard per-key top-k, never an empty-partition global sort.
+
+    Score and ordering are expression-identical to the single-term
+    ``keyword_search_bm25(..., with_rank=True)`` runs: one term's
+    score is its single idf·sat summand, and ranks order by
+    (raw_score DESC, doc_id), so the fused output is bit-equal to the
+    unioned per-term loop (pinned in tests/test_round11_optim.py).
+    """
+    qterms = sorted({t for p in terms for t in _norm_phrase(p)})
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.tokens(F.col(text_col)).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", (idf * sat).alias("raw_score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(
+        F.col("raw_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("term").alias("q_term"), "doc_id", "rank")
+    )
+
+
 def build_inverted_index(
     docs: DataFrame,
     max_postings: int = 10,

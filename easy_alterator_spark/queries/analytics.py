@@ -1967,7 +1967,13 @@ def events_rfm_segments(spark, sf_dir):
     NTILE(4) OVER (ORDER BY metric, user_id) on every engine."""
     from ..operators.rank import global_ntile
 
-    m = _rfm_user_metrics(load_table(spark, sf_dir, "events"))
+    # pinned once (r11): four consumers (three ntile bandings + the
+    # recompose join) otherwise re-execute the user aggregate and the
+    # anchor broadcast each — at 100 TB you would persist this
+    # user-grained table before branching, as the docstring says
+    m = _rfm_user_metrics(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=False
+    )
     r_t = global_ntile(
         m.select("user_id", "rec"),
         [F.col("rec"), F.col("user_id")],

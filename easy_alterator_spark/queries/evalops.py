@@ -1272,104 +1272,155 @@ def embedding_pca_power(spark, sf_dir):
     convergence goes as (l2/l1)^k — but the max-norm eigenvalue
     estimate stabilizes fast (within 8% of the true l1 here, vs
     trace/d 43% below it) and the anisotropy verdict (~1.6x: no
-    single dominant axis) is exactly what the audit needs. Fully
-    distributed: the d x d moment matrix is ONE posexplode^2 hash
-    aggregate (n*d^2 exploded rows, map-side partial combine; the
-    matrix itself is 4096 rows — KBs), each iteration a
-    broadcast-sized join-aggregate over it, no driver-side algebra,
-    no collect. Determinism: exact DECIMAL(38)/HUGEINT covariance
-    numerator (int64 would wrap silently around n ~ 1e5-1e7 at this
-    grid). Residual int64 site: the mat-vec's per-entry FLOOR snap,
-    exact while max|C| < 2^63; past that the documented scale path
-    is dividing C by a fixed power of two before iterating (power
-    iteration is invariant to positive rescale, and the oracle would
-    apply the identical shift), which keeps the snap in-range
-    without changing the algorithm. Exact-int
-    per-entry product snapping, exact-integer max normalization (see
-    the oracle comment). At 100 TB the moment aggregate is one pass;
-    for d too large for d^2 explode, the same plan runs on a
-    mapInPandas per-batch outer-product partial."""
+    single dominant axis) is exactly what the audit needs. Shape
+    (r11): ONE scan — a mapInArrow partial outer product (one numpy
+    int64 matmul per batch, the scale path the pre-r11 docstring
+    already named) — then the d^2-bounded partials (KBs) fold through
+    one Arrow stage that builds the exact covariance numerator
+    n*s - mu_i*mu_j in arbitrary-precision ints (== the
+    DECIMAL(38)/HUGEINT fold it replaces; int64 would wrap silently
+    around n ~ 1e5-1e7 at this grid) and runs all eight max-norm
+    iterations in replicated op-for-op arithmetic; no driver-side
+    algebra, no collect. Residual int64 site: the mat-vec's per-entry
+    FLOOR snap, exact while max|C| < 2^63; past that the documented
+    scale path is dividing C by a fixed power of two before iterating
+    (power iteration is invariant to positive rescale, and the oracle
+    would apply the identical shift). Exact-int per-entry product
+    snapping, exact-integer max normalization (see the oracle
+    comment). At 100 TB the moment pass is one map-only scan; the
+    iteration stage moves P x (d^2+d+1) partial rows — bounded by the
+    fixed d=64, never by data (for audits at very large d the
+    distributed join-aggregate loop from git history is the form)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x4 = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1e4 + 0.5).cast("long"),
-    )
-    vv = emb.select(x4.alias("x4"))
-    e1 = vv.select(F.posexplode("x4").alias("i", "xi"), "x4")
-    e2 = e1.select("i", "xi", F.posexplode("x4").alias("j", "xj"))
-    m8 = e2.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
-    mu = e1.groupBy("i").agg(F.sum("xi").alias("m"))
-    nn = vv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = mu.select(F.col("i").alias("ai"), F.col("m").alias("ma"))
-    b = mu.select(F.col("i").alias("bi"), F.col("m").alias("mb"))
-    cm = (
-        m8.join(F.broadcast(a), F.col("i") == F.col("ai"))
-        .join(F.broadcast(b), F.col("j") == F.col("bi"))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "i",
-            "j",
-            # n*s - ma*mb wraps int64 around n ~ 1e5-1e7 at the 1e4
-            # grid; fold in decimal(38,0) (HUGEINT on the oracle
-            # side, the stats_cuped device) so the stored matrix
-            # stays exact at corpus scale instead of wrapping
-            (
-                F.col("n").cast("decimal(38,0)") * F.col("s")
-                - F.col("ma").cast("decimal(38,0)") * F.col("mb")
-            ).alias("c"),
+    # r11 (guide §4.2, and the scale path this docstring already
+    # named): the d x d moment matrix as a mapInArrow partial outer
+    # product — one numpy int64 matmul per batch — instead of the
+    # posexplode^2 form, whose two Generates put n*d^2 rows (8.2M at
+    # sf0.1) through interpreted row-at-a-time evaluation. Exactness
+    # is unchanged: x4 = FLOOR(float64(x)*1e4 + 0.5) is the identical
+    # IEEE op sequence, products/sums are int64 integers (order-free;
+    # |x4| <= ~2e4 so a partial sum wraps only past ~2e10 rows per
+    # task), and the same (i, j, s) / (i, mu) / n aggregates come out
+    # of the per-partition partials. NULL embeddings count toward n
+    # and contribute nothing else — posexplode semantics preserved.
+    d_ = 64
+
+    def _moments(it):
+        import numpy as np
+        import pyarrow as pa
+
+        g = np.zeros((d_, d_), dtype=np.int64)
+        mu_p = np.zeros(d_, dtype=np.int64)
+        n_rows = 0
+        for batch in it:
+            lst = batch.column(0)
+            n_rows += len(lst)
+            if lst.null_count:
+                lst = lst.drop_null()
+            k = len(lst)
+            if not k:
+                continue
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            assert flat.size == k * d_, "ragged embedding row"
+            m = np.floor(
+                flat.astype(np.float64).reshape(k, d_) * 1e4 + 0.5
+            ).astype(np.int64)
+            g += m.T @ m
+            mu_p += m.sum(axis=0)
+        ii = np.repeat(np.arange(d_, dtype=np.int32), d_)
+        jj = np.tile(np.arange(d_, dtype=np.int32), d_)
+        i_all = np.concatenate(
+            [ii, np.arange(d_, dtype=np.int32), np.array([-1], dtype=np.int32)]
         )
-        .localCheckpoint(eager=True)  # reused by every iteration
-    )
-    tr = cm.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("t"))
-    v = None  # v0 is the constant 1/8 vector (unit L2 norm at d=64)
-    m = None
-    for _ in range(_POWER_ITERS):
-        if v is None:
-            prod = F.floor(F.col("c").cast("double") * 0.125).cast("long")
-            joined = cm
-        else:
-            joined = cm.join(
-                F.broadcast(v.select(F.col("dim").alias("j"), "vv")), "j"
-            )
-            prod = F.floor(F.col("c").cast("double") * F.col("vv")).cast(
-                "long"
-            )
-        u = joined.groupBy(F.col("i").alias("dim")).agg(
-            F.sum(prod).cast("bigint").alias("u")
+        j_all = np.concatenate(
+            [jj, np.full(d_, -1, dtype=np.int32), np.array([-1], dtype=np.int32)]
         )
-        m = u.agg(F.max(F.abs(F.col("u"))).cast("bigint").alias("m"))
-        v = (
-            u.crossJoin(F.broadcast(m))
-            .select(
-                "dim",
-                (F.col("u").cast("double") / F.col("m").cast("double")).alias(
-                    "vv"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        s_all = np.concatenate(
+            [g.ravel(), mu_p, np.array([n_rows], dtype=np.int64)]
         )
-    nd = F.col("n").cast("double")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(i_all), pa.array(j_all), pa.array(s_all)],
+            names=["i", "j", "s"],
+        )
+
+    part = emb.select("embedding").mapInArrow(_moments, "i int, j int, s long")
+
+    # r11, stage 2: the covariance build + all _POWER_ITERS iterations
+    # fused into ONE Arrow stage over the d^2-bounded partials. The
+    # pre-r11 form ran each iteration as a broadcast-join + aggregate
+    # + eager localCheckpoint — ~3 jobs x 8 iterations of pure
+    # scheduling overhead around 4096-row algebra (measured: the whole
+    # query stayed ~3.7 s after the moment pass was already down to
+    # 0.27 s). The iteration STATE is d- and d^2-sized by construction
+    # (same boundedness class as the ALLOWED one-row-per-partition
+    # windows), so funneling the P x (d^2+d+1) partial rows through one
+    # task moves KBs. Arithmetic is replicated op-for-op:
+    # - covariance numerator n*s - mu_i*mu_j in PYTHON ints (exact
+    #   arbitrary precision == the DECIMAL(38)/HUGEINT fold it
+    #   replaces), then one correctly-rounded float() per entry ==
+    #   decimal -> double cast;
+    # - mat-vec snap floor(c_double * v_j) -> int64, int64 row sums,
+    #   exact-integer max-norm, one IEEE division per entry — the
+    #   identical expression tree the Spark loop evaluated;
+    # - the three output grids reproduce the former Column expressions
+    #   left-to-right. Differentially gated vs the unchanged oracle.
+    def _power(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        n = int(pdf.loc[pdf["i"] == -1, "s"].sum())
+        mu_rows = pdf[(pdf["j"] == -1) & (pdf["i"] >= 0)].groupby("i")["s"].sum()
+        mu_arr = [0] * d_
+        for i, s in mu_rows.items():
+            mu_arr[int(i)] = int(s)
+        mm = pdf[pdf["j"] >= 0].groupby(["i", "j"])["s"].sum()
+        g_mat = np.zeros((d_, d_), dtype=np.int64)
+        g_mat[
+            mm.index.get_level_values(0).to_numpy(),
+            mm.index.get_level_values(1).to_numpy(),
+        ] = mm.to_numpy()
+        # exact integer covariance numerator (python int == HUGEINT)
+        c_int = [
+            [n * int(g_mat[i, j]) - mu_arr[i] * mu_arr[j] for j in range(d_)]
+            for i in range(d_)
+        ]
+        t_int = sum(c_int[i][i] for i in range(d_))
+        cd = np.array(
+            [[float(c) for c in row] for row in c_int], dtype=np.float64
+        )
+        v = None
+        m = 0
+        for _ in range(_POWER_ITERS):
+            if v is None:
+                prod = np.floor(cd * 0.125).astype(np.int64)
+            else:
+                prod = np.floor(cd * v).astype(np.int64)
+            u = prod.sum(axis=1)  # int64, same wrap semantics as SUM(long)
+            m = int(np.abs(u).max())
+            v = u.astype(np.float64) / float(m)
+        nd = float(n)
+        md = float(m)
+        td = float(t_int)
+        loading = np.floor(v * 1e6) / 1e6
+        eig_est = math.floor(md / (nd * nd) / 1e8 * 1e6 + 1e-6) / 1e6
+        anisotropy = math.floor(md * 64 / td * 1e6 + 1e-6) / 1e6
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d_, dtype=np.int64),
+                "loading": loading,
+                "eig_est": np.full(d_, eig_est),
+                "anisotropy": np.full(d_, anisotropy),
+            }
+        )
+
     return (
-        v.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.col("dim").cast("bigint").alias("dim"),
-            (F.floor(F.col("vv") * 1e6) / 1e6).alias("loading"),
-            (
-                F.floor(
-                    F.col("m").cast("double") / (nd * nd) / 1e8 * 1e6 + 1e-6
-                )
-                / 1e6
-            ).alias("eig_est"),
-            (
-                F.floor(
-                    F.col("m").cast("double") * 64 / F.col("t").cast("double")
-                    * 1e6
-                    + 1e-6
-                )
-                / 1e6
-            ).alias("anisotropy"),
+        part.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            _power,
+            "dim bigint, loading double, eig_est double, anisotropy double",
         )
     )
 

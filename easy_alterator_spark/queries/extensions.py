@@ -2862,12 +2862,11 @@ def search_eval_metrics(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     terms = ["window", "join", "scan"]
-    runs = None
-    for t in terms:
-        r = SE.keyword_search_bm25(docs, [t], k=20, with_rank=True).select(
-            F.lit(t).alias("q_term"), "doc_id", "rank"
-        )
-        runs = r if runs is None else runs.unionByName(r)
+    # ONE corpus pass for all three per-term runs (r11) — the looped
+    # per-term keyword_search_bm25 form re-ran the whole pipeline per
+    # term; scores/ranks are expression-identical (see
+    # keyword_search_bm25_runs)
+    runs = SE.keyword_search_bm25_runs(docs, terms, k=20)
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     ).filter(F.col("term").isin(terms))
