@@ -234,7 +234,10 @@ def hive_diff(
     fmap = parsed.select("file_path", "table_name").filter(
         F.col("table_name").isNotNull()
     )
-    cat_f = fmap.join(cat_cols, "table_name")
+    # pinned (r11): both the column diff and the partition check read
+    # this per-file fan-out; lazy localCheckpoint stops the join from
+    # re-executing per consumer (inputs are table-count-sized)
+    cat_f = fmap.join(cat_cols, "table_name").localCheckpoint(eager=False)
     col_diff = _column_diff(
         hql_cols.select("file_path", "pos", "name", "type", "backfilled_from"),
         cat_f.select("file_path", "name", "type", "position"),

@@ -90,7 +90,11 @@ def lm_score(
     count tables shuffles on (w1, w2) then (w1); the final per-document
     average shuffles on the id. All three aggregations are algebraic.
     """
-    bi = doc_bigrams(docs, text_col, id_col)
+    # pinned (r11): the bigram stream feeds the count aggregate, both
+    # vocab union sides, and the scoring join-back — four consumers
+    # that each re-tokenized the corpus (the tokenize-once
+    # materialization every LM-data pipeline performs)
+    bi = doc_bigrams(docs, text_col, id_col).localCheckpoint(eager=False)
     counts, contexts, vocab = bigram_model(bi)
     nll = -F.log((F.col("c") + k) / (F.col("cw") + k * F.col("v")))
     return (
@@ -161,7 +165,13 @@ def top_collocations(
     is TakeOrdered — nothing rescans the corpus.
     """
     bi = doc_bigrams(docs, text_col, id_col)
-    counts = bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c"))
+        # pinned (r11): marginals, total, and the min_count filter all
+        # read this collapsed table — one corpus tokenization
+        .localCheckpoint(eager=False)
+    )
     left = counts.groupBy("w1").agg(F.sum("c").alias("c1"))
     right = counts.groupBy("w2").agg(F.sum("c").alias("c2"))
     total = counts.agg(F.sum("c").alias("n"))

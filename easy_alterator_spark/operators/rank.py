@@ -87,7 +87,15 @@ def _bounds_bucketed(
     key; rows then order correctly across buckets by the first key
     and within buckets by the full ``order_cols``. Heavy ties on the
     first key concentrate in one bucket — the documented skew caveat
-    (same as any range scheme without tiebreak columns)."""
+    (same as any range scheme without tiebreak columns).
+
+    UNSUPPORTED inputs (ADVICE r10): NaN or NULL first-key values.
+    Spark's sort places NaN after all doubles and NULL first (asc),
+    but the ``bound <= key`` comparisons here evaluate NULL/false for
+    both, assigning bucket 0 — a too-low bucket and a wrong global
+    rank. ``range_pin`` handles such keys correctly; callers with
+    possibly-non-finite first keys must use it (every registered
+    query does) or pre-filter."""
     probs = [i / n for i in range(1, n)]
     bounds = df.approxQuantile(first_name, probs, 0.001)
     barr = F.array(*[F.lit(float(b)) for b in bounds])

@@ -3376,7 +3376,10 @@ def stats_bootstrap_poisson(spark, sf_dir):
         F.row_number()
         .over(Window.orderBy(mean_b, F.col("b")))
         .alias("rk"),
-    )
+        # pinned (r11): three consumers (b_eff count, lo, hi) would
+        # otherwise each re-run the 32x-explode weighted aggregate
+        # over the events table; this is a 32-row table
+    ).localCheckpoint(eager=False)
     kk = mk.agg(F.count(F.lit(1)).cast("bigint").alias("b_eff"))
     lo = (
         mk.crossJoin(F.broadcast(kk))
@@ -3469,7 +3472,9 @@ def eval_isotonic_fit(spark, sf_dir):
     g = d.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("k"),
-    )
+        # pinned (r11): consumed by the prefix-sum decomposition AND
+        # the final join-back — one score-grid-bounded table, one scan
+    ).localCheckpoint(eager=False)
     p = global_prefix_sum(g, ["s"], ["n", "k"], ["nc", "kc"]).select(
         "s", "n", "k", F.col("nc").cast("bigint").alias("nc"),
         F.col("kc").cast("bigint").alias("kc"),

@@ -449,7 +449,9 @@ def events_attribution_positional(spark, sf_dir):
     WITH uic AS (SELECT user_id,
                         json_extract_string(props, '$.k')::INT AS item,
                         COUNT(*)::BIGINT AS n_ev
-                 FROM events GROUP BY 1, 2),
+                 FROM events
+                 WHERE json_extract_string(props, '$.k') IS NOT NULL
+                 GROUP BY 1, 2),
     ui AS (SELECT user_id, item FROM (
                SELECT user_id, item,
                       ROW_NUMBER() OVER (PARTITION BY user_id
@@ -494,7 +496,15 @@ def rec_item_cooccur(spark, sf_dir):
     (item-dimension-sized, broadcast) -> per-item top-k window over
     item-grained groups. min-support co >= 5 keeps noise pairs out."""
     ev = load_table(spark, sf_dir, "events")
-    uic = ev.groupBy(
+    # NULL items filtered BEFORE the cap window (ADVICE r10): Spark
+    # sorts NULL first under the cap's (n_ev DESC, item ASC) order
+    # while DuckDB defaults NULLS LAST, so a >256-item user with a
+    # NULL json_extract result could be capped to different item sets
+    # cross-engine; NULL items never survive the a.item < b.item join
+    # anyway, so dropping them up front changes nothing else
+    uic = ev.filter(
+        F.get_json_object("props", "$.k").isNotNull()
+    ).groupBy(
         "user_id",
         F.get_json_object("props", "$.k").cast("int").alias("item"),
     ).agg(F.count(F.lit(1)).alias("n_ev"))
@@ -505,6 +515,9 @@ def rec_item_cooccur(spark, sf_dir):
         uic.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= 256)
         .select("user_id", "item")
+        # pinned (r11): three consumers (item counts + both self-join
+        # sides) would each re-run the events aggregate + cap window
+        .localCheckpoint(eager=False)
     )
     ic = ui.groupBy("item").agg(F.count(F.lit(1)).alias("nu"))
     a, b = ui.alias("a"), ui.alias("b")
@@ -574,7 +587,9 @@ def rec_item_cooccur(spark, sf_dir):
     WITH uic AS (SELECT user_id,
                         json_extract_string(props, '$.k')::INT AS item,
                         COUNT(*)::BIGINT AS n_ev
-                 FROM events GROUP BY 1, 2),
+                 FROM events
+                 WHERE json_extract_string(props, '$.k') IS NOT NULL
+                 GROUP BY 1, 2),
     ui AS (SELECT user_id, item FROM (
                SELECT user_id, item,
                       ROW_NUMBER() OVER (PARTITION BY user_id
@@ -635,7 +650,15 @@ def graph_triangles(spark, sf_dir):
     when it does bind it changes co-counts only for such bot-grade
     users, the standard production mitigation."""
     ev = load_table(spark, sf_dir, "events")
-    uic = ev.groupBy(
+    # NULL items filtered BEFORE the cap window (ADVICE r10): Spark
+    # sorts NULL first under the cap's (n_ev DESC, item ASC) order
+    # while DuckDB defaults NULLS LAST, so a >256-item user with a
+    # NULL json_extract result could be capped to different item sets
+    # cross-engine; NULL items never survive the a.item < b.item join
+    # anyway, so dropping them up front changes nothing else
+    uic = ev.filter(
+        F.get_json_object("props", "$.k").isNotNull()
+    ).groupBy(
         "user_id",
         F.get_json_object("props", "$.k").cast("int").alias("item"),
     ).agg(F.count(F.lit(1)).alias("n_ev"))
@@ -656,6 +679,12 @@ def graph_triangles(spark, sf_dir):
         )
         .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
         .agg(F.count(F.lit(1)).alias("co"))
+        # pinned (r11): the mean-threshold needs BOTH the totals and
+        # the filtered pass over this table — without the pin the
+        # user self-join pair build re-executes per consumer (this is
+        # the co-occurrence table a production pipeline materializes;
+        # rec_item_cooccur's device)
+        .localCheckpoint(eager=False)
     )
     tot = co.agg(
         F.count(F.lit(1)).alias("n_pairs"), F.sum("co").alias("sum_co")
@@ -664,6 +693,11 @@ def graph_triangles(spark, sf_dir):
         co.crossJoin(F.broadcast(tot))
         .filter(F.col("co") * F.col("n_pairs") > F.col("sum_co"))
         .select("u", "v")
+        # pinned (r11): five consumers (degree agg, two degree
+        # join-backs, and the o1/o2/o3 wedge self-joins on different
+        # keys) — each would otherwise re-execute the whole pair
+        # build + threshold
+        .localCheckpoint(eager=False)
     )
     # degree-orient: every edge leaves its lower-(degree, id) endpoint
     deg = (
@@ -1685,6 +1719,12 @@ def graph_degree_distribution(spark, sf_dir):
         )
         .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
         .agg(F.count(F.lit(1)).alias("co"))
+        # pinned (r11): the mean-threshold needs BOTH the totals and
+        # the filtered pass over this table — without the pin the
+        # user self-join pair build re-executes per consumer (this is
+        # the co-occurrence table a production pipeline materializes;
+        # rec_item_cooccur's device)
+        .localCheckpoint(eager=False)
     )
     tot = co.agg(
         F.count(F.lit(1)).alias("n_pairs"), F.sum("co").alias("sum_co")
@@ -1693,6 +1733,9 @@ def graph_degree_distribution(spark, sf_dir):
         co.crossJoin(F.broadcast(tot))
         .filter(F.col("co") * F.col("n_pairs") > F.col("sum_co"))
         .select("u", "v")
+        # pinned (r11): both union sides of the degree aggregate read
+        # this edge table — one threshold pass instead of two
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -2580,6 +2623,9 @@ def text_pmi_pairs(spark, sf_dir):
         tf.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= 64)
         .select("doc_id", "term")
+        # pinned (r11): three consumers (unigram counts + both pair
+        # self-join sides) would each re-run tokenize + tf + cap
+        .localCheckpoint(eager=False)
     )
     nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ca = capped.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -2669,8 +2715,16 @@ def corpus_mix_plan(spark, sf_dir):
     Exactness: per-language token counts are exact int64 over the
     whitespace tokenizer; target = floor(budget*share/100), alloc =
     min(tokens, target), deficit, and the per-doc sampling rate
-    floor(alloc*1e6/tokens) are ALL integer arithmetic — nothing for
-    floats to perturb. Shape: one data-sized map (token count per
+    floor(alloc*1e6/tokens) take only integer inputs. Stated bound
+    (ADVICE r10): Spark computes budget, target, and rate_micro via
+    DOUBLE division (bigint/int), exact only below 2^53 total tokens
+    (~9e15 — thousands of times this corpus; DuckDB's // path is
+    integer the whole way), and alloc*1e6 wraps int64 past ~9.2e12
+    tokens per language. Beyond those bounds the fold belongs in
+    DECIMAL(38,0)/HUGEINT like eval_brier_decomposition — documented
+    rather than applied because the decimal fold costs cycles on every
+    run for headroom 3 orders of magnitude beyond the target scale.
+    Shape: one data-sized map (token count per
     doc) into a |langs|-group hash aggregate with map-side combine,
     then broadcast-sized planning math — the cheapest distributed
     shape at any corpus size; a deficit > 0 row tells the operator

@@ -107,8 +107,40 @@ def test_persisted_band_index_probe(spark, bucketed_db):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p_idx = formatted_plan(probe_band_index(batch, f"{db}.lsh", threshold=0.9))
-        p_mem = formatted_plan(incremental_near_dup_pairs(batch, corpus, threshold=0.9))
-        assert exchange_count(p_idx) < exchange_count(p_mem)
+        # build the in-memory twin WITHOUT its r11 rep-table pins: a
+        # localCheckpoint truncates the printed plan at a LogicalRDD,
+        # hiding exactly the corpus-side exchanges this comparison
+        # counts (the pin changes when subtrees re-execute, not the
+        # exchange structure being compared)
+        from pyspark.sql import DataFrame as _DF
+
+        _orig_lc = _DF.localCheckpoint
+        _DF.localCheckpoint = lambda self, eager=True: self
+        try:
+            p_mem = formatted_plan(
+                incremental_near_dup_pairs(batch, corpus, threshold=0.9)
+            )
+        finally:
+            _DF.localCheckpoint = _orig_lc
+        # the precise claim (r11 — total exchange counts proved
+        # brittle against unrelated plan changes): the in-memory twin
+        # shuffles BOTH sides of the band join on band_hash, the
+        # probe shuffles only the batch side — the corpus bands ride
+        # the bucketed scan with no Exchange above them
+        def _band_hash_exchanges(plan: str) -> int:
+            import re
+
+            return len(
+                re.findall(
+                    r"\(\d+\) Exchange\nInput[^\n]*\n"
+                    r"Arguments: hashpartitioning\(band_hash",
+                    plan,
+                )
+            )
+
+        assert _band_hash_exchanges(p_mem) == 2, p_mem
+        assert _band_hash_exchanges(p_idx) == 1, p_idx
+        assert exchange_count(p_idx) <= exchange_count(p_mem)
         # the bands scan feeds the ShuffledHashJoin directly — assert
         # the bucketed relation appears and is not re-exchanged on its
         # band_hash key
