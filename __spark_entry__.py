@@ -57,18 +57,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # cohort leads outright; any query whose CODE changed in the r11
 # optimization work is listed in section (b) so its rewrite is
 # re-stamped by the driver this round.
-# (b) optimization-changed queries + the flagship as standing
-# re-verification;
-# (c) the oldest r04-stale queries (alphabetical within the equal
-# stamp age), filling to exactly 50.
+# (b) the flagship as standing re-verification, then the 14
+# most-rewritten r11 optimization targets (two of them —
+# rec_item_cooccur and graph_triangles — also carry the ADVICE-r10
+# NULL-item-cap oracle fix, outputs verified bit-identical): the
+# remaining changed-this-round queries (pin-only plan changes whose
+# outputs are proven identical by the r11 oracle-gate sweeps —
+# dedup_minhash_df_pruned, dedup_lsh_recall_audit, the CC/keep_best
+# family, the rank-machinery users) don't fit the 50 after the forced
+# 35 and are covered by the committed sf0.01 full-gate runs instead.
 # Window arithmetic for K=7 (VERDICT r10 task 6): the registry is 295
-# (292 oracle-bearing) and grew ~10/round through r10; with a 50-slot
-# window a full sweep is ceil(292/50) = 6 rounds, so the steady-state
-# stamp age is ~6 and K=7 is exactly one round of slack — a burst of
-# new queries displaces a tail by at most one window before the
-# tripwire fires. r12 pre-staging: after this round the oldest cohort
-# is the remaining 27 r04 stamps (41 minus the 14 in (c)); they fill
-# the r12 window after r12's changed queries, then the r06 cohort.
+# (292 oracle-bearing; r11 adds none); with a 50-slot window a full
+# sweep is ceil(292/50) = 6 rounds, so the steady-state stamp age is
+# ~6 and K=7 is exactly one round of slack — a burst of new/changed
+# queries displaces a tail by at most one window before the tripwire
+# fires. r12 pre-staging: after this round the oldest cohort is the
+# 41 r04 stamps minus the two restamped here (decontaminate_bloom,
+# dedup_embedding_lsh_planted — both in (b)); the remaining 39 reach
+# age 8 > K at r12 and MUST lead the r12 window (39 + flagship = 40,
+# leaving 10 slots for r12's changed queries).
 # The 3 ddl_* rows-only entries stay out of the window.
 _PRIORITY = [
     # --- (a) the 35 r03-stale queries (tripwire-forced this round) ---
@@ -78,23 +85,22 @@ _PRIORITY = [
     *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
     "split_leakage_guard",
     "text_boilerplate",
-    # --- (b) r11 optimization-changed queries + flagship ---
+    # --- (b) flagship + the 14 most-rewritten r11 queries ---
     "pipeline_training_corpus",
-    # --- (c) the 14 oldest r04-stale, filling to exactly 50 ---
-    "corpus_snapshot_diff",
-    "decontaminate_bloom",
-    "dedup_cluster_assign_star",
-    "dedup_containment",
-    "dedup_edit_distance",
+    "embedding_pca_power",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "search_eval_metrics",
+    "stats_bootstrap_poisson",
+    "eval_isotonic_fit",
+    "graph_triangles",
+    "rec_item_cooccur",
+    "text_pmi_pairs",
+    "doc_lm_score",
+    "events_rfm_segments",
+    "graph_pagerank",
     "dedup_embedding_lsh_planted",
-    "dedup_lsh_recall_audit",
-    "dedup_semantic",
-    "dedup_simhash_md5",
-    "doc_chunk_dedup",
-    "doc_chunk_overlap",
-    "doc_quality_filter",
-    "events_dwell_time",
-    "events_rolling_median",
+    "decontaminate_bloom",
     # --- below the fold: everything else already driver-green ---
     *[f"q{i:02d}" for i in range(31, 44)],
 ]

@@ -149,9 +149,14 @@ def bloom_contaminated_docs(
     for Spark's injected runtime bloom or a scala-UDF ``sc.broadcast``
     — same algebra, documented swap (SCALE.md).
     """
-    bench_grams = bench.select(
-        F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
-    ).distinct()
+    bench_grams = (
+        bench.select(F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+        .distinct()
+        # pinned (r11): consumed by the bitmap build (a driver
+        # collect) AND the exact-verify broadcast — one benchmark
+        # tokenization instead of two
+        .localCheckpoint(eager=False)
+    )
     words, m = _bloom_bitmap(bench_grams, bits_per_key, num_hashes)
     spark = train.sparkSession
     bitmap_row = spark.createDataFrame([(words,)], "bm array<bigint>")

@@ -167,7 +167,18 @@ def _minhash_kernel(num_perm: int):
     b = np.array(_PERM_B[:num_perm], dtype=np.int64)
     c = np.array(_PERM_C[:num_perm], dtype=np.int64)
     p = np.int64(_MERSENNE31)
-    sentinel = np.int64(_MERSENNE31) + np.arange(num_perm, dtype=np.int64)
+    # The Column twin's sentinel expression `lit(p) + i` evaluates in
+    # INT32 (p = 2^31-1 is the int max), so positions >= 1 WRAP
+    # negative. That is still correct there — sentinels only need to
+    # be disjoint from real minhash values in [0, p) and shared by all
+    # empty sets — and this kernel reproduces the wrap bit-for-bit so
+    # the two forms are interchangeable (pinned in
+    # tests/test_round11_optim.py, incl. the empty-set rows).
+    sentinel = (
+        (np.int64(_MERSENNE31) + np.arange(num_perm, dtype=np.int64) + 2**31)
+        % 2**32
+        - 2**31
+    )
 
     @pandas_udf("array<bigint>")
     def mh(hsets: pd.Series) -> pd.Series:
@@ -244,11 +255,14 @@ def _minhash_from_hashes_col(htoks: F.Column, num_perm: int) -> F.Column:
             )
         ),
     )
-    # Sentinel for empty token sets: values >= p, which no real minhash
-    # (always < p after pmod) can take, so empty sets match only each
-    # other. Kept small and positive so downstream position-tagging
-    # (v * num_perm + i in minhash_dedup_pairs) cannot overflow a long
-    # even under ANSI arithmetic.
+    # Sentinel for empty token sets: values outside [0, p) — position
+    # 0 is p itself; `lit(p) + i` evaluates in INT32 (p is the int32
+    # max), so later positions WRAP negative (noted r11; the Arrow
+    # kernel replicates the wrap bit-for-bit). No real minhash (always
+    # in [0, p) after pmod) can collide with either form, so empty
+    # sets match only each other; magnitudes stay < 2^31, so the
+    # downstream position-tagging (v * num_perm + i in
+    # minhash_dedup_pairs) cannot overflow a long even under ANSI.
     sentinel = F.transform(idx, lambda i: F.lit(_MERSENNE31) + i)
     return F.when(F.size(htoks) > 0, sig).otherwise(sentinel)
 
@@ -1260,8 +1274,14 @@ def embedding_lsh_dedup_pairs(
     bits_udf = _hyperplane_bits_udf(nbits, dim)
     # no repartition: signature + banding ride the scan's own
     # partitioning (map-only); a shuffle here would move the full
-    # vector table once for nothing at scale
-    sig = uv.select("id", "uv", bits_udf(F.col("uv")).alias("bits"))
+    # vector table once for nothing at scale.
+    # Pinned (r11): four consumers (both band-join sides and both
+    # verify join-backs, which read the unit vectors) would otherwise
+    # re-run the hyperplane projection and unit-normalization each —
+    # this is the signature table an ANN pipeline materializes.
+    sig = uv.select(
+        "id", "uv", bits_udf(F.col("uv")).alias("bits")
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -1284,8 +1304,10 @@ def embedding_lsh_dedup_pairs(
         .distinct()
     )
     return (
-        cands.join(uv.select(F.col("id").alias("vec_id_a"), F.col("uv").alias("va")), "vec_id_a")
-        .join(uv.select(F.col("id").alias("vec_id_b"), F.col("uv").alias("vb")), "vec_id_b")
+        # verify join-backs read the PINNED signature table (its uv
+        # column), not the raw scan — no re-normalization per side
+        cands.join(sig.select(F.col("id").alias("vec_id_a"), F.col("uv").alias("va")), "vec_id_a")
+        .join(sig.select(F.col("id").alias("vec_id_b"), F.col("uv").alias("vb")), "vec_id_b")
         .withColumn("cos", V.dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cos"))

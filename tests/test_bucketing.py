@@ -112,16 +112,12 @@ def test_persisted_band_index_probe(spark, bucketed_db):
         # hiding exactly the corpus-side exchanges this comparison
         # counts (the pin changes when subtrees re-execute, not the
         # exchange structure being compared)
-        from pyspark.sql import DataFrame as _DF
+        from .util import no_pin
 
-        _orig_lc = _DF.localCheckpoint
-        _DF.localCheckpoint = lambda self, eager=True: self
-        try:
+        with no_pin():
             p_mem = formatted_plan(
                 incremental_near_dup_pairs(batch, corpus, threshold=0.9)
             )
-        finally:
-            _DF.localCheckpoint = _orig_lc
         # the precise claim (r11 — total exchange counts proved
         # brittle against unrelated plan changes): the in-memory twin
         # shuffles BOTH sides of the band join on band_hash, the

@@ -414,8 +414,15 @@ class TestRound8Plans:
             ),
             ("text_hapax_ratio", "source", {"source", "text"}),
         ]
-        for name, marker, allowed in cases:
-            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+        from .util import no_pin
+
+        # see tests/util.no_pin — the r11 subtree pins truncate the
+        # printed plan; prune auditing needs the unpinned plan
+        with no_pin():
+            for name, marker, allowed in cases:
+                assert_reads_only(
+                    QUERIES[name](spark, self.SF), marker, allowed
+                )
 
 
 class TestSurvivalKM:
@@ -592,8 +599,15 @@ class TestRound8bPlans:
             ("corpus_source_overlap", "source", {"source", "text"}),
             ("events_trending_items", "props", {"props", "ts"}),
         ]
-        for name, marker, allowed in cases:
-            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+        from .util import no_pin
+
+        # see tests/util.no_pin — the r11 subtree pins truncate the
+        # printed plan; prune auditing needs the unpinned plan
+        with no_pin():
+            for name, marker, allowed in cases:
+                assert_reads_only(
+                    QUERIES[name](spark, self.SF), marker, allowed
+                )
 
 
 class TestStreamEwmaTwin:
@@ -818,8 +832,15 @@ class TestRound8cPlans:
                 {"event_id", "ts", "value"},
             ),
         ]
-        for name, marker, allowed in cases:
-            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+        from .util import no_pin
+
+        # see tests/util.no_pin — the r11 subtree pins truncate the
+        # printed plan; prune auditing needs the unpinned plan
+        with no_pin():
+            for name, marker, allowed in cases:
+                assert_reads_only(
+                    QUERIES[name](spark, self.SF), marker, allowed
+                )
 
 
 class TestCramersV:
@@ -957,8 +978,15 @@ class TestRound8dPlans:
             ("corpus_js_divergence", "source", {"source", "text"}),
             ("events_rank_stability_rbo", "props", {"props", "ts"}),
         ]
-        for name, marker, allowed in cases:
-            assert_reads_only(QUERIES[name](spark, self.SF), marker, allowed)
+        from .util import no_pin
+
+        # see tests/util.no_pin — the r11 subtree pins truncate the
+        # printed plan; prune auditing needs the unpinned plan
+        with no_pin():
+            for name, marker, allowed in cases:
+                assert_reads_only(
+                    QUERIES[name](spark, self.SF), marker, allowed
+                )
 
 
 class TestMarkovBacktest:

@@ -123,3 +123,45 @@ def assert_df_matches_oracle(df, con, sql: str, name: str = "") -> None:
             (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
         ][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def no_pin():
+    """Temporarily no-op DataFrame.localCheckpoint so STATIC plan
+    audits (column pruning, exchange structure) can see through the
+    r11 shared-subtree pins — a lazy localCheckpoint truncates the
+    printed plan at a LogicalRDD, hiding the scans the audits
+    inspect. The pins change when subtrees re-execute, never what the
+    underlying scan reads, so asserting on the unpinned plan checks
+    the same contract."""
+    # patch every class that defines its own localCheckpoint: in
+    # PySpark 4 the concrete pyspark.sql.classic.dataframe.DataFrame
+    # shadows the pyspark.sql.DataFrame base attribute, so patching
+    # only the base silently does nothing
+    targets = []
+    from pyspark.sql import DataFrame as _Base
+
+    targets.append(_Base)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _Classic
+
+        targets.append(_Classic)
+    except ImportError:
+        pass
+    origs = [(t, t.__dict__.get("localCheckpoint")) for t in targets]
+    for t in targets:
+        t.localCheckpoint = lambda self, eager=True: self
+    try:
+        yield
+    finally:
+        for t, o in origs:
+            if o is None:
+                try:
+                    del t.localCheckpoint
+                except AttributeError:
+                    pass
+            else:
+                t.localCheckpoint = o
