@@ -105,11 +105,22 @@ def main() -> None:
     detail = dict(per_query)
     if genh_ctl is not None:
         detail["dedup_minhash_lsh__genh_control"] = genh_ctl
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # r12 (VERDICT-r11 task 7): the driver benches at two core counts
+    # and the second run used to overwrite the first's full per-query
+    # record. Write a per-core-count detail file ALONGSIDE the
+    # unchanged BENCH_DETAIL.json (additions only; the one-line stdout
+    # contract and the timed methodology are untouched). "cpus" goes
+    # into the detail files so the freshness tripwire
+    # (tests/test_round12_audit.py) never compares across core counts.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(
+        spark.sparkContext.defaultParallelism
     )
-    with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": detail}, f, indent=1)
+    detail_doc = {**summary, "cpus": cpus, "queries": detail}
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail_doc, f, indent=1)
+    with open(os.path.join(repo, f"BENCH_DETAIL_c{cpus}.json"), "w") as f:
+        json.dump(detail_doc, f, indent=1)
     print(json.dumps(summary))
 
 

@@ -234,10 +234,15 @@ def hive_diff(
     fmap = parsed.select("file_path", "table_name").filter(
         F.col("table_name").isNotNull()
     )
-    # pinned (r11): both the column diff and the partition check read
-    # this per-file fan-out; lazy localCheckpoint stops the join from
-    # re-executing per consumer (inputs are table-count-sized)
-    cat_f = fmap.join(cat_cols, "table_name").localCheckpoint(eager=False)
+    # NOT pinned (r12, VERDICT-r11 task 2): the r11 lazy-localCheckpoint
+    # pin here was A/B'd same-session at local[32]/sf0.1 — pinned best
+    # 1.899-2.128 s / 18 jobs vs unpinned 1.825-1.932 s / 19 jobs,
+    # unpinned consistently ~5-10% faster. The fan-out is a cheap
+    # broadcast join over table-count-sized inputs, so the pin's
+    # materialization barrier costs more than the 2-consumer
+    # re-execution it saves (and it was the suspect in BENCH_r11's
+    # ddl_diff_bulk 0.705x). Reverted to the plain join.
+    cat_f = fmap.join(cat_cols, "table_name")
     col_diff = _column_diff(
         hql_cols.select("file_path", "pos", "name", "type", "backfilled_from"),
         cat_f.select("file_path", "name", "type", "position"),

@@ -17,12 +17,19 @@ Five families, all shuffle-disciplined for 100 TB inputs:
                     force for bounded sets, LSH bucketing at scale
                     (see operators/similarity.py).
 
-Signature math is pure Column expressions (higher-order transforms,
-no Python) with ONE deliberate exception: the dense hyperplane
-projection in :func:`embedding_lsh_dedup_pairs` runs as an
-Arrow-batched pandas_udf (numpy matmul) because Spark's higher-order
-functions evaluate interpreted — measured ~10M flop/s vs numpy's
-vectorized path.
+Banding/verify math is pure Column expressions (higher-order
+transforms, no Python) with TWO deliberate Arrow-kernel exceptions,
+both because Spark's higher-order functions evaluate interpreted
+(measured ~10M flop/s vs numpy's vectorized path):
+
+- the dense hyperplane projection in
+  :func:`embedding_lsh_dedup_pairs` (pandas_udf numpy matmul);
+- the MinHash signature in :func:`_minhash_from_hashes` (r11,
+  pandas_udf numpy multiply-add — bit-identical to the Column twin
+  :func:`_minhash_from_hashes_col`, which is kept for the
+  equivalence tests in tests/test_round11_optim.py and selectable
+  via ``SPARK_GRAFT_MINHASH_COLUMN=1`` for environments where the
+  Python worker boundary is unavailable).
 """
 
 from __future__ import annotations
@@ -211,7 +218,13 @@ def _minhash_kernel(num_perm: int):
 def _minhash_from_hashes(htoks: F.Column, num_perm: int) -> F.Column:
     """Signature from pre-hashed (long) tokens — Arrow numpy kernel
     (see :func:`_minhash_kernel`); bit-identical to the Column twin
-    :func:`_minhash_from_hashes_col`."""
+    :func:`_minhash_from_hashes_col`, which
+    ``SPARK_GRAFT_MINHASH_COLUMN=1`` selects for environments where
+    the Python worker boundary is unavailable (r12, ADVICE-r11)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MINHASH_COLUMN") == "1":
+        return _minhash_from_hashes_col(htoks, num_perm)
     return _minhash_kernel(num_perm)(htoks)
 
 
@@ -470,8 +483,10 @@ def minhash_dedup_pairs(
     # Position-tagged arrays: tag = value * width + index, so positional
     # agreement between two rows becomes plain set intersection/overlap
     # (native, codegen'd) instead of per-element lambda evaluation.
-    # Real minhash values are < 2^31 (mod-p) and sentinels < 2^31+num_perm,
-    # so value*num_perm+i fits a long with no overflow under ANSI.
+    # Real minhash values are in [0, 2^31) (mod-p); sentinel MAGNITUDES
+    # also stay < 2^31 (position 0 is p itself; positions >= 1 wrap
+    # int32-negative — see _minhash_from_hashes_col), so
+    # value*num_perm+i fits a long with no overflow under ANSI.
     tsig = F.zip_with(
         F.col("sig"), idx_seq, lambda v, i: v * num_perm + i
     )

@@ -1321,7 +1321,16 @@ def embedding_pca_power(spark, sf_dir):
             if not k:
                 continue
             flat = lst.flatten().to_numpy(zero_copy_only=False)
-            assert flat.size == k * d_, "ragged embedding row"
+            if flat.size != k * d_:
+                # named error instead of an assert: survives python -O
+                # and says what the fixture contract is (the old
+                # posexplode form silently tolerated ragged rows; this
+                # kernel's reshape cannot)
+                raise ValueError(
+                    f"embedding_pca_power: ragged embedding row — got "
+                    f"{flat.size} values for {k} rows, expected "
+                    f"{k}x{d_}; the kernel requires fixed d={d_}"
+                )
             m = np.floor(
                 flat.astype(np.float64).reshape(k, d_) * 1e4 + 0.5
             ).astype(np.int64)
@@ -1344,6 +1353,17 @@ def embedding_pca_power(spark, sf_dir):
         )
 
     part = emb.select("embedding").mapInArrow(_moments, "i int, j int, s long")
+    # r12 (guide §2.3 "aggregate before you shuffle"): partial-combine
+    # the per-partition moment rows by (i, j) BEFORE the single-group
+    # funnel below, so the fused iteration stage reads exactly
+    # d^2+d+1 rows no matter how many scan partitions P there are. At
+    # 100 TB (P ~ 1e5-1e6) the unprepared funnel would pull
+    # P x (d^2+d+1) rows (GBs) into one task; the pre-aggregate caps
+    # it at KBs for one extra KB-sized exchange. Exactness unchanged:
+    # Spark SUM(long) and the pandas groupby-sum it replaces are both
+    # wrap-around int64 addition (associative/commutative mod 2^64),
+    # so any grouping of the partials lands on the identical bits.
+    part = part.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
     # r11, stage 2: the covariance build + all _POWER_ITERS iterations
     # fused into ONE Arrow stage over the d^2-bounded partials. The
@@ -1371,6 +1391,13 @@ def embedding_pca_power(spark, sf_dir):
         import pandas as pd
 
         n = int(pdf.loc[pdf["i"] == -1, "s"].sum())
+        if n == 0:
+            # descriptive failure instead of ZeroDivisionError at
+            # eig_est (the pre-r11 Column plan produced NULL/Inf rows
+            # here; the fixture contract guarantees a non-empty table)
+            raise ValueError(
+                "embedding_pca_power: embeddings table is empty (n=0)"
+            )
         mu_rows = pdf[(pdf["j"] == -1) & (pdf["i"] >= 0)].groupby("i")["s"].sum()
         mu_arr = [0] * d_
         for i, s in mu_rows.items():
@@ -1399,6 +1426,15 @@ def embedding_pca_power(spark, sf_dir):
                 prod = np.floor(cd * v).astype(np.int64)
             u = prod.sum(axis=1)  # int64, same wrap semantics as SUM(long)
             m = int(np.abs(u).max())
+            if m == 0:
+                # all-zero matrix (e.g. every embedding is the zero
+                # vector): the max-norm divide is undefined — fail with
+                # a named error, not ZeroDivisionError
+                raise ValueError(
+                    "embedding_pca_power: zero covariance matrix — "
+                    "max-norm power iteration is undefined (all "
+                    "embeddings identical/zero?)"
+                )
             v = u.astype(np.float64) / float(m)
         nd = float(n)
         md = float(m)

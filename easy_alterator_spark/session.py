@@ -91,10 +91,19 @@ def get_spark(
     # real cluster the resource manager overrides spark.local.dir via
     # SPARK_LOCAL_DIRS/LOCAL_DIRS, so this setting only ever governs
     # local runs; SPARK_GRAFT_LOCAL_DIR overrides (set it to a disk
-    # path if shuffle spill could exceed RAM).
+    # path if shuffle spill could exceed RAM). ADVICE-r11 guard: only
+    # auto-select tmpfs when it has comfortable headroom (>= 8 GiB
+    # free — an order of magnitude above the worst observed local
+    # shuffle footprint), else fall back to the normal temp dir so a
+    # spill-heavy local run degrades to disk instead of ENOSPC.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

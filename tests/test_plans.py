@@ -1224,15 +1224,19 @@ class TestNoGlobalWindowContract:
         # each arm's rank window runs over its top-m (50-row) list,
         # bounded by the preceding TakeOrderedAndProject
         "search_hybrid_rrf": "top-m (50-row) arm lists",
-        # r11 removals from this list: stats_bootstrap_poisson's
-        # 32-row rank window now sits inside its replicate-table pin
-        # (still bounded, documented in the query; invisible to this
-        # static audit), and search_eval_metrics' per-arm windows
+        # rank over the 32 Poisson bootstrap replicates — a
+        # fixed-width replicate table (r12: visible again because the
+        # sweep now runs under no_pin(); r11 had dropped it when the
+        # replicate-table pin hid it from the audit)
+        "stats_bootstrap_poisson": "32-row replicate table",
+        # r11 removal kept: search_eval_metrics' per-arm windows
         # became ONE term-partitioned (non-empty-partition) window.
     }
 
     def test_registry_has_no_naive_global_windows(self, spark, queries):
         from easy_alterator_spark.plans.audit import empty_partition_windows
+
+        from .util import no_pin
 
         offenders, allow_hits = {}, set()
         for name, fn in queries.items():
@@ -1240,11 +1244,16 @@ class TestNoGlobalWindowContract:
                 # streaming twins execute micro-batches eagerly on
                 # construction; their batch twins cover the plan shape
                 continue
-            ws = [
-                w
-                for w in empty_partition_windows(fn(spark, SF))
-                if "__pid" not in w
-            ]
+            # r12 (VERDICT-r11 task 4): audit the PRE-PIN plan — a lazy
+            # localCheckpoint truncates the printed plan at a
+            # LogicalRDD, so a naive global window behind a pin would
+            # otherwise be invisible to this registry-wide contract.
+            with no_pin():
+                ws = [
+                    w
+                    for w in empty_partition_windows(fn(spark, SF))
+                    if "__pid" not in w
+                ]
             if not ws:
                 continue
             if name in self.ALLOWED:

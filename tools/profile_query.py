@@ -5,7 +5,8 @@ For each named query: one untimed warm-up, then best-of-3 timings of
 BOTH materializations — ``toPandas()`` (the bench's measure) and the
 noop sink (``format("noop")`` — computes every column, discards the
 result, so it isolates the computation from result transfer) — and
-dumps ``explain("formatted")`` to ``plans/r11/<name>_<tag>.txt``.
+dumps ``explain("formatted")`` to ``plans/$PROFILE_PLANS_ROUND/<name>_<tag>.txt``
+(default r12).
 
 Usage:
     python tools/profile_query.py <tag> <query> [query ...]
@@ -41,7 +42,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q01_scan_project"](spark, sf_dir).collect()  # warm codegen
 
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("PROFILE_PLANS_ROUND", "r12")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}
