@@ -7,14 +7,15 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2/§2.10 plus the north-star extensions; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for the differential correctness gate.
 
-Coverage (stated as of round 11): 295 registered queries, 292 with
-oracles; the union of CORRECTNESS_r01-r10 driver stamps is green for
-all 292 oracle-bearing queries (stamp histogram r03:35 r04:41 r06:42
-r07:40 r08:42 r09:42 r10:50). Round 11 is an optimization round — no
-new queries; the window below re-stamps the 35 r03-stale queries the
-r10 verdict slated for this round. Only
-the three ddl_* fixture queries stay rows-only by design (their
-inputs are DDL text, not the relational tables).
+Coverage (stated as of round 12): 295 registered queries, 292 with
+oracles; the union of CORRECTNESS_r01-r11 driver stamps is green for
+all 292 oracle-bearing queries (newest-stamp histogram r04:39 r06:40
+r07:40 r08:41 r09:39 r10:43 r11:50). Round 12 is the second
+optimization round — no new queries; the window below re-stamps the
+39 r04-stale queries the r11 verdict pre-staged for this round, plus
+the 3 queries whose plan or oracle text changed in r12. Only the
+three ddl_* fixture queries stay rows-only by design (their inputs
+are DDL text, not the relational tables).
 
 Rotation policy (the driver checks the FIRST 50 entries of queries()
 order each round): every slot goes first to queries that are NEW or
@@ -47,62 +48,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 entries in queries()
-# order. Round-11 rotation (policy in the module docstring):
-# (a) the 35 r03-stale queries (newest stamp CORRECTNESS_r03, age 8 >
-# K=7) that the r10 verdict slated to lead this window and that
-# tests/test_round10_audit.py::test_rotation_staleness_bounded forces
-# in-window: graph_edge_support, privacy_k_anonymity,
-# profile_key_skew, q01..q30, split_leakage_guard, text_boilerplate.
-# Round 11 is an optimization round (no new queries), so the stale
-# cohort leads outright; any query whose CODE changed in the r11
-# optimization work is listed in section (b) so its rewrite is
-# re-stamped by the driver this round.
-# (b) the flagship as standing re-verification, then the 14
-# most-rewritten r11 optimization targets (two of them —
-# rec_item_cooccur and graph_triangles — also carry the ADVICE-r10
-# NULL-item-cap oracle fix, outputs verified bit-identical): the
-# remaining changed-this-round queries (pin-only plan changes whose
-# outputs are proven identical by the r11 oracle-gate sweeps —
-# dedup_minhash_df_pruned, dedup_lsh_recall_audit, the CC/keep_best
-# family, the rank-machinery users) don't fit the 50 after the forced
-# 35 and are covered by the committed sf0.01 full-gate runs instead.
-# Window arithmetic for K=7 (VERDICT r10 task 6): the registry is 295
-# (292 oracle-bearing; r11 adds none); with a 50-slot window a full
-# sweep is ceil(292/50) = 6 rounds, so the steady-state stamp age is
-# ~6 and K=7 is exactly one round of slack — a burst of new/changed
-# queries displaces a tail by at most one window before the tripwire
-# fires. r12 pre-staging: after this round the oldest cohort is the
-# 41 r04 stamps minus the two restamped here (decontaminate_bloom,
-# dedup_embedding_lsh_planted — both in (b)); the remaining 39 reach
-# age 8 > K at r12 and MUST lead the r12 window (39 + flagship = 40,
-# leaving 10 slots for r12's changed queries).
+# order. Round-12 rotation (policy in the module docstring):
+# (a) the 39 r04-stale queries (newest stamp CORRECTNESS_r04, age
+# 8 > K=7) that the r11 verdict's task 8 pre-staged to lead this
+# window and that tests/test_round10_audit.py::
+# test_rotation_staleness_bounded forces in-window.
+# (b) the flagship as standing re-verification, then the 3 queries
+# whose code or ORACLE changed in the r12 optimization work:
+# embedding_pca_power (groupBy(i,j) partial-combine before the fused
+# Arrow stage — plan change, outputs oracle-proven identical at
+# sf0.01/sf0.1), and bpe_train_merges + graph_pagerank (oracle CTEs
+# marked MATERIALIZED — a DuckDB evaluation-strategy hint; outputs
+# verified bit-identical old-vs-new at sf0.001 and sf0.01, and both
+# re-stamped here so the driver confirms the new oracle text).
+# embedding_pca_power's oracle also carries the hint (verified
+# identical the same way).
+# (c) the remaining 7 slots go oldest-stamp-first to the r06 cohort
+# (age 6; they reach K=7 at r13 and this pre-rotation keeps the
+# steady-state sweep ahead of the tripwire): the first 7
+# alphabetically of the 40 r06-stale queries.
+# Window arithmetic for K=7 (VERDICT r10 task 6): registry 295 (292
+# oracle-bearing; r12 adds none); steady-state stamp age ~6, K=7 one
+# round of slack. r13 pre-staging: after this round the oldest
+# cohort is the 33 remaining r06 stamps (40 minus the 7 restamped
+# here) — they reach age 8 > K at r13 and must lead the r13 window
+# (33 + flagship = 34, leaving 16 slots for r13's changed queries).
 # The 3 ddl_* rows-only entries stay out of the window.
 _PRIORITY = [
-    # --- (a) the 35 r03-stale queries (tripwire-forced this round) ---
-    "graph_edge_support",
-    "privacy_k_anonymity",
-    "profile_key_skew",
-    *[f"q{i:02d}" for i in range(1, 31)],  # name-prefix match below
-    "split_leakage_guard",
-    "text_boilerplate",
-    # --- (b) flagship + the 14 most-rewritten r11 queries ---
+    # --- (a) the 39 r04-stale queries (tripwire-forced this round) ---
+    "corpus_snapshot_diff",
+    "dedup_cluster_assign_star",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_lsh_recall_audit",
+    "dedup_semantic",
+    "dedup_simhash_md5",
+    "doc_chunk_dedup",
+    "doc_chunk_overlap",
+    "doc_quality_filter",
+    "events_dwell_time",
+    "events_rolling_median",
+    "events_transitions",
+    "events_value_ranks",
+    "events_winsorize",
+    *[f"q{i:02d}" for i in range(31, 44)],  # name-prefix match below
+    "search_bm25",
+    "search_hybrid_rrf",
+    "search_phrase_positional",
+    "search_phrase",
+    "search_ranked",
+    "sim_ann_ivf_probe2",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "sim_topk_bruteforce",
+    "stream_sessionize",
+    "text_collocations",
+    # --- (b) flagship + the 3 changed-this-round queries ---
     "pipeline_training_corpus",
     "embedding_pca_power",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "search_eval_metrics",
-    "stats_bootstrap_poisson",
-    "eval_isotonic_fit",
-    "graph_triangles",
-    "rec_item_cooccur",
-    "text_pmi_pairs",
-    "doc_lm_score",
-    "events_rfm_segments",
+    "bpe_train_merges",
     "graph_pagerank",
-    "dedup_embedding_lsh_planted",
-    "decontaminate_bloom",
+    # --- (c) 7 oldest-stamp (r06) pre-rotation fillers ---
+    "cdc_merge_upsert",
+    "cluster_kmeans",
+    "decontaminate_semantic",
+    "dedup_prefix_filter",
+    "dedup_sorted_neighborhood",
+    "doc_pack_efficiency",
+    "dq_freshness",
     # --- below the fold: everything else already driver-green ---
-    *[f"q{i:02d}" for i in range(31, 44)],
+    *[f"q{i:02d}" for i in range(1, 31)],
 ]
 
 

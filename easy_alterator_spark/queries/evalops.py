@@ -1200,35 +1200,41 @@ _POWER_ITERS = 8
 
 
 def _pca_oracle() -> str:
-    head = """v AS (SELECT vec_id,
+    # Every CTE is MATERIALIZED (r12): DuckDB inlines single-reference
+    # CTEs, and u{s}/v{s} are each referenced twice, so the un-hinted
+    # unrolled chain re-evaluates the whole upstream tree per
+    # reference — 2^8 re-evaluations of the n*d^2 moment explode
+    # (measured 67.3 s at sf0.001; 0.19 s materialized, results
+    # bit-identical — the hint changes evaluation strategy only).
+    head = """v AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding,
                                      x -> FLOOR(x::DOUBLE * 1e4 + 0.5)
                                           ::BIGINT) AS x4
                FROM embeddings),
-    e1 AS (SELECT unnest(x4) AS xi,
+    e1 AS MATERIALIZED (SELECT unnest(x4) AS xi,
                   unnest(range(len(x4)))::BIGINT AS i, x4 FROM v),
-    e2 AS (SELECT i, xi, unnest(x4) AS xj,
+    e2 AS MATERIALIZED (SELECT i, xi, unnest(x4) AS xj,
                   unnest(range(len(x4)))::BIGINT AS j FROM e1),
-    m8 AS (SELECT i, j, SUM(xi * xj)::BIGINT AS s FROM e2 GROUP BY i, j),
-    mu AS (SELECT i, SUM(xi)::BIGINT AS m FROM e1 GROUP BY i),
-    nn AS (SELECT COUNT(*)::BIGINT AS n FROM v),
-    cm AS (SELECT m8.i, m8.j,
+    m8 AS MATERIALIZED (SELECT i, j, SUM(xi * xj)::BIGINT AS s FROM e2 GROUP BY i, j),
+    mu AS MATERIALIZED (SELECT i, SUM(xi)::BIGINT AS m FROM e1 GROUP BY i),
+    nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM v),
+    cm AS MATERIALIZED (SELECT m8.i, m8.j,
                   (nn.n::HUGEINT * m8.s::HUGEINT
                    - a.m::HUGEINT * b.m::HUGEINT) AS c
            FROM m8 JOIN mu a ON a.i = m8.i JOIN mu b ON b.i = m8.j
            CROSS JOIN nn),
-    tr AS (SELECT SUM(c) AS t FROM cm WHERE i = j),
-    v0 AS (SELECT unnest(range(64))::BIGINT AS dim, 0.125::DOUBLE AS vv)"""
+    tr AS MATERIALIZED (SELECT SUM(c) AS t FROM cm WHERE i = j),
+    v0 AS MATERIALIZED (SELECT unnest(range(64))::BIGINT AS dim, 0.125::DOUBLE AS vv)"""
     steps = []
     for s in range(1, _POWER_ITERS + 1):
-        steps.append(f"""u{s} AS (SELECT cm.i AS dim,
+        steps.append(f"""u{s} AS MATERIALIZED (SELECT cm.i AS dim,
                   SUM(FLOOR(cm.c::DOUBLE * v{s - 1}.vv)::BIGINT)::BIGINT AS u
            FROM cm JOIN v{s - 1} ON v{s - 1}.dim = cm.j GROUP BY cm.i)""")
         steps.append(
-            f"n{s} AS (SELECT MAX(ABS(u))::BIGINT AS m FROM u{s})"
+            f"n{s} AS MATERIALIZED (SELECT MAX(ABS(u))::BIGINT AS m FROM u{s})"
         )
         steps.append(
-            f"v{s} AS (SELECT dim, u::DOUBLE / n{s}.m::DOUBLE AS vv "
+            f"v{s} AS MATERIALIZED (SELECT dim, u::DOUBLE / n{s}.m::DOUBLE AS vv "
             f"FROM u{s} CROSS JOIN n{s})"
         )
     last = _POWER_ITERS

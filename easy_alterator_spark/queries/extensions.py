@@ -2367,25 +2367,30 @@ def _bpe_oracle_sql(num_merges: int = 10) -> str:
     string order == Python code-point tuple order for UTF-8. Early
     stop falls out structurally: an empty argmax makes every later
     round's CTEs empty, so the UNION ALL just stops emitting rows."""
+    # CTEs are MATERIALIZED (r12): w{i} and b{i} are each referenced
+    # twice, so DuckDB's CTE inlining re-evaluates the whole upstream
+    # merge chain per reference — exponential in num_merges (measured
+    # 34 s at sf0.001; sub-second materialized, results identical —
+    # the hint changes evaluation strategy only).
     head = f"""
-    WITH v AS (SELECT w, cnt FROM (
+    WITH v AS MATERIALIZED (SELECT w, cnt FROM (
              SELECT w, COUNT(*)::BIGINT AS cnt
              FROM (SELECT unnest({_DTOKS}) AS w FROM documents)
              GROUP BY w ORDER BY cnt DESC, w LIMIT 1000000)),
-    w0 AS (SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'),
+    w0 AS MATERIALIZED (SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'),
                                             chr(2) || chr(1)) || chr(2)
                       AS enc,
                   cnt FROM v)"""
     rounds = [
         f""",
-    s{i} AS (SELECT string_split(substr(enc, 2, len(enc) - 2),
+    s{i} AS MATERIALIZED (SELECT string_split(substr(enc, 2, len(enc) - 2),
                                  chr(2) || chr(1)) AS syms, cnt FROM w{i}),
-    p{i} AS (SELECT syms[j + 1] AS l, syms[j + 2] AS r,
+    p{i} AS MATERIALIZED (SELECT syms[j + 1] AS l, syms[j + 2] AS r,
                     SUM(cnt)::BIGINT AS freq
              FROM s{i}, LATERAL (SELECT unnest(range(len(syms) - 1)) AS j) u
              GROUP BY 1, 2),
-    b{i} AS (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
-    w{i + 1} AS (SELECT replace(enc,
+    b{i} AS MATERIALIZED (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
+    w{i + 1} AS MATERIALIZED (SELECT replace(enc,
                           chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
                           chr(1) || b.l || b.r || chr(2)) AS enc, cnt
                  FROM w{i} CROSS JOIN b{i} b)"""

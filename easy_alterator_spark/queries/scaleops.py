@@ -337,11 +337,16 @@ def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
     """Unrolled power-iteration SQL (DuckDB forbids neither, but
     recursive-CTE aggregation rules vary; unrolling is portable and
     keeps the oracle a single static string per registration)."""
+    # CTEs are MATERIALIZED (r12): e/deg/nn are referenced by all ten
+    # unrolled rounds, so DuckDB's CTE inlining re-evaluates the
+    # quadratic Jaccard pair join per round (measured 6.2 s at
+    # sf0.001; sub-second materialized, results identical — the hint
+    # changes evaluation strategy only).
     steps = []
     prev = "r0"
     for i in range(1, iters + 1):
         steps.append(
-            f"r{i} AS (SELECT e.dd AS node, "
+            f"r{i} AS MATERIALIZED (SELECT e.dd AS node, "
             f"(1 - {damping}) / ANY_VALUE(nn.n) + {damping} * "
             f"SUM(r.rank / deg.dg) AS rank "
             f"FROM e JOIN {prev} r ON e.s = r.node "
@@ -349,17 +354,17 @@ def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
         )
         prev = f"r{i}"
     return f"""
-    WITH d AS (SELECT doc_id, {_DTOKS} AS raw FROM documents
+    WITH d AS MATERIALIZED (SELECT doc_id, {_DTOKS} AS raw FROM documents
                WHERE doc_id <= 200),
-    ds AS (SELECT doc_id, list_distinct(raw) AS toks FROM d),
-    p AS (SELECT a.doc_id AS a, b.doc_id AS b
+    ds AS MATERIALIZED (SELECT doc_id, list_distinct(raw) AS toks FROM d),
+    p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
           FROM ds a JOIN ds b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                 / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
-    e AS (SELECT a AS s, b AS dd FROM p UNION ALL SELECT b, a FROM p),
-    deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
-    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
-    r0 AS (SELECT s AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+    e AS MATERIALIZED (SELECT a AS s, b AS dd FROM p UNION ALL SELECT b, a FROM p),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+    r0 AS MATERIALIZED (SELECT s AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
     {",".join(steps)}
     SELECT node AS doc_id, ROUND(rank, 6) AS pr FROM {prev}
     """

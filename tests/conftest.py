@@ -12,9 +12,18 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     from easy_alterator_spark.session import get_spark
 
-    s = get_spark("easy-alterator-spark-tests", master="local[4]")
+    # local[8] (r12, VERDICT-r11 task 3 — suite wall-clock): the suite
+    # is ~1000 Spark-executing tests whose jobs run 32 shuffle
+    # partitions over tiny data; 8 cores halve the task-wave count per
+    # stage vs the old local[4] (A/B on test_operators.py: 126 s ->
+    # 117 s — modest, the floor is per-job scheduling, but free on any
+    # 8+-core host). Overridable for constrained hosts.
+    cores = os.environ.get("EA_TEST_CORES", "8")
+    s = get_spark("easy-alterator-spark-tests", master=f"local[{cores}]")
     yield s
     s.stop()
 

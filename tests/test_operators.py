@@ -30,6 +30,7 @@ def clustered_vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 def test_embedding_lsh_matches_bruteforce(spark, clustered_vectors):
     from easy_alterator_spark.operators.dedup import (
         embedding_dedup_pairs,
@@ -50,6 +51,7 @@ def test_embedding_lsh_matches_bruteforce(spark, clustered_vectors):
     assert lsh == brute
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 def test_ivf_kmeans_refinement_improves_centroids(spark, clustered_vectors):
     """Lloyd refinement must measurably improve the k-means objective
     (mean cosine of each vector to its assigned centroid) over the
@@ -100,6 +102,7 @@ def test_ivf_kmeans_refinement_improves_centroids(spark, clustered_vectors):
     assert r1 >= 0.9
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 def test_ivf_nprobe_recall_monotone(spark, clustered_vectors):
     """Scanning more buckets can only add candidates — recall@k must be
     non-decreasing in nprobe, and multi-probe must stay exact-correct
@@ -212,6 +215,7 @@ def test_connected_components_star_matches_min_label(spark):
     }
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 def test_connected_components_star_long_chain_log_rounds(spark):
     """Chain of 1000 nodes (diameter 999): min-label would need ~999
     rounds; large-star/small-star must converge within 12 alternations
@@ -230,6 +234,7 @@ def test_connected_components_star_long_chain_log_rounds(spark):
     assert got == {(i, 0) for i in range(n)}
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 def test_connected_components_star_random_graphs_property(spark):
     """On random graphs both algorithms agree (star vs min-label)."""
     import random

@@ -45,6 +45,7 @@ def naive_merge(base, chg):
     return out
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 class TestApplyChangelogProperties:
     @settings(
         max_examples=12,
@@ -83,6 +84,7 @@ texts = st.lists(
 )
 
 
+@pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
 class TestPrefixFilterProperties:
     @settings(
         max_examples=10,

@@ -621,6 +621,7 @@ class TestNonparamProperties:
         r1 = ranks[: len(x)].sum()
         return int(round(2 * r1)) - len(x) * (len(x) + 1)
 
+    @pytest.mark.slow  # rehearsal-class (pytest.ini): deterministic twin keeps coverage
     def test_matches_numpy_reference_on_random_samples(self, spark):
         import random
 

@@ -18,6 +18,13 @@ from easy_alterator_spark.queries import ORACLES, QUERIES, load_all
 
 from .util import assert_df_matches_oracle
 
+# rehearsal-class (pytest.ini): 3-seed randomized re-verification of
+# queries whose deterministic hand-fixture twins (test_round9b_ops)
+# and oracle-differential gates (test_queries_oracle) stay in the
+# default run; deselected by default for suite wall-clock, run with
+# `-m slow`
+pytestmark = pytest.mark.slow
+
 load_all()
 
 T0 = datetime(2024, 3, 1)
