@@ -16,10 +16,15 @@ sub-second tail of this suite tracks the shuffle/stage-scheduling
 calibration, not the CPU one (uniform +0.3-0.5 s/query in slow
 windows with zero code change), so the shuffle key is the right
 deflator for per-query comparisons. An absolute-seconds floor is
-applied on top because a 0.1 s query can 4x out of pure scheduler
-jitter without anything being wrong: a FAIL additionally requires
-the query to have gained more than 1.0 normalized second, a WARN
-more than 0.4 s.
+applied on top — a deliberate deviation from a bare ratio rule:
+the r12 round-start bench recorded six alphabetically-adjacent
+sub-second queries at 4-5x (events_survival_km 0.408 -> 2.191 s
+etc., zero code change — one ordinary mid-bench steal window), so a
+bare >4x FAIL would red the suite on weather. A FAIL therefore
+additionally requires more than 2.0 normalized seconds of absolute
+regression — the gate-breaching class (the 10.394 s
+dedup_lsh_recall_audit reading was +8.6 s) — while anything >2x and
++0.4 s is WARNED for the bench reader to chase.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_DIR = os.path.join(REPO, "plans", "bench_ref")
 
 WARN_RATIO, FAIL_RATIO = 2.0, 4.0
-WARN_FLOOR_SEC, FAIL_FLOOR_SEC = 0.4, 1.0
+WARN_FLOOR_SEC, FAIL_FLOOR_SEC = 0.4, 2.0
 
 
 def _load(path: str) -> dict:
